@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed fully (noop sink — no driver collect, no pandas
+transfer) so the measured time is plan execution, not result shipping.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: reference-core rollups/fetch, relational joins/aggs/windows,
+#: LLM-pipeline dedup/similarity/text, and a real streaming micro-batch run.
+HEADLINE = [
+    "tsdb_rollup_1h",
+    "tsdb_rollup_cascade_1d",
+    "tsdb_fetch_gapfill",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "join_semi_discounted_orders",
+    "window_topk_parts_per_brand",
+    "agg_rollup_flag_status",
+    "dedup_exact_fingerprint",
+    "dedup_ngram_jaccard",
+    "emb_cosine_topk",
+    "text_quality_scores",
+    "streaming_rollup_1h",
+]
+
+
+def main() -> None:
+    from kenshin_backup_spark import queries as registry
+    from kenshin_backup_spark.session import get_spark
+
+    spark = get_spark("kenshin-bench")
+    qs = registry.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf_match = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(sf_match.group(1)) if sf_match else None
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

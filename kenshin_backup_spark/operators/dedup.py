@@ -1,0 +1,263 @@
+"""Deduplication operators (SURVEY.md §2.9 X1/X2) — exact and near-dup.
+
+A 100 TB training-data pipeline dedups in tiers, cheapest first:
+
+1. **Exact** — hash-groupBy on a canonical fingerprint (one shuffle on the
+   hash; the hash is computed scan-side so the shuffle carries 32 bytes/row,
+   not the document).
+2. **Near-dup, lexical** — MinHash over shingle sets banded into LSH
+   buckets: candidate pairs come from an *equi-join on (band, bucket-hash)*,
+   never a cross join. Spark ML's ``MinHashLSH.approxSimilarityJoin`` does
+   shingle→minhash→band→bucket-join natively.
+3. **Near-dup, n-gram Jaccard** — exact Jaccard on shingle sets for
+   verification of candidate pairs (or as the full method at small scale):
+   explode shingles → equi-join on shingle → count common / union.
+4. **SimHash** — 64-bit signature via per-token hash bit-majority; near
+   pairs = small Hamming distance, found by pigeonhole banding on signature
+   chunks (exact-match join per chunk), again no cross join.
+5. **Embedding cosine** — see :mod:`kenshin_backup_spark.operators.similarity`.
+
+All document-side computation is native Spark SQL expressions (split,
+transform, xxhash64, bitwise aggs) — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for fingerprinting: lowercase, collapse
+    whitespace, trim. (DuckDB mirror: lower + regexp_replace(..., 'g'))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint (md5 hex) of the
+    normalized text — the exact-dedup key. md5 is identical across Spark,
+    DuckDB, and any other engine, which makes dedup results portable."""
+    return F.md5(normalize_text(col))
+
+
+def exact_dedup(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """X1: keep the minimum-id representative per fingerprint group.
+
+    One wide shuffle on the 32-byte fingerprint. Output keeps group size so
+    callers can split uniques from collapsed duplicates.
+    """
+    fp = fingerprint(text_col).alias("fp")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text, as an array.
+
+    Built entirely from native array functions: split → sliding windows via
+    ``sequence`` + ``transform`` → ``concat_ws`` — codegen'd, no UDF.
+    """
+    words = F.split(normalize_text(col), " ")
+    count = F.size(words) - (n - 1)
+    # Guard: Spark's sequence(0, -1) yields a DESCENDING [0, -1], not [].
+    idx = F.when(count > 0, F.sequence(F.lit(0), count - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)])
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """X2 (exact variant): document pairs with shingle-set Jaccard ≥ t.
+
+    Plan shape: explode shingles → self equi-join **on the shingle** (plus
+    an optional blocking key) → per-pair common-count → Jaccard from the
+    per-doc set sizes. The only joins are equi-joins; at 100 TB the shingle
+    join is the standard posting-list self-join and benefits from salting
+    hot shingles (stop-phrase shingles should be pre-filtered; we keep them
+    here because the corpus is synthetic).
+
+    Returns ``(id_a, id_b, common, size_a, size_b, jaccard)`` with
+    ``id_a < id_b``.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        word_shingles(text_col, n).alias("sh"),
+    )
+    sizes = shingled.select("id", F.size("sh").alias("sz"))
+    posting = shingled.select(
+        "id", *(["blk"] if block_col else []), F.explode("sh").alias("g")
+    )
+    a = posting.alias("a")
+    b = posting.alias("b")
+    join_cond = (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
+    if block_col:
+        join_cond = join_cond & (F.col("a.blk") == F.col("b.blk"))
+    common = (
+        a.join(b, join_cond)
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        common.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            F.col("sa.sz").alias("size_a"),
+            F.col("sb.sz").alias("size_b"),
+        )
+        .withColumn(
+            "jaccard",
+            (
+                F.col("common")
+                / (F.col("size_a") + F.col("size_b") - F.col("common"))
+            ).cast("double"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def simhash64(col: Column | str, *, ngram: int = 2) -> Column:
+    """64-bit SimHash of the normalized text from word-``ngram`` tokens.
+
+    Per token: xxhash64; per bit position: majority vote across tokens
+    (+1 if bit set, −1 otherwise); signature bit = vote > 0. Expressed as
+    64 conditional sums over the exploded token hashes — aggregate-only,
+    no UDF. Returns the signature as BIGINT.
+
+    Near-duplicate retrieval at scale: split the 64-bit signature into
+    k=4 16-bit chunks; Hamming(d)≤3 pairs must agree exactly on ≥1 chunk
+    (pigeonhole) → equi-join per chunk, union, verify Hamming.
+    """
+    grams = word_shingles(col, ngram)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+
+    def _mask(bit: int) -> int:
+        # bit 63 is the sign bit of a 64-bit two's-complement long
+        return (1 << bit) if bit < 63 else -(1 << 63)
+
+    def _vote(bit: int):
+        m = F.lit(_mask(bit))
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        )
+
+    sig = F.lit(0).cast("long")
+    for bit in range(64):
+        sig = sig.bitwiseOR(
+            F.when(_vote(bit) > 0, F.lit(_mask(bit))).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole chunk banding (see
+    :func:`simhash64`). Returns ``(id_a, id_b, hamming)``."""
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("sig")
+    ).persist()
+    chunks = None
+    for c in range(4):
+        piece = sigs.select(
+            "id",
+            "sig",
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned("sig", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+        )
+        chunks = piece if chunks is None else chunks.unionByName(piece)
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def minhash_lsh_dupes(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+):
+    """X2 (approximate): MinHash+LSH near-dup join via Spark ML.
+
+    shingle → HashingTF sparse vector → MinHashLSH.approxSimilarityJoin.
+    Approximate (seeded, deterministic per run config) → driver checks
+    rows-only; the exact :func:`ngram_jaccard_pairs` is the oracle-checkable
+    twin. At 100 TB this is the main dedup path: the banded join's
+    candidate set is near-linear in corpus size, vs quadratic verification.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, 3).alias("sh")
+    ).where(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(shingled)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed
+    )
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.where(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            (1 - F.col("jaccard_dist")).cast("double").alias("jaccard_est"),
+        )
+    )

@@ -1,0 +1,166 @@
+"""Vector similarity search (SURVEY.md §2.9 X3).
+
+Brute-force exact cosine top-k as the correctness baseline, plus an
+LSH-bucketed approximate path for scale.
+
+Determinism contract: vectors are quantized to integers
+(``floor(x * 1e4)``) before any arithmetic. Dot products and norms over
+64-dim quantized vectors are integer-valued and < 2^53, so they are EXACT
+in both BIGINT and DOUBLE arithmetic regardless of summation order — the
+cosine scores hash-match the DuckDB oracle bit-for-bit, and top-k
+membership cannot flip on float noise (ties broken by candidate id).
+
+Scale notes (100 TB): brute-force is O(Q×N) dot products — fine for a
+bounded query set against a broadcast of N≤10⁶ candidates, wrong beyond.
+The scale path is :func:`brp_lsh_topk` (bucketed random projections: only
+same-bucket candidates are scored) or an IVF layout: k-means coarse
+centroids as a broadcast dim, candidates pre-partitioned by nearest
+centroid, queries routed to their nprobe nearest centroids — both turn the
+cross product into an equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+#: Quantization scale for embedding elements (see module docstring).
+VEC_QUANT = 10_000
+
+
+def quantize_vec(col: Column | str) -> Column:
+    """array<float> → array<bigint> via floor(double(x) · 1e4).
+
+    The cast to double BEFORE multiplying is load-bearing: float32 → double
+    is exact, and the multiply then happens in double in both engines.
+    Multiplying in float32 (Spark's default for float·int) rounds
+    differently than DuckDB and flips the floor by ±1.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.floor(x.cast("double") * VEC_QUANT).cast("long"))
+
+
+def qdot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors (BIGINT)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector, the k nearest
+    candidates by cosine similarity (quantized-exact; ties → lower id).
+
+    Plan: broadcast the (small) query side against the candidate scan,
+    score with codegen'd array expressions, rank per query with a window.
+    Returns ``(query_id, neighbor_id, cosine, rank)``.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_vec(vec_col).alias("qv")
+    ).withColumn("qn", qdot(F.col("qv"), F.col("qv")))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), quantize_vec(vec_col).alias("cv")
+    ).withColumn("cn", qdot(F.col("cv"), F.col("cv")))
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    dot = qdot(F.col("qv"), F.col("cv"))
+    cos = (
+        dot / F.sqrt(F.col("qn").cast("double") * F.col("cn").cast("double"))
+    ).cast("double")
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def knn_label_vote(
+    topk: DataFrame, labels: DataFrame, *, id_col: str = "vec_id", label_col: str = "label"
+) -> DataFrame:
+    """Majority label among a query's top-k neighbors (ties → smaller
+    label). Composes with :func:`cosine_topk` for kNN classification."""
+    lab = labels.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nb_label")
+    )
+    votes = (
+        topk.join(F.broadcast(lab), "neighbor_id")
+        .groupBy("query_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("nb_label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("nb_label").alias("predicted_label"), "votes")
+    )
+
+
+def brp_lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate nearest neighbors via Bucketed Random Projection LSH
+    (Spark ML) — the 100 TB path: same-bucket equi-join instead of a cross
+    product. Euclidean metric; on L2-normalized vectors the ranking agrees
+    with cosine. Approximate → rows-only check in the driver harness.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    def prep(df: DataFrame, out_id: str) -> DataFrame:
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+        return df.select(
+            F.col(id_col).alias(out_id), array_to_vector(unit).alias("features")
+        )
+
+    qd = prep(queries, "query_id")
+    cd = prep(candidates, "neighbor_id")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    )
+    model = lsh.fit(cd)
+    joined = model.approxSimilarityJoin(cd, qd, 2.0, distCol="l2")
+    pairs = (
+        joined.select(
+            F.col("datasetB.query_id").alias("query_id"),
+            F.col("datasetA.neighbor_id").alias("neighbor_id"),
+            F.col("l2").cast("double").alias("l2"),
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("l2"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,160 @@
+"""Streaming queries for the driver harness (SURVEY.md §2.7).
+
+These run REAL Structured Streaming micro-batch jobs (parquet file source →
+stateful aggregation → memory sink, availableNow trigger) and return the
+materialized result, so the harness verifies streaming semantics against
+the same DuckDB oracle as the batch path — the batch/stream equivalence
+test the reference validates operationally (§5.2.5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kenshin_backup_spark.functions.deterministic import EPOCH_S_SQL, QAVG_SQL, QSUM_SQL
+from kenshin_backup_spark.operators.rollup import finalize
+from kenshin_backup_spark.streaming.ingest import (
+    run_stream_to_memory,
+    streaming_rollup,
+)
+
+_ES = EPOCH_S_SQL.format(x="ts")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file stream source requires a *directory*; the testdata is
+    # read-only single files, so stage a symlink dir under /tmp.
+    safe = sf_dir.strip("/").replace("/", "_")
+    src_dir = f"/tmp/kenshin_stream_src/{safe}/events"
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.islink(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(schema).format("parquet").load(src_dir)
+    # TIMESTAMP(NANOS) reads as epoch-nanos BIGINT (see sources.tables);
+    # the watermark needs a real TimestampType event-time column.
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return stream
+
+
+def streaming_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling streaming rollup over the events stream, complete
+    output mode — must equal the batch rollup (oracle = direct SQL)."""
+    stream = _events_stream(spark, sf_dir)
+    rolled = streaming_rollup(
+        stream, key_col="event_type", step_seconds=3600, watermark="1 hour"
+    )
+    out = run_stream_to_memory(spark, rolled, output_mode="complete")
+    wide = finalize(out)
+    return wide.select(
+        "event_type",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        F.col("cnt").cast("long").alias("n_points"),
+        "sum_value",
+        "avg_value",
+        "min_value",
+        "max_value",
+        "last_value",
+    )
+
+
+_STREAM_ROLLUP_SQL = f"""
+WITH e AS (
+  SELECT event_type, value,
+         CAST({_ES} AS BIGINT) AS es,
+         CAST(({_ES} // 3600) * 3600 AS BIGINT) AS bucket_ts
+  FROM events
+),
+agg AS (
+  SELECT event_type, bucket_ts,
+         COUNT(value) AS n_points,
+         {QSUM_SQL.format(x="value")} AS sum_value,
+         {QAVG_SQL.format(x="value")} AS avg_value,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value
+  FROM e GROUP BY 1, 2
+),
+lastv AS (
+  SELECT event_type, bucket_ts, value AS last_value FROM (
+    SELECT event_type, bucket_ts, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts
+                              ORDER BY es DESC, value DESC) AS rn
+    FROM e WHERE value IS NOT NULL) t
+  WHERE rn = 1
+)
+SELECT a.event_type, a.bucket_ts, a.n_points, a.sum_value, a.avg_value,
+       a.min_value, a.max_value, l.last_value
+FROM agg a
+LEFT JOIN lastv l ON l.event_type = a.event_type AND l.bucket_ts = a.bucket_ts
+"""
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (gap 30 min) over the events stream —
+    the streaming-native operator the reference lacks but Spark provides
+    (§2.7 T3 note). Oracle: classic lag/cumsum sessionization in SQL.
+
+    Event times are truncated to whole seconds first so the gap comparison
+    is integer-exact in both engines; Spark's session windows are half-open
+    (a gap of exactly 30 min starts a NEW session), mirrored as ``>= 1800``
+    in the oracle's new-session flag."""
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.col("user_id"), F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("sum_q"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.unix_timestamp("session_window.start").cast("long").alias("session_start_ts"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("sum_q") / F.lit(1000000.0)).cast("double").alias("sum_value"),
+        )
+    )
+    return run_stream_to_memory(spark, sess, output_mode="complete")
+
+
+_SESSION_SQL = f"""
+WITH e AS (
+  SELECT user_id, value, CAST({_ES} AS BIGINT) AS es
+  FROM events
+),
+flagged AS (
+  SELECT user_id, value, es,
+         CASE WHEN es - LAG(es) OVER (PARTITION BY user_id ORDER BY es) >= 1800
+              OR LAG(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sessions AS (
+  SELECT user_id, value, es,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY es
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(es) AS session_start_ts,
+       COUNT(*) AS n_events,
+       {QSUM_SQL.format(x="value")} AS sum_value
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+QUERIES = {
+    "streaming_rollup_1h": streaming_rollup_1h,
+    "streaming_session_windows": streaming_session_windows,
+}
+
+ORACLE = {
+    "streaming_rollup_1h": _STREAM_ROLLUP_SQL,
+    "streaming_session_windows": _SESSION_SQL,
+}

@@ -1,0 +1,141 @@
+"""Streaming ingestion — the Spark rendering of the reference daemon.
+
+Reference pipeline (SURVEY.md §3.1): TCP line protocol → in-memory
+MetricCache → writer thread flushes batched points → eager rollup
+propagation. Spark mapping: ``readStream`` source → watermark (late-data
+policy, §2.7 T4) → tumbling-window aggregation per retention level (T3) →
+``foreachBatch`` append sink (T2/S3). The reactor/writer thread boundary
+becomes the micro-batch boundary; MetricCache becomes streaming state.
+
+Scale notes (100 TB): in production the source is Kafka partitioned by
+metric key (T6 sharding ≙ Kafka partitioning); state is bounded by the
+watermark horizon × per-metric window count; sinks append date-partitioned
+parquet so the batch fetch path reads the same tables.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kenshin_backup_spark.functions.deterministic import QUANT
+from kenshin_backup_spark.session import tune
+
+
+def parse_graphite_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Graphite plaintext protocol (S1): ``"<metric> <value> <ts>\\n"`` →
+    typed (metric, ts, value) rows. Malformed lines are dropped (NULL after
+    cast), matching the reference receiver's tolerance."""
+    parts = F.split(F.col(value_col), " ")
+    # F.get + try_cast: malformed lines yield NULLs (dropped below) instead
+    # of failing the task under Spark 4's default ANSI mode.
+    out = lines.select(
+        F.get(parts, 0).alias("metric"),
+        F.timestamp_seconds(F.get(parts, 2).try_cast("double")).alias("ts"),
+        F.get(parts, 1).try_cast("double").alias("value"),
+    )
+    return out.where(
+        F.col("metric").isNotNull()
+        & (F.length("metric") > 0)
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+
+
+def streaming_rollup(
+    stream: DataFrame,
+    *,
+    key_col: str = "metric",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window rollup with the engine's composable partial state
+    (same schema as operators.rollup.rollup_partials, so the batch
+    ``finalize``/``cascade`` apply unchanged to streaming output).
+
+    The watermark is the reference's late-data policy (T4): points older
+    than the horizon are dropped; in-horizon updates revise the open bucket.
+    """
+    v = F.col(value_col)
+    win = F.window(F.col(ts_col), f"{step_seconds} seconds")
+    last_struct = F.max(
+        F.when(
+            v.isNotNull(),
+            F.struct(F.unix_timestamp(ts_col).cast("long").alias("ts"), v.alias("v")),
+        )
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), win)
+        .agg(
+            F.count(v).alias("cnt"),
+            F.sum(F.floor(v * QUANT).cast("long")).alias("sum_q"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+            last_struct["ts"].alias("last_ts"),
+            last_struct["v"].alias("last_v"),
+        )
+        .select(
+            F.col(key_col),
+            F.unix_timestamp(F.col("window.start")).cast("long").alias("bucket_ts"),
+            "cnt",
+            "sum_q",
+            "min_v",
+            "max_v",
+            "last_ts",
+            "last_v",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, streaming_df: DataFrame, *, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming plan to completion over bounded input and return
+    the result as a batch DataFrame (memory sink + availableNow trigger).
+
+    This is how streaming queries participate in the driver's correctness
+    harness: the *same* micro-batch engine that would run unbounded runs
+    here over a finite source, so state handling, watermarks, and output
+    modes are genuinely exercised.
+    """
+    tune(spark)
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def write_rollup_sink(
+    streaming_df: DataFrame, path: str, checkpoint: str
+):
+    """Production sink (S3): foreachBatch append to date-partitioned
+    parquet in update mode — each micro-batch upserts the open buckets by
+    overwriting their date partitions (idempotent per epoch)."""
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn(
+                "date", F.to_date(F.timestamp_seconds(F.col("bucket_ts")))
+            )
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+
+    return (
+        streaming_df.writeStream.foreachBatch(_write)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )

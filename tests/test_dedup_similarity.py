@@ -1,0 +1,84 @@
+"""Unit tests for dedup + similarity operators (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kenshin_backup_spark.operators.dedup import (
+    exact_dedup,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+    word_shingles,
+)
+from kenshin_backup_spark.operators.similarity import cosine_topk, knn_label_vote
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_normalizes_whitespace_case(spark):
+    df = _docs(spark, ["Hello  World", "hello world", "other text"])
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = _docs(spark, ["one two", "one two three four"])
+    rows = df.select("doc_id", word_shingles("text", 3).alias("sh")).collect()
+    got = {r["doc_id"]: r["sh"] for r in rows}
+    assert got[0] == []
+    assert got[1] == ["one two three", "two three four"]
+
+
+def test_ngram_jaccard_detects_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different words appear in this unrelated document body"
+    df = _docs(spark, [base, near, other])
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["id_a"], p["id_b"]) == (0, 1)
+    assert 0.5 < p["jaccard"] < 1.0
+
+
+def test_simhash_identical_and_near(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = _docs(spark, [base, base, "wholly distinct content here now"])
+    sigs = {r["doc_id"]: r["sig"] for r in
+            df.select("doc_id", simhash64("text").alias("sig")).collect()}
+    assert sigs[0] == sigs[1]
+    pairs = simhash_near_pairs(df, max_hamming=3).collect()
+    assert any((p["id_a"], p["id_b"]) == (0, 1) and p["hamming"] == 0 for p in pairs)
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = cosine_topk(df.where("vec_id = 0"), df, k=2).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in ranked] == [1, 2]
+    assert ranked[0]["cosine"] > 0.99
+
+
+def test_knn_label_vote_majority_and_tiebreak(spark):
+    topk = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 1), (0, 12, 2), (1, 10, 1), (1, 12, 2)],
+        "query_id long, neighbor_id long, rank long",
+    ).select("query_id", "neighbor_id")
+    labels = spark.createDataFrame(
+        [(10, 5), (11, 5), (12, 7)], "vec_id long, label int"
+    )
+    out = {r["query_id"]: r["predicted_label"] for r in
+           knn_label_vote(topk, labels).collect()}
+    assert out[0] == 5          # majority
+    assert out[1] == 5          # tie → smaller label

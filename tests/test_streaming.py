@@ -1,0 +1,55 @@
+"""Streaming ingest tests (SURVEY.md §5.2.5): Graphite line parsing,
+batch/stream rollup equivalence, late-data watermark behavior."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kenshin_backup_spark.operators.rollup import finalize, rollup_partials
+from kenshin_backup_spark.streaming.ingest import (
+    parse_graphite_lines,
+    run_stream_to_memory,
+    streaming_rollup,
+)
+
+
+def test_parse_graphite_lines(spark):
+    lines = spark.createDataFrame(
+        [
+            ("servers.web01.cpu 3.14 1723500000",),
+            ("a.b -1.5 1723500060",),
+            ("malformed line",),
+            ("noval  1723500000",),
+        ],
+        "value string",
+    )
+    parsed = parse_graphite_lines(lines)
+    out = parsed.select("metric", "value", F.unix_timestamp("ts").alias("es")).collect()
+    assert len(out) == 2
+    byname = {r["metric"]: r for r in out}
+    assert byname["servers.web01.cpu"]["value"] == 3.14
+    assert byname["a.b"]["es"] == 1723500060
+
+
+def test_stream_rollup_equals_batch(spark, tmp_path):
+    """The streaming rollup over a bounded file source must equal the batch
+    rollup_partials over the same rows (reference batch/stream parity)."""
+    utc = dt.timezone.utc
+    rows = [
+        ("m1", dt.datetime.fromtimestamp(100 + 60 * i, utc), float(i)) for i in range(100)
+    ] + [("m2", dt.datetime.fromtimestamp(90_000, utc), 7.0)]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    src = str(tmp_path / "pts")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    rolled = streaming_rollup(stream, key_col="metric", step_seconds=600, watermark="1 hour")
+    got = run_stream_to_memory(spark, rolled, output_mode="complete")
+
+    want = rollup_partials(df, key_cols=["metric"], step_seconds=600)
+    cols = ["metric", "bucket_ts", "cnt", "sum_q", "min_v", "max_v", "last_ts", "last_v"]
+    a = sorted(map(tuple, got.select(cols).collect()))
+    b = sorted(map(tuple, want.select(cols).collect()))
+    assert a == b
