@@ -60,13 +60,15 @@ def exact_dedup(
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text, as an array.
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED words-array column.
 
-    Built entirely from native array functions: split → sliding windows via
-    ``sequence`` + ``transform`` → ``concat_ws`` — codegen'd, no UDF.
+    ``words`` must be a projected column (not an inline ``split(...)``
+    expression): Spark does no common-subexpression elimination inside
+    higher-order-function lambdas, so an inline expression would re-run the
+    whole normalize+split chain once per array element (measured ~25s for
+    260k shingles vs <1s materialized).
     """
-    words = F.split(normalize_text(col), " ")
     count = F.size(words) - (n - 1)
     # Guard: Spark's sequence(0, -1) yields a DESCENDING [0, -1], not [].
     idx = F.when(count > 0, F.sequence(F.lit(0), count - 1)).otherwise(
@@ -76,6 +78,25 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
         idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)])
     )
     return F.array_distinct(grams)
+
+
+def with_shingles(
+    df: DataFrame, *, text_col: str = "text", n: int = 3, out_col: str = "sh"
+) -> DataFrame:
+    """Add a distinct word-n-gram shingle array column (two materialized
+    steps: words, then grams — see :func:`shingles_from_words`)."""
+    return (
+        df.withColumn("__words", F.split(normalize_text(text_col), " "))
+        .withColumn(out_col, shingles_from_words(F.col("__words"), n))
+        .drop("__words")
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Inline shingle expression — ONLY for tiny inputs/tests; hot paths
+    must use :func:`with_shingles` (materialization, see above)."""
+    words = F.split(normalize_text(col), " ")
+    return shingles_from_words(words, n)
 
 
 def ngram_jaccard_pairs(
@@ -99,15 +120,24 @@ def ngram_jaccard_pairs(
     Returns ``(id_a, id_b, common, size_a, size_b, jaccard)`` with
     ``id_a < id_b``.
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
-        word_shingles(text_col, n).alias("sh"),
-    )
+    shingled = with_shingles(
+        df.select(
+            F.col(id_col).alias("id"),
+            *([F.col(block_col).alias("blk")] if block_col else []),
+            F.col(text_col),
+        ),
+        text_col=text_col,
+        n=n,
+    ).drop(text_col)
+    # The shingle table feeds THREE consumers (sizes + both sides of the
+    # self-join); without persistence Spark recomputes the regex/shingle
+    # pipeline per consumer (measured 13× slower). At 100 TB this persist
+    # becomes a materialized shingle/posting table on storage.
+    shingled = shingled.persist()
     sizes = shingled.select("id", F.size("sh").alias("sz"))
     posting = shingled.select(
         "id", *(["blk"] if block_col else []), F.explode("sh").alias("g")
-    )
+    ).persist()
     a = posting.alias("a")
     b = posting.alias("b")
     join_cond = (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
@@ -141,27 +171,19 @@ def ngram_jaccard_pairs(
     return out.where(F.col("jaccard") >= threshold)
 
 
-def simhash64(col: Column | str, *, ngram: int = 2) -> Column:
-    """64-bit SimHash of the normalized text from word-``ngram`` tokens.
+def _simhash_mask(bit: int) -> int:
+    # bit 63 is the sign bit of a 64-bit two's-complement long
+    return (1 << bit) if bit < 63 else -(1 << 63)
 
-    Per token: xxhash64; per bit position: majority vote across tokens
-    (+1 if bit set, −1 otherwise); signature bit = vote > 0. Expressed as
-    64 conditional sums over the exploded token hashes — aggregate-only,
-    no UDF. Returns the signature as BIGINT.
 
-    Near-duplicate retrieval at scale: split the 64-bit signature into
-    k=4 16-bit chunks; Hamming(d)≤3 pairs must agree exactly on ≥1 chunk
-    (pigeonhole) → equi-join per chunk, union, verify Hamming.
-    """
-    grams = word_shingles(col, ngram)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
-
-    def _mask(bit: int) -> int:
-        # bit 63 is the sign bit of a 64-bit two's-complement long
-        return (1 << bit) if bit < 63 else -(1 << 63)
+def simhash_from_hashes(hashes: Column) -> Column:
+    """64-bit SimHash signature from a MATERIALIZED array<bigint> of token
+    hashes: per bit position, majority vote across tokens (+1 if set, −1
+    otherwise); signature bit = vote > 0. 64 conditional array-sums —
+    aggregate-only, no UDF."""
 
     def _vote(bit: int):
-        m = F.lit(_mask(bit))
+        m = F.lit(_simhash_mask(bit))
         return F.aggregate(
             hashes,
             F.lit(0).cast("long"),
@@ -171,9 +193,39 @@ def simhash64(col: Column | str, *, ngram: int = 2) -> Column:
     sig = F.lit(0).cast("long")
     for bit in range(64):
         sig = sig.bitwiseOR(
-            F.when(_vote(bit) > 0, F.lit(_mask(bit))).otherwise(F.lit(0).cast("long"))
+            F.when(_vote(bit) > 0, F.lit(_simhash_mask(bit))).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     return sig
+
+
+def with_simhash(
+    df: DataFrame, *, text_col: str = "text", out_col: str = "sig", ngram: int = 2
+) -> DataFrame:
+    """Add a 64-bit SimHash column of the normalized text from word-``ngram``
+    tokens (materialized words → grams → hashes pipeline; see
+    :func:`shingles_from_words` for why materialization matters).
+
+    Near-duplicate retrieval at scale: split the signature into 4×16-bit
+    chunks; Hamming(d)≤3 pairs must agree exactly on ≥1 chunk (pigeonhole)
+    → equi-join per chunk, union, verify Hamming. No cross join.
+    """
+    d = with_shingles(df, text_col=text_col, n=ngram, out_col="__sh")
+    d = d.withColumn("__hashes", F.transform(F.col("__sh"), lambda g: F.xxhash64(g)))
+    return d.withColumn(out_col, simhash_from_hashes(F.col("__hashes"))).drop(
+        "__sh", "__hashes"
+    )
+
+
+def simhash64(col: Column | str, *, ngram: int = 2) -> Column:
+    """Inline SimHash expression — ONLY for tiny inputs/tests; hot paths
+    must use :func:`with_simhash` (the inline words expression is re-run
+    per element inside the lambdas — see :func:`shingles_from_words`)."""
+    words = F.split(normalize_text(col), " ")
+    grams = shingles_from_words(words, ngram)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    return simhash_from_hashes(hashes)
 
 
 def simhash_near_pairs(
@@ -184,10 +236,10 @@ def simhash_near_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole chunk banding (see
-    :func:`simhash64`). Returns ``(id_a, id_b, hamming)``."""
-    sigs = df.select(
-        F.col(id_col).alias("id"), simhash64(text_col).alias("sig")
-    ).persist()
+    :func:`with_simhash`). Returns ``(id_a, id_b, hamming)``."""
+    sigs = with_simhash(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col=text_col
+    ).select("id", "sig").persist()
     chunks = None
     for c in range(4):
         piece = sigs.select(
@@ -227,7 +279,7 @@ def minhash_lsh_dupes(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 64,
+    num_hashes: int = 16,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
 ):
@@ -241,11 +293,12 @@ def minhash_lsh_dupes(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    shingled = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, 3).alias("sh")
-    ).where(F.size("sh") > 0)
+    shingled = with_shingles(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col=text_col, n=3
+    ).select("id", "sh").where(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(shingled)
+    # feats feeds fit + both sides of approxSimilarityJoin — persist once.
+    feats = tf.transform(shingled).persist()
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed
     )

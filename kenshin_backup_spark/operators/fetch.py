@@ -134,8 +134,12 @@ def fetch(
         raise KeyError(f"no materialized level for step={archive.step_seconds}s")
     table = levels[archive.step_seconds]
     table = metric_filter(table, key_cols[0], metric_glob)
+    # Keys come from the metric filter BEFORE the time filter: a known
+    # metric with no points in range fetches as all-gaps (reference
+    # semantics), not as zero rows.
+    keys = table.select(*key_cols).distinct()
     lo_aligned = lo - (lo % archive.step_seconds)
     hi_aligned = hi - (hi % archive.step_seconds)
-    table = table.where(F.col("bucket_ts").between(lo_aligned, hi_aligned))
+    in_range = table.where(F.col("bucket_ts").between(lo_aligned, hi_aligned))
     grid = time_grid(spark, lo, hi, archive.step_seconds)
-    return gap_fill(grid, table, key_cols=key_cols)
+    return gap_fill(grid, in_range, key_cols=key_cols, keys=keys)

@@ -1,0 +1,119 @@
+"""Rollup-ladder materialization (SURVEY.md §4.2 must-build #1).
+
+The reference eagerly propagates writes down its archive list so reads
+never re-aggregate raw data (§4.1 O4). Spark rendering: one physical
+rollup table per retention step, built fine→coarse so each level reads the
+previous level's partials (10–600× less input than raw), stored as
+date-partitioned parquet so the fetch path prunes partitions (O2).
+
+This module is the batch materializer; the streaming twin is
+``streaming/ingest.py`` (same partial schema, so a streaming level-0 plus
+batch cascade compose exactly).
+
+Scale notes (100 TB): each level is ONE hash-aggregate shuffle keyed on
+(metric, bucket); the cascade keeps every level's input proportional to
+the *previous level's cardinality*, not raw row count. Partition count per
+level should track its cardinality (coarser level → fewer partitions —
+we coalesce by the step ratio).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kenshin_backup_spark.operators.fetch import Archive, fetch
+from kenshin_backup_spark.operators.rollup import cascade, rollup_partials
+
+
+@dataclass(frozen=True)
+class Ladder:
+    """A materialized retention ladder: step_seconds → parquet path."""
+
+    root: str
+    archives: tuple[Archive, ...]
+    key_cols: tuple[str, ...] = ("metric",)
+
+    def level_path(self, step_seconds: int) -> str:
+        return f"{self.root}/step={step_seconds}"
+
+
+def build_ladder(
+    points: DataFrame,
+    ladder: Ladder,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> None:
+    """Materialize every archive level, fine→coarse, each cascaded from the
+    previous (never re-reading raw — reference O4 semantics)."""
+    steps = sorted(a.step_seconds for a in ladder.archives)
+    prev: DataFrame | None = None
+    prev_step: int | None = None
+    for step in steps:
+        if prev is None:
+            level = rollup_partials(
+                points,
+                key_cols=list(ladder.key_cols),
+                ts_col=ts_col,
+                value_col=value_col,
+                step_seconds=step,
+            )
+        else:
+            if step % prev_step != 0:
+                # cascade needs aligned buckets; fall back to raw for
+                # non-multiple ladders (legal in the reference too)
+                level = rollup_partials(
+                    points,
+                    key_cols=list(ladder.key_cols),
+                    ts_col=ts_col,
+                    value_col=value_col,
+                    step_seconds=step,
+                )
+            else:
+                level = cascade(
+                    prev, key_cols=list(ladder.key_cols), step_seconds=step
+                )
+        out = level.withColumn(
+            "date", F.to_date(F.timestamp_seconds(F.col("bucket_ts")))
+        )
+        (
+            out.write.mode("overwrite")
+            .partitionBy("date")
+            .parquet(ladder.level_path(step))
+        )
+        prev = level
+        prev_step = step
+
+
+def load_levels(spark: SparkSession, ladder: Ladder) -> dict[int, DataFrame]:
+    """Open every materialized level for the fetch API."""
+    return {
+        a.step_seconds: spark.read.parquet(ladder.level_path(a.step_seconds))
+        for a in ladder.archives
+    }
+
+
+def fetch_from_ladder(
+    spark: SparkSession,
+    ladder: Ladder,
+    *,
+    metric_glob: str,
+    from_ts: int,
+    until_ts: int,
+    now_ts: int,
+) -> DataFrame:
+    """End-to-end reference read path over the materialized ladder:
+    archive selection → partition-pruned scan → grid gap-fill."""
+    return fetch(
+        spark,
+        load_levels(spark, ladder),
+        list(ladder.archives),
+        metric_glob=metric_glob,
+        from_ts=from_ts,
+        until_ts=until_ts,
+        now_ts=now_ts,
+        key_cols=list(ladder.key_cols),
+    )

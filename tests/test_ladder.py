@@ -1,0 +1,70 @@
+"""End-to-end ladder tests: materialize levels, route fetches, verify
+cascade-vs-direct equality on the materialized tables (SURVEY §5.2.2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kenshin_backup_spark.operators.fetch import Archive
+from kenshin_backup_spark.operators.ladder import (
+    Ladder,
+    build_ladder,
+    fetch_from_ladder,
+    load_levels,
+)
+from kenshin_backup_spark.operators.rollup import finalize, rollup_partials
+
+UTC = dt.timezone.utc
+NOW = 100_000
+
+
+def _points(spark):
+    rows = []
+    for i in range(2000):
+        t = 40 * i + (i % 7)
+        rows.append(("srv.web.cpu" if i % 2 else "srv.db.cpu",
+                     dt.datetime.fromtimestamp(t, UTC), float((i * 31) % 97)))
+    return spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+
+
+def test_ladder_build_and_fetch(spark, tmp_path):
+    ladder = Ladder(
+        root=str(tmp_path / "ladder"),
+        archives=(Archive(60, 200), Archive(600, 200), Archive(3600, 48)),
+    )
+    pts = _points(spark)
+    build_ladder(pts, ladder)
+
+    levels = load_levels(spark, ladder)
+    assert set(levels) == {60, 600, 3600}
+
+    # recent range → finest archive; wide range → coarser
+    recent = fetch_from_ladder(
+        spark, ladder, metric_glob="srv.web.cpu",
+        from_ts=NOW - 3000, until_ts=NOW, now_ts=NOW,
+    )
+    assert recent.count() == 3000 // 60 + 1
+
+    wide = fetch_from_ladder(
+        spark, ladder, metric_glob="srv.*.cpu",
+        from_ts=NOW - 90_000, until_ts=NOW, now_ts=NOW,
+    )
+    # 600s archive covers 120000s > 90000; 90000/600+1 slots × 2 metrics
+    assert wide.count() == (90_000 // 600 + 1) * 2
+
+
+def test_materialized_cascade_equals_direct(spark, tmp_path):
+    ladder = Ladder(
+        root=str(tmp_path / "ladder2"),
+        archives=(Archive(60, 2000), Archive(3600, 100)),
+    )
+    pts = _points(spark)
+    build_ladder(pts, ladder)
+    lvl = load_levels(spark, ladder)[3600].drop("date")
+    direct = rollup_partials(pts, key_cols=["metric"], step_seconds=3600)
+    cols = ["metric", "bucket_ts", "cnt", "sum_q", "min_v", "max_v", "last_ts", "last_v"]
+    a = sorted(map(tuple, lvl.select(cols).collect()))
+    b = sorted(map(tuple, direct.select(cols).collect()))
+    assert a == b
