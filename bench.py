@@ -27,13 +27,17 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+    "tpch_q17_small_quantity",
     "join_semi_discounted_orders",
+    "asof_purchase_last_click",
     "window_topk_parts_per_brand",
     "agg_rollup_flag_status",
     "dedup_exact_fingerprint",
     "dedup_ngram_jaccard",
     "emb_cosine_topk",
     "text_quality_scores",
+    "multimodal_decode_features",
     "streaming_rollup_1h",
 ]
 
@@ -44,6 +48,16 @@ def main() -> None:
 
     spark = get_spark("kenshin-bench")
     qs = registry.queries()
+
+    # Warmup: pay JVM/codegen/scan-init once so timings measure the plans,
+    # not cluster startup (a real deployment amortizes this across jobs).
+    from kenshin_backup_spark.sources import TABLES, load_table
+
+    from pyspark.sql import functions as F
+
+    spark.range(1_000_000).agg(F.sum("id")).collect()
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

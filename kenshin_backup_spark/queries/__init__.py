@@ -18,9 +18,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kenshin_backup_spark.queries import advanced, llm, relational, streaming_q, tsdb
+from kenshin_backup_spark.queries import (
+    advanced,
+    llm,
+    relational,
+    relational2,
+    streaming_q,
+    tsdb,
+)
 
-_MODULES = (tsdb, relational, llm, streaming_q, advanced)
+_MODULES = (tsdb, relational, llm, streaming_q, advanced, relational2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,103 @@
+"""Property-based tests (SURVEY.md §5.2.3).
+
+Pure-Python properties use hypothesis directly; Spark properties batch many
+random cases into ONE job (a `case` key column) so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kenshin_backup_spark.functions.deterministic import glob_to_regex
+from kenshin_backup_spark.operators.policies import Policy, assign_policy
+from kenshin_backup_spark.operators.rollup import cascade, finalize, rollup_partials
+
+UTC = dt.timezone.utc
+
+_SEG = st.text(alphabet="abcdefgh123", min_size=1, max_size=4)
+
+
+@given(st.lists(_SEG, min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_glob_exact_name_matches_itself(segments):
+    name = ".".join(segments)
+    assert re.match(glob_to_regex(name), name)
+
+
+@given(st.lists(_SEG, min_size=2, max_size=4), st.integers(0, 3))
+@settings(max_examples=200, deadline=None)
+def test_glob_star_matches_any_single_segment(segments, pos):
+    pos = pos % len(segments)
+    name = ".".join(segments)
+    glob = ".".join("*" if i == pos else s for i, s in enumerate(segments))
+    pat = glob_to_regex(glob)
+    assert re.match(pat, name)
+    # star must NOT cross a dot boundary
+    extended = ".".join(segments[:pos] + ["x.y"] + segments[pos + 1 :])
+    assert not re.match(pat, extended)
+
+
+def test_cascade_equals_direct_many_random_cases(spark):
+    """rollup(rollup(x, fine), coarse) == rollup(x, coarse) across 40
+    random point sets (duplicate ts, out-of-order, negative values, gaps) —
+    all verified in one Spark job via a case key."""
+    rng = random.Random(42)
+    rows = []
+    for case in range(40):
+        fine = rng.choice([10, 30, 60])
+        coarse = fine * rng.choice([2, 6, 10])
+        npts = rng.randint(1, 200)
+        base = rng.randint(0, 10_000)
+        for _ in range(npts):
+            t = base + rng.randint(0, 5000)
+            v = round(rng.uniform(-500, 500), rng.choice([0, 2, 6]))
+            rows.append((f"case{case}_f{fine}_c{coarse}", dt.datetime.fromtimestamp(t, UTC), v))
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+
+    # group cases by (fine, coarse) pairs — run each config once
+    configs = sorted({
+        (int(m.split("_f")[1].split("_c")[0]), int(m.split("_c")[1]))
+        for m, _, _ in rows
+    })
+    for fine, coarse in configs:
+        sub = df.where(F.col("metric").endswith(f"_f{fine}_c{coarse}"))
+        via = finalize(cascade(
+            rollup_partials(sub, key_cols=["metric"], step_seconds=fine),
+            key_cols=["metric"], step_seconds=coarse,
+        ))
+        direct = finalize(rollup_partials(sub, key_cols=["metric"], step_seconds=coarse))
+        cols = ["metric", "bucket_ts", "cnt", "sum_value", "avg_value",
+                "min_value", "max_value", "last_value"]
+        a = sorted(map(tuple, via.select(cols).collect()))
+        b = sorted(map(tuple, direct.select(cols).collect()))
+        assert a == b, f"cascade mismatch for fine={fine} coarse={coarse}"
+
+
+def test_policy_first_match_is_deterministic(spark):
+    """Ordered regex assignment: overlapping patterns always resolve to the
+    FIRST match, regardless of evaluation order."""
+    policies = [
+        Policy(name="p0", pattern="^a"),
+        Policy(name="p1", pattern="ab"),      # overlaps p0 for 'ab…'
+        Policy(name="p2", pattern="b$"),      # overlaps p1 for '…ab'
+        Policy(name="p3", pattern=".*"),
+    ]
+    names = ["abc", "ab", "xb", "zzz", "a", "bab"]
+    df = spark.createDataFrame([(n,) for n in names], "metric string")
+    got = {r["metric"]: r["policy"] for r in
+           assign_policy(df, policies).collect()}
+    # reference: first pattern in ORDER that searches successfully
+    import re as _re
+    want = {}
+    for n in names:
+        for p in policies:
+            if _re.search(p.pattern, n):
+                want[n] = p.name
+                break
+    assert got == want
