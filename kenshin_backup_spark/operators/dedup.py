@@ -176,10 +176,18 @@ def _simhash_mask(bit: int) -> int:
     return (1 << bit) if bit < 63 else -(1 << 63)
 
 
-def simhash_from_hashes(hashes: Column) -> Column:
-    """64-bit SimHash signature from a MATERIALIZED array<bigint> of token
-    hashes: per bit position, majority vote across tokens (+1 if set, −1
-    otherwise); signature bit = vote > 0. 64 conditional array-sums —
+def md5_hash60(col: Column) -> Column:
+    """Portable 60-bit token hash: first 15 hex digits of md5, parsed as an
+    integer. Slower than xxhash64 but reproducible in ANY engine with md5
+    (DuckDB mirror: CAST('0x' || substring(md5(x),1,15) AS BIGINT)) — used
+    by the oracle-checked SimHash variant."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash_from_hashes(hashes: Column, *, bits: int = 64) -> Column:
+    """SimHash signature from a MATERIALIZED array<bigint> of token hashes:
+    per bit position, majority vote across tokens (+1 if set, −1 otherwise);
+    signature bit = vote > 0. ``bits`` conditional array-sums —
     aggregate-only, no UDF."""
 
     def _vote(bit: int):
@@ -191,7 +199,7 @@ def simhash_from_hashes(hashes: Column) -> Column:
         )
 
     sig = F.lit(0).cast("long")
-    for bit in range(64):
+    for bit in range(bits):
         sig = sig.bitwiseOR(
             F.when(_vote(bit) > 0, F.lit(_simhash_mask(bit))).otherwise(
                 F.lit(0).cast("long")
@@ -201,21 +209,35 @@ def simhash_from_hashes(hashes: Column) -> Column:
 
 
 def with_simhash(
-    df: DataFrame, *, text_col: str = "text", out_col: str = "sig", ngram: int = 2
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "sig",
+    ngram: int = 2,
+    hash_fn: str = "xxhash64",
+    bits: int = 64,
 ) -> DataFrame:
-    """Add a 64-bit SimHash column of the normalized text from word-``ngram``
+    """Add a SimHash column of the normalized text from word-``ngram``
     tokens (materialized words → grams → hashes pipeline; see
     :func:`shingles_from_words` for why materialization matters).
 
-    Near-duplicate retrieval at scale: split the signature into 4×16-bit
-    chunks; Hamming(d)≤3 pairs must agree exactly on ≥1 chunk (pigeonhole)
+    ``hash_fn='xxhash64'`` is the fast engine-native variant (64 bits);
+    ``hash_fn='md5'`` is the portable 60-bit variant whose signatures are
+    reproducible in any engine (oracle-checkable; see :func:`md5_hash60`).
+
+    Near-duplicate retrieval at scale: split the signature into 4 chunks;
+    Hamming(d)≤3 pairs must agree exactly on ≥1 chunk (pigeonhole)
     → equi-join per chunk, union, verify Hamming. No cross join.
     """
+    hashers = {
+        "xxhash64": lambda g: F.xxhash64(g),
+        "md5": md5_hash60,
+    }
     d = with_shingles(df, text_col=text_col, n=ngram, out_col="__sh")
-    d = d.withColumn("__hashes", F.transform(F.col("__sh"), lambda g: F.xxhash64(g)))
-    return d.withColumn(out_col, simhash_from_hashes(F.col("__hashes"))).drop(
-        "__sh", "__hashes"
-    )
+    d = d.withColumn("__hashes", F.transform(F.col("__sh"), hashers[hash_fn]))
+    return d.withColumn(
+        out_col, simhash_from_hashes(F.col("__hashes"), bits=bits)
+    ).drop("__sh", "__hashes")
 
 
 def simhash64(col: Column | str, *, ngram: int = 2) -> Column:
@@ -234,11 +256,20 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+    bits: int = 64,
+    ngram: int = 2,
 ) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole chunk banding (see
     :func:`with_simhash`). Returns ``(id_a, id_b, hamming)``."""
+    chunk_bits = bits // 4
+    chunk_mask = (1 << chunk_bits) - 1
     sigs = with_simhash(
-        df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col=text_col
+        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        text_col=text_col,
+        hash_fn=hash_fn,
+        bits=bits,
+        ngram=ngram,
     ).select("id", "sig").persist()
     chunks = None
     for c in range(4):
@@ -246,7 +277,9 @@ def simhash_near_pairs(
             "id",
             "sig",
             F.lit(c).alias("chunk"),
-            F.shiftrightunsigned("sig", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            F.shiftrightunsigned("sig", c * chunk_bits)
+            .bitwiseAND(F.lit(chunk_mask))
+            .alias("key"),
         )
         chunks = piece if chunks is None else chunks.unionByName(piece)
     a = chunks.alias("a")

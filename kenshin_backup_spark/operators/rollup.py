@@ -120,6 +120,42 @@ def cascade(
     )
 
 
+def merge_partials(partials: DataFrame, *, key_cols: list[str]) -> DataFrame:
+    """Re-merge partial rows that share (keys, bucket_ts) — the exactness
+    primitive behind salting, hot/disk union, and retry-safe re-aggregation.
+    Identical to :func:`cascade` with the bucket left unchanged."""
+    return cascade(partials, key_cols=key_cols, step_seconds=1)
+
+
+def rollup_partials_salted(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-resistant level-0 rollup: pre-aggregate on (keys, salt) so one
+    hot metric spreads over ``salt_buckets`` reducers, then merge the
+    salted partials exactly (all partial state is associative, so the
+    result is BIT-IDENTICAL to the unsalted rollup — property-tested).
+
+    100 TB note: use when one metric dominates the key distribution
+    (AQE skew handling covers joins; aggregation skew needs salting).
+    """
+    salt = (F.crc32(F.col(ts_col).cast("string")) % salt_buckets).alias("__salt")
+    salted = df.withColumn("__salt", salt)
+    parts = rollup_partials(
+        salted,
+        key_cols=[*key_cols, "__salt"],
+        ts_col=ts_col,
+        value_col=value_col,
+        step_seconds=step_seconds,
+    )
+    return merge_partials(parts.drop("__salt"), key_cols=key_cols)
+
+
 def finalize(
     partials: DataFrame,
     *,

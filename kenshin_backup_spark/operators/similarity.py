@@ -87,6 +87,121 @@ def cosine_topk(
     )
 
 
+def cosine_near_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup X2, embedding variant):
+    all (a < b) pairs with quantized-exact cosine ≥ threshold.
+
+    All-pairs is the exact baseline (O(N²) dots — fine to ~10⁴ rows); the
+    scale path replaces the cross join with LSH/IVF bucketing (same
+    verification expression on candidates only).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), quantize_vec(vec_col).alias("v")
+    ).withColumn("n2", qdot(F.col("v"), F.col("v")))
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    dot = qdot(F.col("a.v"), F.col("b.v"))
+    cos = (
+        dot / F.sqrt(F.col("a.n2").cast("double") * F.col("b.n2").cast("double"))
+    ).cast("double")
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors — the 100 TB
+    layout described in SCALE.md: k-means coarse centroids as a broadcast
+    dim; candidates pre-partitioned by nearest centroid; queries routed to
+    their ``nprobe`` nearest centroids; exact cosine only within probed
+    buckets. The cross product becomes an equi-join on centroid id.
+
+    Approximate (probed buckets may miss true neighbors) → rows-only check;
+    exact twin: :func:`cosine_topk`.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__arr"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="cid")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(
+        "neighbor_id", F.col("__arr").alias(vec_col), "cid"
+    )
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = queries.sparkSession.createDataFrame(
+        centroids, f"cid int, centroid array<double>"
+    )
+
+    # route each query to its nprobe nearest centroids (broadcast dim)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qc = q.crossJoin(F.broadcast(cent_df))
+    qdist = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc(qdist), F.asc("cid"))
+    routed = (
+        qc.withColumn("probe_rank", F.row_number().over(w))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+
+    # exact scoring ONLY within probed buckets (equi-join on cid)
+    paired = routed.join(assigned, "cid").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    qq = quantize_vec("qv")
+    cc = quantize_vec(vec_col)
+    scored = paired.select(
+        "query_id",
+        "neighbor_id",
+        (
+            qdot(qq, cc)
+            / F.sqrt(qdot(qq, qq).cast("double") * qdot(cc, cc).cast("double"))
+        ).cast("double").alias("cosine"),
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def knn_label_vote(
     topk: DataFrame, labels: DataFrame, *, id_col: str = "vec_id", label_col: str = "label"
 ) -> DataFrame:

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kenshin_backup_spark.queries import (
     advanced,
+    batch4,
     llm,
     relational,
     relational2,
@@ -27,7 +28,7 @@ from kenshin_backup_spark.queries import (
     tsdb,
 )
 
-_MODULES = (tsdb, relational, llm, streaming_q, advanced, relational2)
+_MODULES = (tsdb, relational, llm, streaming_q, advanced, relational2, batch4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,80 @@
+"""Exactness tests for the scale primitives: salted rollup == unsalted,
+hot/disk merge == rollup over the union, pandas as-of == window as-of."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from kenshin_backup_spark.operators.fetch import merge_hot
+from kenshin_backup_spark.operators.joins import asof_join, asof_join_pandas
+from kenshin_backup_spark.operators.rollup import (
+    finalize,
+    merge_partials,
+    rollup_partials,
+    rollup_partials_salted,
+)
+
+UTC = dt.timezone.utc
+
+_PARTIAL_COLS = ["metric", "bucket_ts", "cnt", "sum_q", "min_v", "max_v",
+                 "last_ts", "last_v"]
+
+
+def _points(spark, seed=7, n=800):
+    rng = random.Random(seed)
+    rows = [
+        ("hot.metric" if rng.random() < 0.8 else f"m{rng.randint(0, 5)}",
+         dt.datetime.fromtimestamp(rng.randint(0, 50_000), UTC),
+         round(rng.uniform(-100, 100), 2))
+        for _ in range(n)
+    ]
+    return spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+
+
+def test_salted_rollup_equals_unsalted(spark):
+    df = _points(spark)
+    plain = rollup_partials(df, key_cols=["metric"], step_seconds=600)
+    salted = rollup_partials_salted(
+        df, key_cols=["metric"], step_seconds=600, salt_buckets=8
+    )
+    a = sorted(map(tuple, plain.select(_PARTIAL_COLS).collect()))
+    b = sorted(map(tuple, salted.select(_PARTIAL_COLS).collect()))
+    assert a == b
+
+
+def test_merge_hot_equals_union_rollup(spark):
+    df = _points(spark, seed=11)
+    # split points like cache-vs-flushed: disjoint by event time parity
+    flushed = df.where(F.unix_timestamp("ts") % 2 == 0)
+    hot = df.where(F.unix_timestamp("ts") % 2 == 1)
+    disk_parts = rollup_partials(flushed, key_cols=["metric"], step_seconds=600)
+    hot_parts = rollup_partials(hot, key_cols=["metric"], step_seconds=600)
+    merged = merge_hot(disk_parts, hot_parts, key_cols=["metric"])
+    direct = rollup_partials(df, key_cols=["metric"], step_seconds=600)
+    a = sorted(map(tuple, merged.select(_PARTIAL_COLS).collect()))
+    b = sorted(map(tuple, direct.select(_PARTIAL_COLS).collect()))
+    assert a == b
+
+
+def test_asof_pandas_equals_window(spark):
+    rng = random.Random(3)
+    lrows = [(i, f"u{rng.randint(0, 4)}", dt.datetime.fromtimestamp(rng.randint(0, 9000), UTC))
+             for i in range(120)]
+    rrows = [(f"u{rng.randint(0, 5)}", dt.datetime.fromtimestamp(rng.randint(0, 9000), UTC),
+              float(rng.randint(0, 100)))
+             for _ in range(150)]
+    left = spark.createDataFrame(lrows, "id long, user string, ts timestamp")
+    # dedupe right per (user, second) so both variants face unique as-of keys
+    right = (
+        spark.createDataFrame(rrows, "user string, ts timestamp, v double")
+        .groupBy("user", "ts").agg(F.max("v").alias("v"))
+    )
+    w = asof_join(left, right, on=["user"], value_cols=["v"])
+    p = asof_join_pandas(left, right, on="user", value_col="v")
+    cols = ["id", "user", "v_asof", "ts_asof_ts"]
+    a = sorted(map(tuple, w.select(cols).collect()))
+    b = sorted(map(tuple, p.select(cols).collect()))
+    assert a == b
