@@ -259,7 +259,49 @@ FROM d GROUP BY l0, l1, l2
 """
 
 
+def upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 / MERGE-INTO emulation (no Delta in this container): the
+    current state per user = arg-max-by-time event, via the deterministic
+    struct-ordering idiom — the anti-join+union upsert collapsed to one
+    aggregation because the full history is present."""
+    ev = load_table(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts").cast("long")
+    latest = (
+        ev.select(
+            "user_id",
+            F.struct(
+                es.alias("es"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+                F.col("value").alias("v"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("s").alias("s"))
+    )
+    return latest.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("s.es").alias("last_es"),
+        F.col("s.eid").cast("long").alias("last_event_id"),
+        F.col("s.et").alias("last_event_type"),
+        F.col("s.v").alias("last_value"),
+    )
+
+
+_UPSERT_SQL = f"""
+SELECT user_id, es AS last_es, event_id AS last_event_id,
+       event_type AS last_event_type, value AS last_value
+FROM (
+  SELECT user_id, CAST({_ES} AS BIGINT) AS es, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST({_ES} AS BIGINT) DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "upsert_latest_state": upsert_latest_state,
     "dedup_simhash_md5": dedup_simhash_md5,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "emb_ann_ivf": emb_ann_ivf,
@@ -270,6 +312,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "upsert_latest_state": _UPSERT_SQL,
     "dedup_simhash_md5": _simhash_md5_sql(),
     "dedup_embedding_cosine": _EMB_NEARDUP_SQL,
     "json_roundtrip_events": _ROUNDTRIP_SQL,

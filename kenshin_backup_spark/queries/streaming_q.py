@@ -149,12 +149,39 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
+def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-metric EWMA.
+    Inherently sequential/recursive → no SQL oracle (rows-only check);
+    the recurrence itself is unit-tested against a reference impl."""
+    from kenshin_backup_spark.streaming.stateful import ewma_stream
+
+    stream = _events_stream(spark, sf_dir).withColumnRenamed("event_type", "metric")
+    out = run_stream_to_memory(
+        spark, ewma_stream(stream, alpha=0.3), output_mode="append"
+    )
+    return out
+
+
+def streaming_counter_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: monotonic-counter derivative with reset
+    detection (rows-only; unit-tested recurrence)."""
+    from kenshin_backup_spark.streaming.stateful import counter_reset_stream
+
+    stream = _events_stream(spark, sf_dir).withColumnRenamed("event_type", "metric")
+    out = run_stream_to_memory(spark, counter_reset_stream(stream), output_mode="append")
+    return out
+
+
 QUERIES = {
     "streaming_rollup_1h": streaming_rollup_1h,
     "streaming_session_windows": streaming_session_windows,
+    "streaming_ewma": streaming_ewma,
+    "streaming_counter_resets": streaming_counter_resets,
 }
 
 ORACLE = {
     "streaming_rollup_1h": _STREAM_ROLLUP_SQL,
     "streaming_session_windows": _SESSION_SQL,
+    # streaming_ewma / streaming_counter_resets: stateful recurrences,
+    # non-SQL-expressible → rows-only checks per the driver contract.
 }

@@ -1,0 +1,55 @@
+"""Full reference pipeline end to end (SURVEY §3.1–3.3 in one test):
+raw Graphite lines → parse (S1) → policy assignment (§3.3) → rollup ladder
+materialization (O4) → routed fetch with gap-fill (§3.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kenshin_backup_spark.operators.fetch import Archive
+from kenshin_backup_spark.operators.ladder import Ladder, build_ladder, fetch_from_ladder
+from kenshin_backup_spark.operators.policies import Policy, assign_policy
+from kenshin_backup_spark.operators.rollup import finalize
+from kenshin_backup_spark.streaming.ingest import parse_graphite_lines
+
+
+def test_lines_to_fetch_pipeline(spark, tmp_path):
+    # 1) raw plaintext protocol lines (with junk to drop)
+    lines = [f"servers.web{i % 2}.cpu {float(i % 10)} {1000 + i * 10}" for i in range(200)]
+    lines += [f"apps.api.latency {float(i)} {1000 + i * 10}" for i in range(100)]
+    lines += ["garbage", "also bad 1"]
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+
+    # 2) parse + policy assignment (ordered regex, first match wins)
+    points = parse_graphite_lines(raw)
+    policies = [
+        Policy(name="servers", pattern=r"^servers\.", steps=(10, 60), agg="average"),
+        Policy(name="apps", pattern=r"^apps\.", steps=(10, 60), agg="max"),
+    ]
+    assigned = assign_policy(points, policies)
+    by_policy = {r["policy"] for r in assigned.select("policy").distinct().collect()}
+    assert by_policy == {"servers", "apps"}
+
+    # 3) materialize the ladder
+    ladder = Ladder(
+        root=str(tmp_path / "ladder"),
+        archives=(Archive(10, 400), Archive(60, 400)),
+    )
+    build_ladder(points, ladder)
+
+    # 4) fetch: recent range routes to the 10s archive, metric glob works,
+    #    gaps are NULL
+    now = 1000 + 200 * 10
+    out = fetch_from_ladder(
+        spark, ladder, metric_glob="servers.*.cpu",
+        from_ts=now - 500, until_ts=now, now_ts=now,
+    )
+    vals = finalize(out, agg="average")
+    rows = vals.collect()
+    metrics = {r["metric"] for r in rows}
+    assert metrics == {"servers.web0.cpu", "servers.web1.cpu"}
+    # each metric emits every 20s → at 10s slots half the rows are gaps
+    gaps = [r for r in rows if r["value"] is None]
+    hits = [r for r in rows if r["value"] is not None]
+    assert gaps and hits
+    assert len(rows) == 2 * (500 // 10 + 1)
