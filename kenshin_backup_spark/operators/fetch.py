@@ -159,5 +159,17 @@ def fetch(
     lo_aligned = lo - (lo % archive.step_seconds)
     hi_aligned = hi - (hi % archive.step_seconds)
     in_range = table.where(F.col("bucket_ts").between(lo_aligned, hi_aligned))
+    if "date" in table.columns:
+        # Materialized levels are parquet-partitioned by date(bucket_ts)
+        # (ladder.build_ladder): an explicit date predicate turns the time
+        # range into PARTITION pruning — the reference's O(1) ring seek.
+        # bucket_ts min/max skipping alone still scans every partition's
+        # footers at 100 TB.
+        in_range = in_range.where(
+            F.col("date").between(
+                F.to_date(F.timestamp_seconds(F.lit(lo_aligned))),
+                F.to_date(F.timestamp_seconds(F.lit(hi_aligned))),
+            )
+        )
     grid = time_grid(spark, lo, hi, archive.step_seconds)
     return gap_fill(grid, in_range, key_cols=key_cols, keys=keys)

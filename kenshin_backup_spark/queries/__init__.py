@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from kenshin_backup_spark.queries import (
     advanced,
     batch4,
+    batch5,
     llm,
     relational,
     relational2,
@@ -28,7 +29,16 @@ from kenshin_backup_spark.queries import (
     tsdb,
 )
 
-_MODULES = (tsdb, relational, llm, streaming_q, advanced, relational2, batch4)
+_MODULES = (
+    tsdb,
+    relational,
+    llm,
+    streaming_q,
+    advanced,
+    relational2,
+    batch4,
+    batch5,
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

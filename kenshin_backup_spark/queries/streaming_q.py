@@ -25,6 +25,10 @@ _ES = EPOCH_S_SQL.format(x="ts")
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kenshin_backup_spark.session import tune
+
+    tune(spark)  # nanosAsLong BEFORE the schema probe — the driver's
+    # session has no engine confs, and a streaming query may run first.
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source requires a *directory*; the testdata is
     # read-only single files, so stage a symlink dir under /tmp.

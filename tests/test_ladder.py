@@ -55,6 +55,26 @@ def test_ladder_build_and_fetch(spark, tmp_path):
     assert wide.count() == (90_000 // 600 + 1) * 2
 
 
+def test_fetch_prunes_date_partitions(spark, tmp_path):
+    """The routed fetch must carry a date predicate so the partitioned
+    level scan prunes partitions (100 TB gate — SCALE.md)."""
+    from kenshin_backup_spark.plans import explain_str
+
+    ladder = Ladder(
+        root=str(tmp_path / "ladder3"),
+        archives=(Archive(60, 5000),),
+    )
+    build_ladder(_points(spark), ladder)
+    out = fetch_from_ladder(
+        spark, ladder, metric_glob="srv.web.cpu",
+        from_ts=NOW - 3000, until_ts=NOW, now_ts=NOW,
+    )
+    text = explain_str(out)
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert pf and "date" in pf.group(1), f"no date partition filter in scan: {pf}"
+
+
 def test_materialized_cascade_equals_direct(spark, tmp_path):
     ladder = Ladder(
         root=str(tmp_path / "ladder2"),

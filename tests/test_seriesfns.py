@@ -1,0 +1,70 @@
+"""Unit tests for the graphite-web series-function catalog."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kenshin_backup_spark.operators import seriesfns as S
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "metric string, bucket_ts long, value double")
+
+
+def test_scale_offset_absolute_alias(spark):
+    df = _series(spark, [("m", 0, -2.0), ("m", 60, 3.0)])
+    out = S.alias_series(S.absolute(S.offset(S.scale(df, 2.0), 1.0)), "x")
+    got = sorted((r["metric"], r["bucket_ts"], r["value"]) for r in out.collect())
+    assert got == [("x", 0, 3.0), ("x", 60, 7.0)]
+
+
+def test_time_shift(spark):
+    df = _series(spark, [("m", 3600, 1.0)])
+    assert S.time_shift(df, -3600).first()["bucket_ts"] == 0
+
+
+def test_derivative_and_per_second(spark):
+    df = _series(spark, [("m", 0, 10.0), ("m", 60, 25.0), ("m", 120, 5.0)])
+    d = {r["bucket_ts"]: r["value"] for r in S.derivative(df).collect()}
+    assert d == {0: None, 60: 15.0, 120: -20.0}
+    ps = {r["bucket_ts"]: r["value"] for r in S.per_second(df).collect()}
+    assert ps == {0: None, 60: 0.25, 120: None}  # negative diff → gap
+
+
+def test_integral_and_moving_average(spark):
+    df = _series(spark, [("m", 0, 1.0), ("m", 60, 2.0), ("m", 120, 3.0)])
+    i = {r["bucket_ts"]: r["value"] for r in S.integral(df).collect()}
+    assert i == {0: 1.0, 60: 3.0, 120: 6.0}
+    ma = {r["bucket_ts"]: r["value"] for r in S.moving_average(df, 2).collect()}
+    assert ma == {0: 1.0, 60: 1.5, 120: 2.5}
+
+
+def test_keep_last_value(spark):
+    df = _series(spark, [("m", 0, 5.0), ("m", 60, None), ("m", 120, None), ("m", 180, 7.0)])
+    filled = {r["bucket_ts"]: r["value"] for r in S.keep_last_value(df).collect()}
+    assert filled == {0: 5.0, 60: 5.0, 120: 5.0, 180: 7.0}
+    limited = {r["bucket_ts"]: r["value"] for r in S.keep_last_value(df, limit=1).collect()}
+    assert limited == {0: 5.0, 60: 5.0, 120: None, 180: 7.0}
+
+
+def test_summarize(spark):
+    df = _series(spark, [("m", 0, 1.0), ("m", 60, 2.0), ("m", 3600, 4.0)])
+    s = {r["bucket_ts"]: r["value"] for r in S.summarize(df, 3600, "sum").collect()}
+    assert s == {0: 3.0, 3600: 4.0}
+    mx = {r["bucket_ts"]: r["value"] for r in S.summarize(df, 3600, "max").collect()}
+    assert mx == {0: 2.0, 3600: 4.0}
+    last = {r["bucket_ts"]: r["value"] for r in S.summarize(df, 3600, "last").collect()}
+    assert last == {0: 2.0, 3600: 4.0}
+
+
+def test_highest_current_and_sort_by_maxima(spark):
+    df = _series(
+        spark,
+        [("a", 0, 1.0), ("a", 60, 9.0),
+         ("b", 0, 50.0), ("b", 60, 2.0),
+         ("c", 0, 1.0), ("c", 60, 5.0)],
+    )
+    top = S.highest_current(df, 2)
+    assert {r["metric"] for r in top.collect()} == {"a", "c"}  # current: a=9, c=5, b=2
+    ranks = {r["metric"]: r["rank"] for r in S.sort_by_maxima(df).collect()}
+    assert ranks == {"b": 1, "a": 2, "c": 3}
