@@ -22,6 +22,7 @@ from kenshin_backup_spark.queries import (
     advanced,
     batch4,
     batch5,
+    batch6,
     llm,
     relational,
     relational2,
@@ -38,6 +39,7 @@ _MODULES = (
     relational2,
     batch4,
     batch5,
+    batch6,
 )
 
 

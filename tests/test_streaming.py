@@ -33,6 +33,57 @@ def test_parse_graphite_lines(spark):
     assert byname["a.b"]["es"] == 1723500060
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Reference T4 parity: a point older than the watermark horizon is
+    DROPPED; in-horizon out-of-order points revise their bucket. Two
+    micro-batches forced via maxFilesPerTrigger=1."""
+    utc = dt.timezone.utc
+    src = tmp_path / "late"
+    src.mkdir()
+    schema = "metric string, ts timestamp, value double"
+    # Watermark advancement lags one batch: batch N's input is filtered by
+    # the watermark computed from batches < N. So the too-late point goes
+    # in batch 3, two batches after the data that advanced the watermark.
+    batches = [
+        [("m", dt.datetime.fromtimestamp(10_000, utc), 1.0)],
+        [("m", dt.datetime.fromtimestamp(10_060, utc), 2.0)],
+        [
+            ("m", dt.datetime.fromtimestamp(2_000, utc), 999.0),   # → dropped
+            ("m", dt.datetime.fromtimestamp(9_400, utc), 100.0),   # in horizon
+        ],
+    ]
+    import glob
+    import os
+    import shutil
+
+    for i, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, schema)
+        staging = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.parquet(staging)
+        part = glob.glob(staging + "/part-*.parquet")[0]
+        dest = str(src / f"f{i}.parquet")
+        shutil.copy(part, dest)
+        # mtime drives FileStreamSource batch order
+        os.utime(dest, (1000 + i * 100, 1000 + i * 100))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    rolled = streaming_rollup(
+        stream, key_col="metric", step_seconds=600, watermark="10 minutes"
+    )
+    got = run_stream_to_memory(spark, rolled, output_mode="update")
+    final = {}
+    for r in got.collect():  # update mode re-emits revisions; keep the last
+        final[r["bucket_ts"]] = (r["cnt"], r["sum_q"])
+    assert 1800 not in final                  # older-than-horizon point dropped
+    assert final[9000] == (1, 100_000_000)    # in-horizon late point accepted
+    assert final[9600] == (2, 3_000_000)      # 10000 + 10060 both in [9600,10200)
+
+
 def test_stream_rollup_equals_batch(spark, tmp_path):
     """The streaming rollup over a bounded file source must equal the batch
     rollup_partials over the same rows (reference batch/stream parity)."""
