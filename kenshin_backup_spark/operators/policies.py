@@ -54,8 +54,6 @@ def assign_policy(
     ``when`` chain, which Catalyst evaluates top-down exactly like the
     reference's ordered regex scan.
     """
-    expr: Column = F.lit(None).cast("string")
-    chain = F
     acc = None
     for p in policies:
         cond = F.col(metric_col).rlike(p.pattern)

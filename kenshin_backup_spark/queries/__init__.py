@@ -23,6 +23,7 @@ from kenshin_backup_spark.queries import (
     batch4,
     batch5,
     batch6,
+    batch7,
     llm,
     relational,
     relational2,
@@ -40,6 +41,7 @@ _MODULES = (
     batch4,
     batch5,
     batch6,
+    batch7,
 )
 
 

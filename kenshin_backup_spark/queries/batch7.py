@@ -1,0 +1,174 @@
+"""Batch-7 queries: period-over-period comparison (timeShift join),
+multi-EXISTS (Q21 shape), cohort + uncorrelated scalar subquery (Q22
+shape), boolean/bitwise aggregate family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kenshin_backup_spark.functions.deterministic import EPOCH_S_SQL, QSUM_SQL, qsum
+from kenshin_backup_spark.sources import load_table
+
+_ES = EPOCH_S_SQL.format(x="ts")
+
+
+def tsdb_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite timeShift comparison: today's hourly sum per metric joined
+    against the same metric 24h earlier; delta of quantized sums is exact."""
+    from kenshin_backup_spark.operators import seriesfns as S
+    from kenshin_backup_spark.operators.rollup import finalize, rollup_partials
+
+    ev = load_table(spark, sf_dir, "events").withColumnRenamed("event_type", "metric")
+    hourly = finalize(
+        rollup_partials(ev, key_cols=["metric"], step_seconds=3600), agg="sum"
+    ).select("metric", "bucket_ts", "value")
+    shifted = S.time_shift(hourly, 24 * 3600).select(
+        "metric", "bucket_ts", F.col("value").alias("prev_value")
+    )
+    j = hourly.join(shifted, ["metric", "bucket_ts"], "inner")
+    return j.select(
+        "metric",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        F.col("value").cast("double").alias("value"),
+        F.col("prev_value").cast("double").alias("prev_value"),
+        (F.col("value") - F.col("prev_value")).cast("double").alias("day_delta"),
+    )
+
+
+_POP_SQL = f"""
+WITH hourly AS (
+  SELECT event_type AS metric,
+         CAST(({_ES} // 3600) * 3600 AS BIGINT) AS bucket_ts,
+         {QSUM_SQL.format(x="value")} AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT a.metric, a.bucket_ts,
+       a.value, b.value AS prev_value,
+       CAST(a.value - b.value AS DOUBLE) AS day_delta
+FROM hourly a
+JOIN hourly b ON a.metric = b.metric AND a.bucket_ts = b.bucket_ts + 86400
+"""
+
+
+def tpch_q21_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers with a late line on a multi-supplier order where
+    no OTHER supplier was late — EXISTS + NOT EXISTS on the same fact."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_q21")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__ord_q21")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("__sup_q21")
+    # Spark-side late predicate (EPOCH_S_SQL is the DuckDB dialect macro)
+    late1 = "unix_timestamp(l1.l_shipdate) > unix_timestamp(o_orderdate) + 60 * 86400"
+    late3 = "unix_timestamp(l3.l_shipdate) > unix_timestamp(o_orderdate) + 60 * 86400"
+    return spark.sql(
+        f"""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM __sup_q21, __li_q21 l1, __ord_q21
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND {late1}
+          AND EXISTS (SELECT 1 FROM __li_q21 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey != l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM __li_q21 l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey != l1.l_suppkey
+                AND {late3})
+        GROUP BY s_name
+        """
+    )
+
+
+_Q21_SQL = f"""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND {EPOCH_S_SQL.format(x="l1.l_shipdate")} > {EPOCH_S_SQL.format(x="o_orderdate")} + 60 * 86400
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey != l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey != l1.l_suppkey
+        AND {EPOCH_S_SQL.format(x="l3.l_shipdate")}
+            > {EPOCH_S_SQL.format(x="o_orderdate")} + 60 * 86400)
+GROUP BY s_name
+"""
+
+
+def tpch_q22_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: name-digit cohorts of customers with above-average
+    balance and no orders — uncorrelated scalar subquery + anti join."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__cust_q22")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__ord_q22")
+    return spark.sql(
+        f"""
+        SELECT substring(c_name, -1, 1) AS cohort,
+               COUNT(*) AS numcust,
+               {QSUM_SQL.format(x='c_acctbal')} AS totacctbal
+        FROM __cust_q22
+        WHERE c_acctbal > (SELECT {QSUM_SQL.format(x='c_acctbal')} / COUNT(*)
+                           FROM __cust_q22 WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM __ord_q22 WHERE o_custkey = c_custkey)
+        GROUP BY cohort
+        """
+    )
+
+
+_Q22_SQL = f"""
+SELECT substring(c_name, -1, 1) AS cohort,
+       COUNT(*) AS numcust,
+       {QSUM_SQL.format(x="c_acctbal")} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT {QSUM_SQL.format(x="c_acctbal")} / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY cohort
+"""
+
+
+def agg_boolean_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean + bitwise aggregate family: bool_and/bool_or, count_if,
+    bit_and/bit_or/bit_xor."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 0).cast("string").alias("all_positive"),
+        F.bool_or(F.col("value") > 400).cast("string").alias("any_over_400"),
+        F.count_if(F.col("user_id") % 2 == 0).cast("long").alias("n_even_users"),
+        F.bit_and(F.col("user_id")).cast("long").alias("uid_and"),
+        F.bit_or(F.col("user_id")).cast("long").alias("uid_or"),
+        F.bit_xor(F.col("user_id")).cast("long").alias("uid_xor"),
+    )
+
+
+_BOOLBIT_SQL = """
+SELECT event_type,
+       CAST(bool_and(value > 0) AS VARCHAR) AS all_positive,
+       CAST(bool_or(value > 400) AS VARCHAR) AS any_over_400,
+       COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_even_users,
+       CAST(bit_and(user_id) AS BIGINT) AS uid_and,
+       CAST(bit_or(user_id) AS BIGINT) AS uid_or,
+       CAST(bit_xor(user_id) AS BIGINT) AS uid_xor
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "tsdb_period_over_period": tsdb_period_over_period,
+    "tpch_q21_multi_exists": tpch_q21_multi_exists,
+    "tpch_q22_cohort": tpch_q22_cohort,
+    "agg_boolean_bitwise": agg_boolean_bitwise,
+}
+
+ORACLE = {
+    "tsdb_period_over_period": _POP_SQL,
+    "tpch_q21_multi_exists": _Q21_SQL,
+    "tpch_q22_cohort": _Q22_SQL,
+    "agg_boolean_bitwise": _BOOLBIT_SQL,
+}
