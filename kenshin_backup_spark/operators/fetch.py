@@ -21,11 +21,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kenshin_backup_spark.functions.deterministic import glob_to_regex
-from kenshin_backup_spark.operators.rollup import align_epoch
 
 
 @dataclass(frozen=True)

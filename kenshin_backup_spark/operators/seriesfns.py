@@ -19,7 +19,7 @@ every subsequent window reuses the partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from kenshin_backup_spark.functions.deterministic import QUANT

@@ -142,7 +142,7 @@ def ivf_topk(
     exact twin: :func:`cosine_topk`.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feat = candidates.select(
         F.col(id_col).alias("neighbor_id"),

@@ -10,10 +10,8 @@ from pyspark.sql import functions as F
 
 from kenshin_backup_spark.functions.deterministic import (
     EPOCH_S_SQL,
-    QAVG_SQL,
     QSUM_SQL,
     glob_to_regex,
-    qavg,
     qsum,
 )
 from kenshin_backup_spark.operators.joins import asof_join

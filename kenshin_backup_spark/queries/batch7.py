@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kenshin_backup_spark.functions.deterministic import EPOCH_S_SQL, QSUM_SQL, qsum
+from kenshin_backup_spark.functions.deterministic import EPOCH_S_SQL, QSUM_SQL
 from kenshin_backup_spark.sources import load_table
 
 _ES = EPOCH_S_SQL.format(x="ts")

@@ -11,9 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
-from kenshin_backup_spark.functions.deterministic import QAVG_SQL, QSUM_SQL
 from kenshin_backup_spark.operators import textops
 from kenshin_backup_spark.operators.dedup import (
     exact_dedup,

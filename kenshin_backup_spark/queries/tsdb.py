@@ -16,7 +16,6 @@ from kenshin_backup_spark.functions.deterministic import (
     EPOCH_S_SQL,
     QAVG_SQL,
     QSUM_SQL,
-    last_by_ts,
 )
 from kenshin_backup_spark.operators.fetch import gap_fill
 from kenshin_backup_spark.operators.rollup import (
