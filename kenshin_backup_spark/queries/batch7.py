@@ -159,7 +159,29 @@ FROM events GROUP BY event_type
 """
 
 
+def agg_string_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (listagg family): nations per region as a
+    deterministic comma-joined SORTED list, plus collect_set cardinality."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        F.size(F.collect_set("n_name")).cast("long").alias("n_nations"),
+    )
+
+
+_STRAGG_SQL = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(COUNT(DISTINCT n_name) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 QUERIES = {
+    "agg_string_concat_sorted": agg_string_concat_sorted,
     "tsdb_period_over_period": tsdb_period_over_period,
     "tpch_q21_multi_exists": tpch_q21_multi_exists,
     "tpch_q22_cohort": tpch_q22_cohort,
@@ -167,6 +189,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_string_concat_sorted": _STRAGG_SQL,
     "tsdb_period_over_period": _POP_SQL,
     "tpch_q21_multi_exists": _Q21_SQL,
     "tpch_q22_cohort": _Q22_SQL,

@@ -32,3 +32,14 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_queries_rerun_in_same_session(spark):
+    """The driver may invoke a query more than once per session (smoke +
+    correctness): temp views, persisted inputs, and streaming memory sinks
+    must not collide or change results."""
+    for name in ("tsdb_rollup_1h", "tpch_q17_small_quantity",
+                 "dedup_ngram_jaccard", "streaming_rollup_1h"):
+        a = QUERIES[name](spark, SF_SMOKE).count()
+        b = QUERIES[name](spark, SF_SMOKE).count()
+        assert a == b, name
