@@ -107,15 +107,21 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """X2 (exact variant): document pairs with shingle-set Jaccard ≥ t.
 
     Plan shape: explode shingles → self equi-join **on the shingle** (plus
     an optional blocking key) → per-pair common-count → Jaccard from the
     per-doc set sizes. The only joins are equi-joins; at 100 TB the shingle
-    join is the standard posting-list self-join and benefits from salting
-    hot shingles (stop-phrase shingles should be pre-filtered; we keep them
-    here because the corpus is synthetic).
+    join is the standard posting-list self-join.
+
+    ``max_df`` is the scale lever: shingle-join volume is Σ df², dominated
+    by stop-phrase shingles. With ``max_df`` set, the Jaccard is DEFINED
+    over the capped shingle universe (df ≤ max_df) — set sizes and
+    intersections both exclude high-df shingles, so the semantics stay
+    self-consistent (and oracle-mirrorable), while the join drops its
+    quadratic head.
 
     Returns ``(id_a, id_b, common, size_a, size_b, jaccard)`` with
     ``id_a < id_b``.
@@ -134,10 +140,20 @@ def ngram_jaccard_pairs(
     # pipeline per consumer (measured 13× slower). At 100 TB this persist
     # becomes a materialized shingle/posting table on storage.
     shingled = shingled.persist()
-    sizes = shingled.select("id", F.size("sh").alias("sz"))
     posting = shingled.select(
         "id", *(["blk"] if block_col else []), F.explode("sh").alias("g")
     ).persist()
+    if max_df is not None:
+        keep = (
+            posting.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("g")
+        )
+        posting = posting.join(F.broadcast(keep), "g").persist()
+        sizes = posting.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        sizes = shingled.select("id", F.size("sh").alias("sz"))
     a = posting.alias("a")
     b = posting.alias("b")
     join_cond = (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))

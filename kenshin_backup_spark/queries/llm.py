@@ -91,6 +91,53 @@ WHERE CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common) >= 0.2
 """
 
 
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale variant of the shingle-Jaccard join: document-frequency cap
+    (df ≤ 10) removes stop-phrase shingles BEFORE the self-join — the
+    Σ df² join volume drops its quadratic head. Jaccard is defined over
+    the capped shingle universe, mirrored exactly in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=10)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("common").cast("long").alias("common"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
+
+
+_JACCARD_CAPPED_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, str_split({_NORM.format(x="text")}, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 2, 0)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM norm
+),
+posting0 AS (SELECT doc_id, UNNEST(sh) AS g FROM grams),
+keep AS (SELECT g FROM posting0 GROUP BY g HAVING COUNT(*) <= 10),
+posting AS (SELECT doc_id, g FROM posting0 JOIN keep USING (g)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM posting GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.common,
+       sa.sz AS size_a, sb.sz AS size_b,
+       CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common) >= 0.2
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate MinHash-LSH near-dup join (rows-only check; exact twin:
     dedup_ngram_jaccard)."""
@@ -363,6 +410,7 @@ FROM documents
 QUERIES = {
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "emb_cosine_topk": emb_cosine_topk,
@@ -377,6 +425,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact_fingerprint": _EXACT_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
     "emb_cosine_topk": _COSINE_TOPK_SQL,
     "emb_knn_label_vote": _KNN_SQL,
     "text_stats_by_lang": _STATS_SQL,
