@@ -80,12 +80,76 @@ def build_ladder(
             "date", F.to_date(F.timestamp_seconds(F.col("bucket_ts")))
         )
         (
-            out.write.mode("overwrite")
+            # sort by metric within each date partition: parquet min/max
+            # row-group statistics then prune metric-filtered fetches
+            # (SURVEY §4.2 "bucket or Z-order by metric")
+            out.sortWithinPartitions("metric" if "metric" in out.columns else ladder.key_cols[0])
+            .write.mode("overwrite")
             .partitionBy("date")
             .parquet(ladder.level_path(step))
         )
         prev = level
         prev_step = step
+
+
+def expire_retention(ladder: Ladder, *, now_ts: int) -> dict[int, list[str]]:
+    """Reference retention semantics: the ring buffer implicitly forgets
+    points older than ``step × points`` — here, DROP the date partitions
+    that lie wholly before each level's retention horizon (SURVEY §1.2
+    "retention = dropping old partitions"). Returns the dropped partition
+    names per step for observability.
+
+    Scale note: this is a pure metadata/file operation (no data rewrite,
+    no compaction), exactly why the date-partitioned layout was chosen.
+    """
+    import datetime as dt
+    import os
+    import shutil
+
+    dropped: dict[int, list[str]] = {}
+    for a in ladder.archives:
+        cutoff_ts = now_ts - a.retention_seconds
+        cutoff_date = dt.datetime.fromtimestamp(cutoff_ts, dt.timezone.utc).date()
+        path = ladder.level_path(a.step_seconds)
+        gone: list[str] = []
+        if os.path.isdir(path):
+            for entry in sorted(os.listdir(path)):
+                if not entry.startswith("date="):
+                    continue
+                part_date = dt.date.fromisoformat(entry.split("=", 1)[1])
+                # a partition holds one UTC day; drop only if the WHOLE day
+                # is older than the horizon
+                if part_date < cutoff_date:
+                    shutil.rmtree(os.path.join(path, entry))
+                    gone.append(entry)
+        dropped[a.step_seconds] = gone
+    return dropped
+
+
+def ladder_info(spark: SparkSession, ladder: Ladder) -> DataFrame:
+    """Reference ``kenshin-info`` / header read (SURVEY §2.1 S6): one row
+    per archive level with its configuration and materialized extent."""
+    rows = []
+    for a in sorted(ladder.archives, key=lambda x: x.step_seconds):
+        try:
+            lvl = spark.read.parquet(ladder.level_path(a.step_seconds))
+            stats = lvl.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.countDistinct(*[F.col(c) for c in ladder.key_cols]).alias("metrics"),
+                F.min("bucket_ts").alias("min_ts"),
+                F.max("bucket_ts").alias("max_ts"),
+            ).first()
+            rows.append(
+                (a.step_seconds, a.points, a.retention_seconds,
+                 stats["rows"], stats["metrics"], stats["min_ts"], stats["max_ts"])
+            )
+        except Exception:
+            rows.append((a.step_seconds, a.points, a.retention_seconds, 0, 0, None, None))
+    return spark.createDataFrame(
+        rows,
+        "step_seconds long, points long, retention_seconds long, "
+        "rows long, metrics long, min_ts long, max_ts long",
+    )
 
 
 def load_levels(spark: SparkSession, ladder: Ladder) -> dict[int, DataFrame]:

@@ -11,7 +11,9 @@ from kenshin_backup_spark.operators.fetch import Archive
 from kenshin_backup_spark.operators.ladder import (
     Ladder,
     build_ladder,
+    expire_retention,
     fetch_from_ladder,
+    ladder_info,
     load_levels,
 )
 from kenshin_backup_spark.operators.rollup import finalize, rollup_partials
@@ -53,6 +55,38 @@ def test_ladder_build_and_fetch(spark, tmp_path):
     )
     # 600s archive covers 120000s > 90000; 90000/600+1 slots × 2 metrics
     assert wide.count() == (90_000 // 600 + 1) * 2
+
+
+def test_retention_expiry_and_info(spark, tmp_path):
+    """Reference ring-buffer expiry: partitions wholly older than a level's
+    retention horizon are dropped (file-level, no rewrite); ladder_info
+    reflects the shrunken extent (the kenshin-info read)."""
+    ladder = Ladder(
+        root=str(tmp_path / "ladder_exp"),
+        # 60s × 60 points = 1h retention; 3600s × 48 = 2d retention
+        archives=(Archive(60, 60), Archive(3600, 48)),
+    )
+    # points spanning 4 days
+    rows = [
+        ("m", dt.datetime.fromtimestamp(86_400 * d + h * 3600, UTC), 1.0)
+        for d in range(4)
+        for h in range(24)
+    ]
+    pts = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    build_ladder(pts, ladder)
+
+    now = 4 * 86_400
+    dropped = expire_retention(ladder, now_ts=now)
+    # fine level keeps only the last day's partition (1h horizon rounds up
+    # to whole days); coarse level keeps the last 2 days' partitions + day boundary
+    assert len(dropped[60]) == 3
+    assert len(dropped[3600]) == 2
+
+    info = {r["step_seconds"]: r for r in ladder_info(spark, ladder).collect()}
+    assert info[60]["min_ts"] >= 3 * 86_400
+    assert info[3600]["min_ts"] >= 2 * 86_400
+    assert info[60]["metrics"] == 1
+    assert info[3600]["retention_seconds"] == 48 * 3600
 
 
 def test_fetch_prunes_date_partitions(spark, tmp_path):

@@ -51,6 +51,45 @@ def test_counter_reset_stream(spark, tmp_path):
     assert got == [(0, None, 0), (10, 4.0, 0), (20, 2.0, 1), (30, 2.0, 1)]
 
 
+def test_rate_source_synthetic_load(spark):
+    """S1 synthetic-load path: rate source → formatted graphite lines →
+    parse → rollup, driven live for a couple of micro-batches."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+    )
+    lines = rate.selectExpr(
+        "concat('srv.host', CAST(value % 4 AS STRING), '.cpu ', "
+        "CAST(CAST(value AS DOUBLE) / 7 AS STRING), ' ', "
+        "CAST(unix_timestamp(timestamp) AS STRING)) AS value"
+    )
+    parsed = parse_graphite_lines(lines)
+    rolled = streaming_rollup(parsed, key_col="metric", step_seconds=1, watermark="10 seconds")
+    import uuid
+
+    name = f"rate_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time as _t
+
+    deadline = _t.time() + 20
+    while _t.time() < deadline:
+        if spark.sql(f"SELECT count(*) AS n FROM {name}").first()["n"] > 0:
+            break
+        _t.sleep(0.5)
+    q.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert rows, "rate-source pipeline produced no rollup rows in 20s"
+    metrics = {r["metric"] for r in rows}
+    assert metrics <= {f"srv.host{i}.cpu" for i in range(4)}
+
+
 def test_graphite_text_file_ingest_end_to_end(spark, tmp_path):
     """S1 end to end over a real streaming source: text lines → parse →
     watermarked rollup → memory sink."""
