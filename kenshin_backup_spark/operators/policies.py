@@ -78,19 +78,21 @@ def policies_dim(spark, policies: list[Policy]) -> DataFrame:
 def assign_policy_via_join(
     df: DataFrame, dim: DataFrame, *, metric_col: str = "metric", out_col: str = "policy"
 ) -> DataFrame:
-    """Join-based first-match assignment: broadcast NLJ on ``rlike`` then
-    keep the minimum-priority match per row (ties impossible: priority is
-    unique). Falls back to 'default' when nothing matches."""
-    matched = df.join(
+    """Join-based first-match assignment: broadcast NLJ on ``regexp_like``
+    then keep the minimum-priority match per row (ties impossible: priority
+    is unique). Falls back to 'default' when nothing matches. A synthetic
+    row id keeps duplicate input rows distinct through the group-by."""
+    with_id = df.withColumn("__rid", F.monotonically_increasing_id())
+    matched = with_id.join(
         F.broadcast(dim),
-        F.col(metric_col).rlike(dim["pattern"]),
+        F.regexp_like(F.col(metric_col), dim["pattern"]),
         "left",
     )
     best = F.min(F.struct(dim["priority"], dim["name"].alias("_pname")))
-    keys = [F.col(c) for c in df.columns]
+    keys = [F.col(c) for c in with_id.columns]
     return (
         matched.groupBy(*keys)
         .agg(best.alias("_best"))
         .withColumn(out_col, F.coalesce(F.col("_best._pname"), F.lit(DEFAULT_POLICY.name)))
-        .drop("_best")
+        .drop("_best", "__rid")
     )

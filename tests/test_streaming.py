@@ -33,6 +33,60 @@ def test_parse_graphite_lines(spark):
     assert byname["a.b"]["es"] == 1723500060
 
 
+def test_foreachbatch_parquet_sink(spark, tmp_path):
+    """Production sink path (S3): streaming rollup → foreachBatch dynamic-
+    partition-overwrite parquet → read back equals the batch partials."""
+    from kenshin_backup_spark.streaming.ingest import write_rollup_sink
+
+    utc = dt.timezone.utc
+    rows = [
+        ("m1", dt.datetime.fromtimestamp(1_000_000 + 60 * i, utc), float(i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    src = str(tmp_path / "sinksrc")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    rolled = streaming_rollup(stream, key_col="metric", step_seconds=600, watermark="1 hour")
+    out_dir = str(tmp_path / "rollup_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = write_rollup_sink(rolled, out_dir, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir).drop("date")
+    want = rollup_partials(df, key_cols=["metric"], step_seconds=600)
+    cols = ["metric", "bucket_ts", "cnt", "sum_q", "min_v", "max_v", "last_ts", "last_v"]
+    a = sorted(map(tuple, got.select(cols).collect()))
+    b = sorted(map(tuple, want.select(cols).collect()))
+    assert a == b
+
+
+def test_policy_join_variant_equals_when_chain(spark):
+    """assign_policy_via_join (broadcast rlike + min-priority) must agree
+    with the codegen when-chain on overlapping patterns."""
+    from kenshin_backup_spark.operators.policies import (
+        Policy,
+        assign_policy,
+        assign_policy_via_join,
+        policies_dim,
+    )
+
+    policies = [
+        Policy(name="p0", pattern="^a"),
+        Policy(name="p1", pattern="b$"),
+        Policy(name="p2", pattern="meta"),
+    ]
+    df = spark.createDataFrame(
+        [(m,) for m in ["abc", "ab", "zzb", "metal", "none"]], "metric string"
+    )
+    chain = {r["metric"]: r["policy"] for r in assign_policy(df, policies).collect()}
+    dim = policies_dim(spark, policies)
+    joined = {r["metric"]: r["policy"] for r in
+              assign_policy_via_join(df, dim).collect()}
+    assert chain == joined
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Reference T4 parity: a point older than the watermark horizon is
     DROPPED; in-horizon out-of-order points revise their bucket. Two
