@@ -407,7 +407,79 @@ FROM documents
 """
 
 
+def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone pipeline — the shape of a real training-data curation job,
+    composed from the engine's operators into ONE Catalyst plan:
+
+    1. exact dedup (md5 fingerprint, keep min doc_id),
+    2. quality gate (token count ≥ 20, mean word length in [3, 8]),
+    3. per-language token budget: top 30 surviving docs per lang by token
+       count (ties → doc_id),
+    4. curation report per language.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    from kenshin_backup_spark.operators.dedup import fingerprint
+    from kenshin_backup_spark.operators.textops import token_count
+
+    fp = docs.withColumn("fp", fingerprint("text"))
+    w_fp = W.partitionBy("fp").orderBy("doc_id")
+    deduped = fp.withColumn("rn", F.row_number().over(w_fp)).where(F.col("rn") == 1)
+
+    alnum = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9]+", "")).cast("long")
+    qual = (
+        deduped.withColumn("n_tokens", token_count("text"))
+        .withColumn("awl", (alnum.cast("double") / F.col("n_tokens")))
+        .where((F.col("n_tokens") >= 20) & F.col("awl").between(3.0, 8.0))
+    )
+    w_lang = W.partitionBy("lang").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    picked = qual.withColumn("pick", F.row_number().over(w_lang)).where(F.col("pick") <= 30)
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("budget_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+_CURATION_SQL = f"""
+WITH fp AS (
+  SELECT *, md5({_NORM.format(x="text")}) AS fp,
+         ROW_NUMBER() OVER (PARTITION BY md5({_NORM.format(x="text")})
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+deduped AS (SELECT * FROM fp WHERE rn = 1),
+qual AS (
+  SELECT *, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g')) AS DOUBLE)
+           / len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS awl
+  FROM deduped
+),
+gated AS (
+  SELECT * FROM qual
+  WHERE n_tokens >= 20 AND awl BETWEEN 3.0 AND 8.0
+),
+picked AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY n_tokens DESC, doc_id ASC) AS pick
+    FROM gated) t
+  WHERE pick <= 30
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS budget_tokens,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id,
+       COUNT(DISTINCT source) AS n_sources
+FROM picked GROUP BY lang
+"""
+
+
 QUERIES = {
+    "llm_corpus_curation": llm_corpus_curation,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
@@ -423,6 +495,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "llm_corpus_curation": _CURATION_SQL,
     "dedup_exact_fingerprint": _EXACT_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_ngram_jaccard_capped": _JACCARD_CAPPED_SQL,

@@ -249,7 +249,7 @@ WITH e AS (
 ),
 flagged AS (
   SELECT user_id, value, es,
-         CASE WHEN es - LAG(es) OVER (PARTITION BY user_id ORDER BY es) >= 1800
+         CASE WHEN es - LAG(es) OVER (PARTITION BY user_id ORDER BY es) > 1800
               OR LAG(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM e

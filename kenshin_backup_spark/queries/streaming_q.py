@@ -104,9 +104,10 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (§2.7 T3 note). Oracle: classic lag/cumsum sessionization in SQL.
 
     Event times are truncated to whole seconds first so the gap comparison
-    is integer-exact in both engines; Spark's session windows are half-open
-    (a gap of exactly 30 min starts a NEW session), mirrored as ``>= 1800``
-    in the oracle's new-session flag."""
+    is integer-exact in both engines. Spark's session windows are INCLUSIVE
+    at the gap boundary (an event exactly 30 min after the previous one
+    EXTENDS the session — verified empirically at sf0.1 where a boundary
+    pair exists), mirrored as ``> 1800`` in the oracle's new-session flag."""
     stream = _events_stream(spark, sf_dir).withColumn(
         "ts", F.date_trunc("second", F.col("ts"))
     )
@@ -134,7 +135,7 @@ WITH e AS (
 ),
 flagged AS (
   SELECT user_id, value, es,
-         CASE WHEN es - LAG(es) OVER (PARTITION BY user_id ORDER BY es) >= 1800
+         CASE WHEN es - LAG(es) OVER (PARTITION BY user_id ORDER BY es) > 1800
               OR LAG(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM e
