@@ -133,6 +133,106 @@ GROUP BY cohort
 """
 
 
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: shipping volume between supplier-nation and customer-
+    nation pairs per year — double dimension chain on one fact row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nkey)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    from kenshin_backup_spark.functions.deterministic import qsum as _qsum
+
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(_qsum(revenue, "volume"), F.count(F.lit(1)).alias("n_lines"))
+
+
+_Q7_SQL = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {QSUM_SQL.format(x="l_extendedprice * (1 - l_discount)")} AS volume,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ns.n_name != nc.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one supplier nation's share of a region's revenue per
+    order year — conditional quantized sum over a regioned join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    nation_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation_c), cust.c_nationkey == nation_c.c_nkey)
+        .join(F.broadcast(nation_s), supp.s_nationkey == nation_s.s_nkey)
+        .join(F.broadcast(region), nation_c.c_rkey == region.r_regionkey)
+    )
+    from kenshin_backup_spark.functions.deterministic import qsum as _qsum
+
+    n7 = F.when(F.col("supp_nation") == "NATION_7", revenue)
+    agg = j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        _qsum(n7, "n7_volume"), _qsum(revenue, "total_volume")
+    )
+    return agg.select(
+        "o_year",
+        "n7_volume",
+        "total_volume",
+        (F.col("n7_volume") / F.col("total_volume")).cast("double").alias("mkt_share"),
+    )
+
+
+_Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {QSUM_SQL.format(x="CASE WHEN ns.n_name = 'NATION_7' THEN l_extendedprice * (1 - l_discount) END")} AS n7_volume,
+       {QSUM_SQL.format(x="l_extendedprice * (1 - l_discount)")} AS total_volume,
+       CAST({QSUM_SQL.format(x="CASE WHEN ns.n_name = 'NATION_7' THEN l_extendedprice * (1 - l_discount) END")}
+            / {QSUM_SQL.format(x="l_extendedprice * (1 - l_discount)")} AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
 def agg_boolean_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean + bitwise aggregate family: bool_and/bool_or, count_if,
     bit_and/bit_or/bit_xor."""
@@ -186,6 +286,8 @@ QUERIES = {
     "tpch_q21_multi_exists": tpch_q21_multi_exists,
     "tpch_q22_cohort": tpch_q22_cohort,
     "agg_boolean_bitwise": agg_boolean_bitwise,
+    "tpch_q7_nation_volume": tpch_q7_nation_volume,
+    "tpch_q8_market_share": tpch_q8_market_share,
 }
 
 ORACLE = {
@@ -194,4 +296,6 @@ ORACLE = {
     "tpch_q21_multi_exists": _Q21_SQL,
     "tpch_q22_cohort": _Q22_SQL,
     "agg_boolean_bitwise": _BOOLBIT_SQL,
+    "tpch_q7_nation_volume": _Q7_SQL,
+    "tpch_q8_market_share": _Q8_SQL,
 }
