@@ -54,8 +54,11 @@ def qavg(col: Column | str, alias: str | None = None) -> Column:
 
 
 #: DuckDB SQL fragments mirroring qsum/qavg. Usage: QSUM_SQL.format(x="value").
-QSUM_SQL = "CAST(SUM(CAST(FLOOR(({x}) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000"
-QAVG_SQL = f"CAST(({QSUM_SQL}) / COUNT({{x}}) AS DOUBLE)"
+#: Self-parenthesized: the fragment ends in a division, so embedding it in
+#: larger arithmetic (e.g. share = QSUM/QSUM) would otherwise left-associate
+#: into A/1e6/B/1e6 — a silent 1e12 error (bitten once; see batch7 Q8).
+QSUM_SQL = "(CAST(SUM(CAST(FLOOR(({x}) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)"
+QAVG_SQL = f"CAST({QSUM_SQL} / COUNT({{x}}) AS DOUBLE)"
 
 
 def epoch_seconds(col: Column | str, alias: str | None = None) -> Column:

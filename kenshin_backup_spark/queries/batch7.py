@@ -219,8 +219,8 @@ _Q8_SQL = f"""
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
        {QSUM_SQL.format(x="CASE WHEN ns.n_name = 'NATION_7' THEN l_extendedprice * (1 - l_discount) END")} AS n7_volume,
        {QSUM_SQL.format(x="l_extendedprice * (1 - l_discount)")} AS total_volume,
-       CAST({QSUM_SQL.format(x="CASE WHEN ns.n_name = 'NATION_7' THEN l_extendedprice * (1 - l_discount) END")}
-            / {QSUM_SQL.format(x="l_extendedprice * (1 - l_discount)")} AS DOUBLE) AS mkt_share
+       CAST(({QSUM_SQL.format(x="CASE WHEN ns.n_name = 'NATION_7' THEN l_extendedprice * (1 - l_discount) END")})
+            / ({QSUM_SQL.format(x="l_extendedprice * (1 - l_discount)")}) AS DOUBLE) AS mkt_share
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

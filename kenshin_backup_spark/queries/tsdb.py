@@ -301,8 +301,56 @@ FROM events GROUP BY 1
 """
 
 
+def tsdb_fetch_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch + graphite keepLastValue(): the gap-filled 30-min 'click'
+    series with gaps forward-filled from the last seen value — the
+    render-path composition users run on sparse series."""
+    from kenshin_backup_spark.operators.seriesfns import keep_last_value
+
+    base = tsdb_fetch_gapfill(spark, sf_dir).select(
+        F.col("event_type").alias("metric"), "bucket_ts",
+        F.col("avg_value").alias("value"),
+    )
+    filled = keep_last_value(base)
+    return filled.select(
+        F.col("metric").alias("event_type"),
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        F.col("value").cast("double").alias("filled_value"),
+    )
+
+
+_KEEPLAST_SQL = f"""
+WITH e AS (
+  SELECT event_type, value,
+         CAST(({_ES} // 1800) * 1800 AS BIGINT) AS bucket_ts
+  FROM events WHERE event_type = 'click'
+),
+agg AS (
+  SELECT event_type, bucket_ts,
+         {QAVG_SQL.format(x="value")} AS avg_value
+  FROM e WHERE value IS NOT NULL GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi FROM e),
+grid AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, 1800)) AS BIGINT) AS bucket_ts
+  FROM bounds
+),
+series AS (
+  SELECT 'click' AS event_type, g.bucket_ts, a.avg_value
+  FROM grid g LEFT JOIN agg a ON a.bucket_ts = g.bucket_ts
+)
+SELECT event_type, bucket_ts,
+       CAST(LAST_VALUE(avg_value IGNORE NULLS) OVER (
+              PARTITION BY event_type ORDER BY bucket_ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS DOUBLE) AS filled_value
+FROM series
+"""
+
+
 QUERIES = {
     "tsdb_rollup_1h": tsdb_rollup_1h,
+    "tsdb_fetch_keep_last": tsdb_fetch_keep_last,
     "tsdb_rollup_cascade_1d": tsdb_rollup_cascade_1d,
     "tsdb_fetch_gapfill": tsdb_fetch_gapfill,
     "tsdb_xff_guard": tsdb_xff_guard,
@@ -311,6 +359,7 @@ QUERIES = {
 
 ORACLE = {
     "tsdb_rollup_1h": _rollup_wide_sql(3600),
+    "tsdb_fetch_keep_last": _KEEPLAST_SQL,
     "tsdb_rollup_cascade_1d": _CASCADE_SQL,
     "tsdb_fetch_gapfill": _FETCH_SQL,
     "tsdb_xff_guard": _XFF_SQL,
