@@ -24,6 +24,7 @@ from kenshin_backup_spark.queries import (
     batch5,
     batch6,
     batch7,
+    batch8,
     llm,
     relational,
     relational2,
@@ -42,6 +43,7 @@ _MODULES = (
     batch5,
     batch6,
     batch7,
+    batch8,
 )
 
 
