@@ -25,6 +25,7 @@ from kenshin_backup_spark.queries import (
     batch6,
     batch7,
     batch8,
+    batch9,
     llm,
     relational,
     relational2,
@@ -44,6 +45,7 @@ _MODULES = (
     batch6,
     batch7,
     batch8,
+    batch9,
 )
 
 
