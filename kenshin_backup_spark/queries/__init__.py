@@ -26,6 +26,7 @@ from kenshin_backup_spark.queries import (
     batch7,
     batch8,
     batch9,
+    batch10,
     llm,
     relational,
     relational2,
@@ -46,6 +47,7 @@ _MODULES = (
     batch7,
     batch8,
     batch9,
+    batch10,
 )
 
 

@@ -82,3 +82,28 @@ def test_knn_label_vote_majority_and_tiebreak(spark):
            knn_label_vote(topk, labels).collect()}
     assert out[0] == 5          # majority
     assert out[1] == 5          # tie → smaller label
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from kenshin_backup_spark.operators.dedup import connected_components
+
+    # chain 1-2-3 (transitive cluster), pair 10-11, singleton 20.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20)], "id long")
+    out = {r["id"]: r["component"] for r in
+           connected_components(edges, nodes=nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_cycle_and_cross_links(spark):
+    from kenshin_backup_spark.operators.dedup import connected_components
+
+    # two rings bridged by one edge → single component labeled by min id.
+    edges = spark.createDataFrame(
+        [(5, 6), (6, 7), (7, 5), (8, 9), (9, 5)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(out.values()) == {5}
+    assert set(out) == {5, 6, 7, 8, 9}
