@@ -27,6 +27,7 @@ from kenshin_backup_spark.queries import (
     batch8,
     batch9,
     batch10,
+    batch11,
     llm,
     relational,
     relational2,
@@ -48,6 +49,7 @@ _MODULES = (
     batch8,
     batch9,
     batch10,
+    batch11,
 )
 
 
