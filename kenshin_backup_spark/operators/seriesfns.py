@@ -171,3 +171,26 @@ def sort_by_maxima(df: DataFrame) -> DataFrame:
     mx = df.groupBy("metric").agg(F.max("value").alias("series_max"))
     w = W.orderBy(F.desc("series_max"), F.asc("metric"))
     return mx.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def as_percent(df: DataFrame) -> DataFrame:
+    """graphite ``asPercent()``: each series' value as a share of the
+    all-series total in the same bucket. The per-bucket total is computed
+    on quantized BIGINTs (associative → partial aggregation safe) and the
+    share is one double division — oracle-exact.
+
+    Scale note: the total is a window over (bucket_ts), which shuffles by
+    bucket — the same key the rollup that produced the frame already
+    grouped on, so the exchange is reusable; no per-metric skew (every
+    bucket has ≤ |metrics| rows).
+    """
+    q = F.floor(F.col("value") * 1_000_000).cast("long")
+    w = W.partitionBy("bucket_ts")
+    out = df.withColumn("__q", q).withColumn(
+        "pct",
+        F.when(
+            F.sum("__q").over(w) != 0,
+            (F.col("__q").cast("double") / F.sum("__q").over(w).cast("double")) * 100.0,
+        ),
+    )
+    return out.drop("__q")

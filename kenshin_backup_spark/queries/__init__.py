@@ -28,6 +28,7 @@ from kenshin_backup_spark.queries import (
     batch9,
     batch10,
     batch11,
+    batch12,
     llm,
     relational,
     relational2,
@@ -50,6 +51,7 @@ _MODULES = (
     batch9,
     batch10,
     batch11,
+    batch12,
 )
 
 
