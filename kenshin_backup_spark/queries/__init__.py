@@ -29,6 +29,7 @@ from kenshin_backup_spark.queries import (
     batch10,
     batch11,
     batch12,
+    batch13,
     llm,
     relational,
     relational2,
@@ -52,6 +53,7 @@ _MODULES = (
     batch10,
     batch11,
     batch12,
+    batch13,
 )
 
 

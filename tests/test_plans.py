@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kenshin_backup_spark.plans import (
+    explain_str,
     has_broadcast_join,
     pushed_filters,
     scan_read_schema,
@@ -59,3 +60,27 @@ def test_exact_metric_filter_pushes_equality(spark):
     df = metric_filter(ev.select("event_type", "value"), "event_type", "click")
     pf = " ".join(pushed_filters(df))
     assert "EqualTo(event_type,click)" in pf
+
+
+def test_stratified_sample_single_exchange(spark):
+    """The sampling decision is scan-side: the only exchange in the whole
+    plan is the final 5-group aggregate's shuffle."""
+    from kenshin_backup_spark.queries.batch10 import llm_stratified_sample
+
+    df = llm_stratified_sample(spark, SF_SMOKE)
+    with without_aqe(spark):
+        plan = explain_str(df)
+    # tree form is "Exchange (n)"; the details section repeats "(n) Exchange"
+    assert plan.count("Exchange (") <= 1
+
+
+def test_hopping_window_uses_expand_not_double_scan(spark):
+    """Hop windows replicate rows via one in-pipeline Expand node; the
+    events table is scanned exactly once."""
+    from kenshin_backup_spark.queries.batch11 import tsdb_hopping_window
+
+    df = tsdb_hopping_window(spark, SF_SMOKE)
+    with without_aqe(spark):
+        plan = explain_str(df)
+    assert "Expand" in plan
+    assert plan.count("Scan parquet  (") == 1
