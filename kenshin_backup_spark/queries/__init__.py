@@ -30,6 +30,7 @@ from kenshin_backup_spark.queries import (
     batch11,
     batch12,
     batch13,
+    batch14,
     llm,
     relational,
     relational2,
@@ -54,6 +55,7 @@ _MODULES = (
     batch11,
     batch12,
     batch13,
+    batch14,
 )
 
 
