@@ -31,6 +31,7 @@ from kenshin_backup_spark.queries import (
     batch12,
     batch13,
     batch14,
+    batch15,
     llm,
     relational,
     relational2,
@@ -56,6 +57,7 @@ _MODULES = (
     batch12,
     batch13,
     batch14,
+    batch15,
 )
 
 
