@@ -78,3 +78,41 @@ def test_asof_pandas_equals_window(spark):
     a = sorted(map(tuple, w.select(cols).collect()))
     b = sorted(map(tuple, p.select(cols).collect()))
     assert a == b
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling is the engine's runtime answer to hot keys in
+    fact-fact joins (SCALE.md): one reducer owning a hot key's entire
+    partition is split into parallel slices. Thresholds are lowered so the
+    local fixture trips the same code path a 100 TB hot key would."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # hot key 0 carries 2M incompressible-payload rows; 100 cold keys
+        payload = F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000))
+        hot = spark.range(0, 2_000_000).select(F.lit(0).alias("k"), payload.alias("x"))
+        cold = spark.range(0, 8_000).select(
+            (F.col("id") % 100 + 1).alias("k"), payload.alias("x")
+        )
+        right = spark.range(0, 101).select(F.col("id").alias("k"), (F.col("id") * 10).alias("y"))
+        j = hot.union(cold).join(right, "k").agg(
+            F.sum("x").alias("sx"), F.sum("y").alias("sy")
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
