@@ -32,6 +32,7 @@ from kenshin_backup_spark.queries import (
     batch13,
     batch14,
     batch15,
+    batch16,
     llm,
     relational,
     relational2,
@@ -58,6 +59,7 @@ _MODULES = (
     batch13,
     batch14,
     batch15,
+    batch16,
 )
 
 
