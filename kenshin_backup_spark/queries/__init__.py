@@ -33,6 +33,7 @@ from kenshin_backup_spark.queries import (
     batch14,
     batch15,
     batch16,
+    batch17,
     llm,
     relational,
     relational2,
@@ -60,6 +61,7 @@ _MODULES = (
     batch14,
     batch15,
     batch16,
+    batch17,
 )
 
 
