@@ -34,6 +34,7 @@ from kenshin_backup_spark.queries import (
     batch15,
     batch16,
     batch17,
+    batch18,
     llm,
     relational,
     relational2,
@@ -62,6 +63,7 @@ _MODULES = (
     batch15,
     batch16,
     batch17,
+    batch18,
 )
 
 
