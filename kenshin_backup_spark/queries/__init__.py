@@ -35,6 +35,7 @@ from kenshin_backup_spark.queries import (
     batch16,
     batch17,
     batch18,
+    batch19,
     llm,
     relational,
     relational2,
@@ -64,6 +65,7 @@ _MODULES = (
     batch16,
     batch17,
     batch18,
+    batch19,
 )
 
 
