@@ -36,6 +36,7 @@ from kenshin_backup_spark.queries import (
     batch17,
     batch18,
     batch19,
+    batch20,
     llm,
     relational,
     relational2,
@@ -66,6 +67,7 @@ _MODULES = (
     batch17,
     batch18,
     batch19,
+    batch20,
 )
 
 
