@@ -37,6 +37,7 @@ from kenshin_backup_spark.queries import (
     batch18,
     batch19,
     batch20,
+    batch21,
     llm,
     relational,
     relational2,
@@ -68,6 +69,7 @@ _MODULES = (
     batch18,
     batch19,
     batch20,
+    batch21,
 )
 
 
