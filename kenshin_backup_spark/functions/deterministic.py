@@ -99,14 +99,32 @@ def glob_to_regex(glob: str) -> str:
         elif ch == "?":
             out.append(r"[^.]")
         elif ch == "{":
-            j = glob.index("}", i)
-            alts = glob[i + 1 : j].split(",")
-            out.append("(" + "|".join(_escape(a) for a in alts) + ")")
-            i = j
+            j = glob.find("}", i)
+            if j < 0:  # unbalanced '{' → literal character (fnmatch-style)
+                out.append(_escape(ch))
+            else:
+                alts = glob[i + 1 : j].split(",")
+                out.append("(" + "|".join(_escape(a) for a in alts) + ")")
+                i = j
         elif ch == "[":
-            j = glob.index("]", i)
-            out.append(glob[i : j + 1])
-            i = j
+            # fnmatch-style char class: leading '!' negates, ']' may appear
+            # first as a literal; unbalanced '[' falls back to a literal.
+            j = i + 1
+            if j < len(glob) and glob[j] == "!":
+                j += 1
+            if j < len(glob) and glob[j] == "]":
+                j += 1
+            j = glob.find("]", j)
+            if j < 0:
+                out.append(_escape(ch))
+            else:
+                inner = glob[i + 1 : j].replace("\\", "\\\\")
+                if inner.startswith("!"):
+                    inner = "^" + inner[1:]
+                elif inner.startswith("^"):
+                    inner = "\\" + inner
+                out.append("[" + inner + "]")
+                i = j
         else:
             out.append(_escape(ch))
         i += 1

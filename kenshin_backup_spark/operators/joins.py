@@ -48,25 +48,31 @@ def asof_join(
 
     lt = F.unix_timestamp(F.col(left_ts)).cast("long")
     rt = F.unix_timestamp(F.col(right_ts)).cast("long")
+    # The matched row is carried as ONE struct(__rts, values...) so the
+    # attached timestamp and values always come from the same right row —
+    # carrying columns separately with ignorenulls would skip a genuinely
+    # NULL right value and pair it with a newer row's timestamp (pandas
+    # merge_asof attaches the matched row's NULL).
+    r_struct = F.struct(
+        rt.alias("__rts"), *[F.col(c).alias(c) for c in value_cols]
+    )
     # side ordering makes right rows sort BEFORE left rows at equal ts for
     # backward (so an equal-ts right row is visible), after for forward.
-    l_tag = left.select(
-        *on,
-        lt.alias("__t"),
-        F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
-        F.lit(None).cast("long").alias("__rts"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
-    )
     r_tag = right.select(
         *on,
         rt.alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        rt.alias("__rts"),
-        F.lit(None).cast(
-            l_tag.schema["__l"].dataType
-        ).alias("__l"),
+        r_struct.alias("__r"),
+    )
+    l_tag = left.select(
+        *on,
+        lt.alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_tag.schema["__r"].dataType).alias("__r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    r_tag = r_tag.withColumn(
+        "__l", F.lit(None).cast(l_tag.schema["__l"].dataType)
     )
     unioned = l_tag.unionByName(r_tag)
 
@@ -76,27 +82,21 @@ def asof_join(
             .orderBy(F.asc("__t"), F.asc("__side"))
             .rowsBetween(W.unboundedPreceding, 0)
         )
-        carried = [
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ] + [F.last("__rts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}_ts")]
+        carried = F.last("__r", ignorenulls=True).over(w).alias("__c")
     else:
         w = (
             W.partitionBy(*on)
             .orderBy(F.asc("__t"), F.desc("__side"))
             .rowsBetween(0, W.unboundedFollowing)
         )
-        carried = [
-            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ] + [F.first("__rts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}_ts")]
+        carried = F.first("__r", ignorenulls=True).over(w).alias("__c")
 
-    out = unioned.select(*on, "__side", "__l", *carried).where(F.col("__side") == 1)
+    out = unioned.select(*on, "__side", "__l", carried).where(F.col("__side") == 1)
     left_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     return out.select(
         *left_cols,
-        *[F.col(f"{c}{suffix}") for c in value_cols],
-        F.col(f"{right_ts}{suffix}_ts"),
+        *[F.col(f"__c.{c}").alias(f"{c}{suffix}") for c in value_cols],
+        F.col("__c.__rts").alias(f"{right_ts}{suffix}_ts"),
     )
 
 

@@ -173,6 +173,124 @@ def sort_by_maxima(df: DataFrame) -> DataFrame:
     return mx.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def _node(n: int):
+    # dot-separated name component n (0-based), like graphite's nodes
+    return F.element_at(F.split("metric", r"\."), n + 1)
+
+
+def alias_by_node(df: DataFrame, *nodes: int) -> DataFrame:
+    """graphite ``aliasByNode(n, ...)``: rename each series to the selected
+    dot-separated components of its name."""
+    return df.withColumn("metric", F.concat_ws(".", *[_node(n) for n in nodes]))
+
+
+def group_by_node(df: DataFrame, node: int, func: str = "sum") -> DataFrame:
+    """graphite ``groupByNode(n, callback)``: merge all series sharing the
+    n-th name component, combining same-bucket values with ``func``
+    (sum/avg/max/min — quantized-exact for sum/avg).
+
+    One hash aggregate on (node, bucket_ts) — the merged key is coarser
+    than the input key, so this is a shrinking map-side-combinable shuffle.
+    """
+    return _combine(df.withColumn("metric", _node(node)), func)
+
+
+def sum_series(df: DataFrame, name: str = "sumSeries") -> DataFrame:
+    """graphite ``sumSeries()``: one output series, per-bucket sum across
+    every series in the frame (glob sets compose via ``fetch`` upstream)."""
+    return _combine(df.withColumn("metric", F.lit(name)), "sum")
+
+
+def average_series(df: DataFrame, name: str = "averageSeries") -> DataFrame:
+    """graphite ``averageSeries()``: per-bucket mean across series
+    (quantized-exact; gap slots excluded from the denominator, matching
+    graphite's safeAvg)."""
+    return _combine(df.withColumn("metric", F.lit(name)), "avg")
+
+
+def _combine(df: DataFrame, func: str) -> DataFrame:
+    q = F.floor(F.col("value") * QUANT).cast("long")
+    aggs = {
+        "sum": (F.sum(q) / F.lit(float(QUANT))).cast("double"),
+        "avg": (F.sum(q) / (F.lit(float(QUANT)) * F.count(q))).cast("double"),
+        "max": F.max("value"),
+        "min": F.min("value"),
+    }
+    if func not in aggs:
+        raise ValueError(f"combine func must be one of {sorted(aggs)}")
+    return df.groupBy("metric", "bucket_ts").agg(aggs[func].alias("value"))
+
+
+def exclude(df: DataFrame, pattern: str) -> DataFrame:
+    """graphite ``exclude(regex)``: drop series whose name matches."""
+    return df.where(~F.col("metric").rlike(pattern))
+
+
+def grep(df: DataFrame, pattern: str) -> DataFrame:
+    """graphite ``grep(regex)``: keep only series whose name matches."""
+    return df.where(F.col("metric").rlike(pattern))
+
+
+#: Quantization for second-moment sums: value·1e3 keeps Σq² far below 2^63
+#: even for million-point series (see Bollinger-band precedent).
+_STDEV_QUANT = 1_000
+
+
+def series_stdev(df: DataFrame) -> DataFrame:
+    """Per-series population standard deviation over all non-gap slots —
+    the ranking statistic behind graphite ``stdev``/``mostDeviant``.
+
+    Computed from integer Σq and Σq² (associative, partial-agg safe), then
+    ONE double expression: sqrt((n·Σq² − (Σq)²)) / (n·1e3) — deterministic
+    across engines, unlike streaming-order ``stddev_pop``.
+    """
+    q = F.floor(F.col("value") * _STDEV_QUANT).cast("long")
+    agg = df.groupBy("metric").agg(
+        F.count(q).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+    )
+    var_num = (
+        F.col("n").cast("double") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    )
+    sd = F.sqrt(var_num) / (F.col("n").cast("double") * float(_STDEV_QUANT))
+    return agg.select(
+        "metric",
+        F.col("n").cast("long").alias("n"),
+        F.when(F.col("n") > 0, sd).cast("double").alias("stdev"),
+    )
+
+
+def most_deviant(df: DataFrame, n: int) -> DataFrame:
+    """graphite ``mostDeviant(n)``: keep the n series with the largest
+    standard deviation (ties → metric asc). Returns the filtered frame."""
+    sd = series_stdev(df)
+    w = W.orderBy(F.desc("stdev"), F.asc("metric"))
+    top = sd.withColumn("__rk", F.row_number().over(w)).where(F.col("__rk") <= n)
+    return df.join(F.broadcast(top.select("metric")), "metric")
+
+
+def sort_by_total(df: DataFrame) -> DataFrame:
+    """graphite ``sortByTotal()``: rank series by their (quantized-exact)
+    total, descending; ties → metric asc."""
+    q = F.floor(F.col("value") * QUANT).cast("long")
+    tot = df.groupBy("metric").agg(
+        (F.sum(q) / F.lit(float(QUANT))).cast("double").alias("series_total")
+    )
+    w = W.orderBy(F.desc("series_total"), F.asc("metric"))
+    return tot.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def limit_series(df: DataFrame, n: int) -> DataFrame:
+    """graphite ``limit(n)``: keep the first n series by name order (the
+    deterministic stand-in for graphite's wildcard-expansion order)."""
+    names = df.select("metric").distinct()
+    w = W.orderBy(F.asc("metric"))
+    keep = names.withColumn("__rk", F.row_number().over(w)).where(F.col("__rk") <= n)
+    return df.join(F.broadcast(keep.select("metric")), "metric")
+
+
 def as_percent(df: DataFrame) -> DataFrame:
     """graphite ``asPercent()``: each series' value as a share of the
     all-series total in the same bucket. The per-bucket total is computed

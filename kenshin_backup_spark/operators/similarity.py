@@ -121,6 +121,116 @@ def cosine_near_pairs(
     )
 
 
+def srp_planes(num_planes: int, dim: int, *, seed: int = 42) -> list[list[int]]:
+    """Seeded sign-random-projection hyperplanes with INTEGER components.
+
+    Integer components make the projection sign an exact integer comparison
+    in any engine (no float dot-product ulp drift), so SRP bucketing is
+    deterministic and oracle-mirrorable — unlike Spark ML's private-float
+    BRP hash functions.
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [rng.randint(-1000, 1000) for _ in range(dim)] for _ in range(num_planes)
+    ]
+
+
+def cosine_near_pairs_bucketed(
+    df: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs WITHOUT the all-pairs theta-join:
+    SRP-LSH candidate generation + exact quantized-cosine verification
+    (the two-tier shape of ``dedup_lsh_verified``).
+
+    Plan: per vector, ``num_planes`` sign bits from integer dot products
+    with seeded integer hyperplanes → split into ``bands`` band keys →
+    self **equi-join** on (band, key) → distinct candidate pairs → exact
+    cosine filter. Near-duplicate vectors (cosine ≥ 0.95 ⇒ angle ≤ 18°)
+    agree on any one band of 4 bits with high probability; recall is
+    approximate but DETERMINISTIC, and identical in DuckDB — so unlike
+    MinHash/BRP the result is fully oracle-checkable.
+
+    At 100 TB: signature computation is scan-side codegen; the only
+    shuffles are the (band, key) equi-join and the pair dedup — the same
+    posting-list shape as the shingle join, with Σ(bucket size²) bounded
+    by the bucket granularity (tune ``num_planes``/``bands``).
+    """
+    if num_planes % bands != 0:
+        raise ValueError("num_planes must divide evenly into bands")
+    bits_per_band = num_planes // bands
+    planes = srp_planes(num_planes, dim, seed=seed)
+
+    base = df.select(
+        F.col(id_col).alias("id"), quantize_vec(vec_col).alias("v")
+    ).withColumn("n2", qdot(F.col("v"), F.col("v")))
+    plane_cols = [
+        F.array(*[F.lit(c) for c in p]).alias(f"__p{i}")
+        for i, p in enumerate(planes)
+    ]
+    bits = [
+        F.when(qdot(F.col("v"), pc) > 0, F.lit(1)).otherwise(F.lit(0))
+        for pc in plane_cols
+    ]
+    band_keys = [
+        sum(
+            (bits[b * bits_per_band + j] * F.lit(1 << j))
+            for j in range(bits_per_band)
+        ).cast("long")
+        for b in range(bands)
+    ]
+    sigs = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_keys[b].alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    va = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n2").alias("na")
+    )
+    vb = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n2").alias("nb")
+    )
+    dot = qdot(F.col("va"), F.col("vb"))
+    cos = (
+        dot / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+    ).cast("double")
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -44,7 +44,9 @@ _EXACT_SQL = f"""
 SELECT md5({_NORM.format(x="text")}) AS fp,
        MIN(doc_id) AS keep_id,
        COUNT(*) AS n_copies
-FROM documents GROUP BY 1
+FROM documents
+WHERE text IS NOT NULL AND {_NORM.format(x="text")} <> ''
+GROUP BY 1
 """
 
 

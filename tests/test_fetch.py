@@ -45,6 +45,10 @@ def test_clamp_range():
         ("a.?.c", ["a.b.c"], ["a.bb.c"]),
         ("servers.{web,db}.cpu", ["servers.web.cpu", "servers.db.cpu"], ["servers.app.cpu"]),
         ("a.[bc].d", ["a.b.d", "a.c.d"], ["a.x.d"]),
+        ("a.[!bc].d", ["a.x.d", "a.!.d"], ["a.b.d", "a.c.d"]),
+        ("a.[b-d].e", ["a.c.e"], ["a.x.e"]),
+        ("a.{b.c", ["a.{b.c"], ["a.Xb.c"]),       # unbalanced '{' → literal
+        ("a.[b.c", ["a.[b.c"], ["a.b.c"]),        # unbalanced '[' → literal
     ],
 )
 def test_glob_to_regex(glob, matches, rejects):

@@ -43,6 +43,22 @@ def test_asof_join_equal_ts_matches(spark):
     assert out[0]["v_asof"] == 7.0
 
 
+def test_asof_join_null_value_from_matched_row(spark):
+    """A right row with a NULL value IS the match (pandas merge_asof
+    semantics): the attached value must be that row's NULL, not an older
+    non-null value, and ts/value must come from the same matched row."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts(200))], "id long, user string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(90), 9.0), ("u", _ts(150), None)],
+        "user string, ts timestamp, v double",
+    )
+    out = asof_join(left, right, on=["user"], value_cols=["v"]).collect()
+    assert out[0]["v_asof"] is None
+    assert out[0]["ts_asof_ts"] == 150
+
+
 def test_asof_join_forward(spark):
     left = spark.createDataFrame([(1, "u", _ts(100))], "id long, user string, ts timestamp")
     right = spark.createDataFrame(

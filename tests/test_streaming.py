@@ -62,6 +62,49 @@ def test_foreachbatch_parquet_sink(spark, tmp_path):
     assert a == b
 
 
+def test_upsert_rollup_partitions_multibatch(spark, tmp_path):
+    """Update-mode micro-batches emit only the buckets changed in that
+    batch; the merge-upsert sink must preserve same-date buckets flushed by
+    earlier batches (a plain dynamic-partition overwrite deletes them)."""
+    from kenshin_backup_spark.streaming.ingest import upsert_rollup_partitions
+
+    path = str(tmp_path / "out")
+    schema = (
+        "metric string, bucket_ts long, cnt long, sum_q long, "
+        "min_v double, max_v double, last_ts long, last_v double"
+    )
+    day = 1_000_000 - (1_000_000 % 86_400)
+    b1 = spark.createDataFrame(
+        [
+            ("m1", day, 1, 100, 1.0, 1.0, day, 1.0),
+            ("m1", day + 600, 2, 200, 1.0, 2.0, day + 660, 2.0),
+            ("m1", day + 86_400, 5, 500, 1.0, 5.0, day + 86_400, 5.0),
+        ],
+        schema,
+    )
+    upsert_rollup_partitions(b1, path)
+    # Second batch, same date: revises day+600, adds m2; the bucket at
+    # `day` is NOT re-emitted and must survive, as must the next-day one.
+    b2 = spark.createDataFrame(
+        [
+            ("m1", day + 600, 3, 350, 1.0, 3.0, day + 700, 3.0),
+            ("m2", day + 1200, 1, 50, 0.5, 0.5, day + 1200, 0.5),
+        ],
+        schema,
+    )
+    upsert_rollup_partitions(b2, path)
+    got = {
+        (r["metric"], r["bucket_ts"]): (r["cnt"], r["sum_q"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("m1", day): (1, 100),
+        ("m1", day + 600): (3, 350),
+        ("m1", day + 86_400): (5, 500),
+        ("m2", day + 1200): (1, 50),
+    }
+
+
 def test_policy_join_variant_equals_when_chain(spark):
     """assign_policy_via_join (broadcast rlike + min-priority) must agree
     with the codegen when-chain on overlapping patterns."""
