@@ -33,7 +33,9 @@ HEADLINE = [
     "window_topk_parts_per_brand",
     "agg_rollup_flag_status",
     "dedup_exact_fingerprint",
-    "dedup_ngram_jaccard",
+    # the Σdf²-capped near-dup IS the 100 TB plan; the uncapped exact
+    # variant stays registry/oracle-only as the correctness baseline
+    "dedup_ngram_jaccard_capped",
     "emb_cosine_topk",
     "text_quality_scores",
     "multimodal_decode_features",

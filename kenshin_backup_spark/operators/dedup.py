@@ -409,7 +409,7 @@ def connected_components_star(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     prev_sig = None
     converged = False
@@ -434,17 +434,22 @@ def connected_components_star(
             F.col("dst").alias("src"), F.col("mn").alias("dst")
         )
         small_self = mins2.select("src", F.col("mn").alias("dst"))
+        # localCheckpoint (not persist): each round must TRUNCATE lineage,
+        # or the logical plan doubles per round and Catalyst planning time
+        # grows exponentially with iteration count.
         new_e = (
             small_nb.union(small_self)
             .where(F.col("src") != F.col("dst"))
             .distinct()
-            .persist()
+            .localCheckpoint(eager=True)
         )
+        # bit_xor: order-independent and overflow-free (ANSI mode forbids a
+        # wrapping SUM of 64-bit hashes)
         sig_row = new_e.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("src", "dst")).alias("h")
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
-        e.unpersist()
         e = new_e
         if sig == prev_sig:
             converged = True
@@ -473,7 +478,6 @@ def connected_components_star(
             .select("id", F.col("id").alias("component"))
         )
         labels = labels.unionByName(iso)
-    e.unpersist()
     return labels
 
 
@@ -514,8 +518,9 @@ def connected_components(
         lab = nodes.select(F.col(node_col).cast("long").alias("id")).distinct()
     else:
         lab = sym.select(F.col("src").alias("id")).distinct()
-    labels = lab.select("id", F.col("id").alias("component")).persist()
-    labels.count()
+    labels = lab.select("id", F.col("id").alias("component")).localCheckpoint(
+        eager=True
+    )
     changed = 0
     for _ in range(max_iters):
         # neighbour-min of current labels, joined back; one shuffle stage.
@@ -524,6 +529,9 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
+        # localCheckpoint truncates lineage per round — with plain persist
+        # the logical plan doubles every iteration and planning time
+        # explodes on long-diameter graphs.
         new = (
             labels.join(neigh, labels.id == neigh.src, "left")
             .select(
@@ -532,7 +540,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new.alias("n")
@@ -540,7 +548,6 @@ def connected_components(
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new
         if changed == 0:
             break

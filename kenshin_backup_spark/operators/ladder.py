@@ -126,6 +126,59 @@ def expire_retention(ladder: Ladder, *, now_ts: int) -> dict[int, list[str]]:
     return dropped
 
 
+def compact_level(
+    spark: SparkSession,
+    ladder: Ladder,
+    step_seconds: int,
+    *,
+    max_records_per_file: int = 2_000_000,
+) -> tuple[int, int]:
+    """Small-file compaction for one ladder level: streaming upserts leave
+    one file per micro-batch per date partition; rewrite each partition
+    into O(1) files, re-sorted by metric so parquet row-group min/max
+    statistics prune metric-filtered fetches again (SURVEY §4.2).
+
+    Rewrites into a temp directory and atomically swaps, so readers never
+    see a partial level and the job is restart-safe. Returns
+    ``(files_before, files_after)``.
+
+    Scale note: ``repartition("date")`` gives one task (→ one file) per
+    date; at 100 TB repartition on (date, metric-hash-bucket) instead and
+    raise ``max_records_per_file`` so each partition compacts in parallel.
+    """
+    import os
+    import shutil
+    import uuid
+
+    path = ladder.level_path(step_seconds)
+
+    def _count_files(p: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = _count_files(path)
+    df = spark.read.parquet(path)
+    sort_key = ladder.key_cols[0]
+    tmp = f"{path}__compacting_{uuid.uuid4().hex[:8]}"
+    (
+        df.repartition("date")
+        .sortWithinPartitions(sort_key, "bucket_ts")
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(tmp)
+    )
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return before, _count_files(path)
+
+
 def ladder_info(spark: SparkSession, ladder: Ladder) -> DataFrame:
     """Reference ``kenshin-info`` / header read (SURVEY §2.1 S6): one row
     per archive level with its configuration and materialized extent."""

@@ -212,7 +212,9 @@ def _combine(df: DataFrame, func: str) -> DataFrame:
     q = F.floor(F.col("value") * QUANT).cast("long")
     aggs = {
         "sum": (F.sum(q) / F.lit(float(QUANT))).cast("double"),
-        "avg": (F.sum(q) / (F.lit(float(QUANT)) * F.count(q))).cast("double"),
+        # sequential divisions, matching the oracle's SUM/1e6/COUNT order
+        # (division is not associative in float)
+        "avg": (F.sum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
         "max": F.max("value"),
         "min": F.min("value"),
     }
@@ -250,9 +252,10 @@ def series_stdev(df: DataFrame) -> DataFrame:
         F.sum(q).alias("s1"),
         F.sum(q * q).alias("s2"),
     )
-    var_num = (
+    var_num = F.greatest(
         F.col("n").cast("double") * F.col("s2").cast("double")
-        - F.col("s1").cast("double") * F.col("s1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double"),
+        F.lit(0.0),
     )
     sd = F.sqrt(var_num) / (F.col("n").cast("double") * float(_STDEV_QUANT))
     return agg.select(

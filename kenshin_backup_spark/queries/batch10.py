@@ -30,7 +30,7 @@ from kenshin_backup_spark.functions.deterministic import (
     QSUM_SQL,
     qsum,
 )
-from kenshin_backup_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+from kenshin_backup_spark.operators.dedup import connected_components_star, ngram_jaccard_pairs
 from kenshin_backup_spark.sources import load_table
 
 _NORM = "trim(regexp_replace(lower({x}), '\\s+', ' ', 'g'))"
@@ -80,7 +80,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     A~B, B~C ⇒ {A,B,C} one cluster even when A!~C."""
     docs = load_table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=10)
-    labels = connected_components(
+    labels = connected_components_star(
         edges, nodes=docs, node_col="doc_id"
     )
     return labels.select(

@@ -107,3 +107,82 @@ def test_connected_components_cycle_and_cross_links(spark):
     out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert set(out.values()) == {5}
     assert set(out) == {5, 6, 7, 8, 9}
+
+
+def test_star_cc_agrees_with_propagation_random_graphs(spark):
+    """Large-star/small-star must produce identical labels to plain min-label
+    propagation on random graphs (chains, cycles, forests, singletons)."""
+    import random
+
+    from kenshin_backup_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 45))
+        ]
+        # plus a long chain to exercise multi-round contraction
+        base = 100 * (trial + 1)
+        edges += [(base + i, base + i + 1) for i in range(12)]
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(n)] + [(base + i,) for i in range(13)], "id long"
+        )
+        a = {r["id"]: r["component"]
+             for r in connected_components(e, nodes=nodes).collect()}
+        b = {r["id"]: r["component"]
+             for r in connected_components_star(e, nodes=nodes).collect()}
+        assert a == b, f"trial {trial}: star CC disagrees with propagation"
+
+
+def test_star_cc_long_chain_converges_fast(spark):
+    """A 60-node chain exceeds plain propagation's default round budget per
+    node distance, but star contraction needs only O(log n) rounds."""
+    from kenshin_backup_spark.operators.dedup import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    out = connected_components_star(edges, max_iters=10)
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_srp_bucketed_pairs_subset_of_exact(spark):
+    """Every SRP-bucketed near-pair must appear in the all-pairs result with
+    the same cosine (candidates are a subset; verification is exact), and
+    self-similar duplicates (cosine 1.0) must always be recalled (identical
+    vectors share every band)."""
+    import random
+
+    from kenshin_backup_spark.operators.similarity import (
+        cosine_near_pairs,
+        cosine_near_pairs_bucketed,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(30):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)]))
+    rows.append((100, rows[0][1]))   # exact duplicate of vec 0
+    rows.append((101, [v * 1.01 for v in rows[1][1]]))  # scaled ⇒ cosine≈1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_pairs(df, threshold=0.9).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_pairs_bucketed(df, threshold=0.9).collect()
+    }
+    assert set(bucketed) <= set(exact)
+    for k, v in bucketed.items():
+        assert v == exact[k]
+    assert (0, 100) in bucketed          # identical vectors never missed
+    assert (1, 101) in bucketed

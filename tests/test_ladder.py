@@ -89,6 +89,48 @@ def test_retention_expiry_and_info(spark, tmp_path):
     assert info[3600]["retention_seconds"] == 48 * 3600
 
 
+def test_compact_level_preserves_fetch(spark, tmp_path):
+    """Compaction: many small files (streaming-upsert debris) are rewritten
+    into ~1 file per date partition, and fetch results are unchanged."""
+    from kenshin_backup_spark.operators.ladder import compact_level
+
+    ladder = Ladder(
+        root=str(tmp_path / "ladder_cmp"),
+        archives=(Archive(60, 5000),),
+    )
+    pts = _points(spark)
+    build_ladder(pts, ladder)
+    # simulate micro-batch debris: append the level to itself in 6 slices
+    # (duplicate partials are legal rollup inputs; we only count files here)
+    lvl_path = ladder.level_path(60)
+    base = spark.read.parquet(lvl_path).localCheckpoint(eager=True)
+    base.repartition(8).write.mode("append").partitionBy("date").parquet(lvl_path)
+
+    want = sorted(
+        map(
+            tuple,
+            fetch_from_ladder(
+                spark, ladder, metric_glob="srv.*.cpu",
+                from_ts=NOW - 3000, until_ts=NOW, now_ts=NOW,
+            ).collect(),
+        )
+    )
+    before, after = compact_level(spark, ladder, 60)
+    assert after < before
+    # one date partition in this fixture → a single compacted file
+    assert after <= 2
+    got = sorted(
+        map(
+            tuple,
+            fetch_from_ladder(
+                spark, ladder, metric_glob="srv.*.cpu",
+                from_ts=NOW - 3000, until_ts=NOW, now_ts=NOW,
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_fetch_prunes_date_partitions(spark, tmp_path):
     """The routed fetch must carry a date predicate so the partitioned
     level scan prunes partitions (100 TB gate — SCALE.md)."""

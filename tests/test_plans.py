@@ -84,3 +84,17 @@ def test_hopping_window_uses_expand_not_double_scan(spark):
         plan = explain_str(df)
     assert "Expand" in plan
     assert plan.count("Scan parquet  (") == 1
+
+
+def test_bucketed_embedding_neardup_has_no_theta_join(spark):
+    """The SRP-bucketed near-dup must plan as equi-joins only — no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere (the all-pairs
+    variant's scale-killer this operator exists to remove)."""
+    from kenshin_backup_spark.queries.batch22 import (
+        dedup_embedding_cosine_bucketed,
+    )
+
+    df = dedup_embedding_cosine_bucketed(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text

@@ -116,3 +116,18 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_wau_hll_within_error_bound(spark):
+    """The HLL rolling-WAU scale twin must track the exact contribute-forward
+    WAU within the sketch's error envelope on every target day."""
+    from kenshin_backup_spark.queries.batch21 import events_rolling_wau
+    from kenshin_backup_spark.queries.batch22 import events_rolling_wau_hll
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["day_ts"]: r["wau"] for r in events_rolling_wau(spark, sf).collect()}
+    approx = {r["day_ts"]: r["wau_approx"]
+              for r in events_rolling_wau_hll(spark, sf).collect()}
+    assert set(exact) == set(approx)
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(5, 0.1 * v), (k, v, approx[k])

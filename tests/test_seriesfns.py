@@ -80,3 +80,52 @@ def test_as_percent_shares_and_zero_total(spark):
     assert out[("a", 0)] == 25.0
     assert out[("b", 0)] == 75.0
     assert out[("a", 3600)] is None and out[("b", 3600)] is None
+
+
+def test_group_by_node_and_alias_by_node(spark):
+    df = _series(spark, [
+        ("app.click.u0", 0, 1.0), ("app.click.u1", 0, 2.0),
+        ("app.view.u0", 0, 10.0), ("app.view.u0", 60, 4.0),
+    ])
+    g = {(r["metric"], r["bucket_ts"]): r["value"]
+         for r in S.group_by_node(df, 1, "sum").collect()}
+    assert g == {("click", 0): 3.0, ("view", 0): 10.0, ("view", 60): 4.0}
+    al = sorted(set(r["metric"] for r in S.alias_by_node(df, 1, 2).collect()))
+    assert al == ["click.u0", "click.u1", "view.u0"]
+
+
+def test_sum_and_average_series(spark):
+    df = _series(spark, [("a", 0, 1.0), ("b", 0, 2.0), ("a", 60, 5.0)])
+    s = {r["bucket_ts"]: r["value"] for r in S.sum_series(df).collect()}
+    assert s == {0: 3.0, 60: 5.0}
+    a = {r["bucket_ts"]: r["value"] for r in S.average_series(df).collect()}
+    assert a == {0: 1.5, 60: 5.0}
+
+
+def test_exclude_and_grep(spark):
+    df = _series(spark, [("web.cpu", 0, 1.0), ("db.cpu", 0, 2.0), ("web.mem", 0, 3.0)])
+    assert sorted(set(r["metric"] for r in S.exclude(df, "^web").collect())) == ["db.cpu"]
+    assert sorted(set(r["metric"] for r in S.grep(df, "cpu$").collect())) == [
+        "db.cpu", "web.cpu"]
+
+
+def test_series_stdev_and_most_deviant(spark):
+    df = _series(spark, [
+        ("flat", 0, 5.0), ("flat", 60, 5.0), ("flat", 120, 5.0),
+        ("wild", 0, 0.0), ("wild", 60, 10.0), ("wild", 120, 20.0),
+    ])
+    sd = {r["metric"]: r["stdev"] for r in S.series_stdev(df).collect()}
+    assert sd["flat"] == 0.0
+    assert abs(sd["wild"] - 8.16496580927726) < 1e-9  # pop stdev of 0,10,20
+    top = sorted(set(r["metric"] for r in S.most_deviant(df, 1).collect()))
+    assert top == ["wild"]
+
+
+def test_sort_by_total_and_limit(spark):
+    df = _series(spark, [
+        ("a", 0, 1.0), ("a", 60, 1.0), ("b", 0, 5.0), ("c", 0, 3.0),
+    ])
+    ranks = {r["metric"]: r["rank"] for r in S.sort_by_total(df).collect()}
+    assert ranks == {"b": 1, "c": 2, "a": 3}
+    lim = sorted(set(r["metric"] for r in S.limit_series(df, 2).collect()))
+    assert lim == ["a", "b"]
