@@ -259,6 +259,14 @@ def ivf_topk(
         F.col(vec_col).alias("__arr"),
         array_to_vector(F.col(vec_col)).alias("features"),
     )
+    # The centroid table is collected to the driver and re-broadcast below —
+    # by construction it must stay a broadcast-sized dim. Guard the contract
+    # rather than silently building a huge driver-side list.
+    if n_centroids > 65536:
+        raise ValueError(
+            f"n_centroids={n_centroids} exceeds the broadcast-dim contract "
+            "(centroids are driver-collected); shard the corpus or use brp_lsh_topk"
+        )
     km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="cid")
     model = km.fit(feat)
     assigned = model.transform(feat).select(

@@ -39,6 +39,7 @@ from kenshin_backup_spark.queries import (
     batch20,
     batch21,
     batch22,
+    batch23,
     llm,
     relational,
     relational2,
@@ -72,6 +73,7 @@ _MODULES = (
     batch20,
     batch21,
     batch22,
+    batch23,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
