@@ -40,6 +40,8 @@ from kenshin_backup_spark.queries import (
     batch21,
     batch22,
     batch23,
+    batch24,
+    batch25,
     llm,
     relational,
     relational2,
@@ -74,6 +76,8 @@ _MODULES = (
     batch21,
     batch22,
     batch23,
+    batch24,
+    batch25,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry

@@ -98,3 +98,27 @@ def test_bucketed_embedding_neardup_has_no_theta_join(spark):
     text = explain_str(df)
     assert "BroadcastNestedLoopJoin" not in text
     assert "CartesianProduct" not in text
+
+
+def test_partitioned_layout_prunes_partitions(spark):
+    """The date predicate must reach the PartitionFilters of the staged
+    date-partitioned scan — the 100 TB lever that turns a full-table scan
+    into a 3-directory read."""
+    from kenshin_backup_spark.queries.batch25 import source_partitioned_pruning
+
+    df = source_partitioned_pruning(spark, SF_SMOKE)
+    text = explain_str(df)
+    m = [ln for ln in text.splitlines() if "PartitionFilters" in ln]
+    assert m, f"no PartitionFilters in plan:\n{text}"
+    assert any("event_date" in ln for ln in m), m
+
+
+def test_heatmap_single_exchange(spark):
+    """The heatmap pre-aggregation is one partial-agg pass: exactly one
+    shuffle exchange in the whole plan."""
+    from kenshin_backup_spark.queries.batch25 import tsdb_heatmap_buckets
+
+    df = tsdb_heatmap_buckets(spark, SF_SMOKE)
+    with without_aqe(spark):
+        text = explain_str(df, "simple")
+    assert text.count("Exchange hashpartitioning") == 1, text
