@@ -177,16 +177,104 @@ def streaming_counter_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def streaming_sharded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 sharding + T5 backpressure end-to-end: the events stream rolls up
+    in APPEND mode (only watermark-closed 1h buckets are emitted, each
+    exactly once) through the sharded sink — rows land in
+    ``shard=<pmod(xxhash64(key),4)>/date=<d>/`` parquet — then the sink is
+    read back and finalized.
+
+    The oracle is the batch rollup restricted to closed windows
+    (bucket end <= max event time - 1h, the availableNow final watermark),
+    so append-emission timing, the shard/date partitioning roundtrip, and
+    the rollup math are all hash-checked.
+    """
+    import shutil
+
+    from kenshin_backup_spark.streaming.ingest import write_sharded_sink
+
+    stream = _events_stream(spark, sf_dir)
+    rolled = streaming_rollup(
+        stream, key_col="event_type", step_seconds=3600, watermark="1 hour"
+    )
+    safe = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/kenshin_sink/{safe}/sharded_rollup"
+    chk = f"/tmp/kenshin_sink/{safe}/sharded_rollup_chk"
+    # append sink: re-running must not double rows -> clean slate each call
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+    q = (
+        write_sharded_sink(
+            rolled, path, chk, shard_col="event_type", n_shards=4
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(path).drop("shard", "date")
+    wide = finalize(back)
+    return wide.select(
+        "event_type",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        F.col("cnt").cast("long").alias("n_points"),
+        "sum_value",
+        "avg_value",
+        "min_value",
+        "max_value",
+        "last_value",
+    )
+
+
+_SHARDED_SQL = f"""
+WITH e AS (
+  SELECT event_type, value,
+         CAST({_ES} AS BIGINT) AS es,
+         CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ems,
+         CAST(({_ES} // 3600) * 3600 AS BIGINT) AS bucket_ts
+  FROM events
+),
+closed AS (
+  SELECT * FROM e
+  WHERE (bucket_ts + 3600) * 1000 <= (SELECT MAX(ems) FROM e) - 3600000
+),
+agg AS (
+  SELECT event_type, bucket_ts,
+         COUNT(value) AS n_points,
+         {{QSUM}} AS sum_value,
+         {{QAVG}} AS avg_value,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value
+  FROM closed GROUP BY 1, 2
+),
+lastv AS (
+  SELECT event_type, bucket_ts, value AS last_value FROM (
+    SELECT event_type, bucket_ts, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts
+                              ORDER BY es DESC, value DESC) AS rn
+    FROM closed WHERE value IS NOT NULL) t
+  WHERE rn = 1
+)
+SELECT a.event_type, a.bucket_ts, a.n_points, a.sum_value, a.avg_value,
+       a.min_value, a.max_value, l.last_value
+FROM agg a
+LEFT JOIN lastv l ON l.event_type = a.event_type AND l.bucket_ts = a.bucket_ts
+""".replace("{QSUM}", QSUM_SQL.format(x="value")).replace(
+    "{QAVG}", QAVG_SQL.format(x="value")
+)
+
+
 QUERIES = {
     "streaming_rollup_1h": streaming_rollup_1h,
     "streaming_session_windows": streaming_session_windows,
     "streaming_ewma": streaming_ewma,
     "streaming_counter_resets": streaming_counter_resets,
+    "streaming_sharded_rollup": streaming_sharded_rollup,
 }
 
 ORACLE = {
     "streaming_rollup_1h": _STREAM_ROLLUP_SQL,
     "streaming_session_windows": _SESSION_SQL,
+    "streaming_sharded_rollup": _SHARDED_SQL,
     # streaming_ewma / streaming_counter_resets: stateful recurrences,
     # non-SQL-expressible → rows-only checks per the driver contract.
 }

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kenshin_backup_spark.functions.deterministic import QUANT
@@ -180,5 +180,93 @@ def write_rollup_sink(
     return (
         streaming_df.writeStream.foreachBatch(_write)
         .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+# --- T6 sharding + T5 overflow protection ---------------------------------
+
+def shard_key(col: Column | str, n_shards: int) -> Column:
+    """Deterministic shard id: ``pmod(xxhash64(key), n_shards)``. The Spark
+    rendering of the reference's consistent-hash relay sharding (T6): the
+    same metric always lands on the same shard, shards are balanced by the
+    hash, and downstream consumers can subscribe per shard directory."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(n_shards)).cast("int")
+
+
+def cap_points_per_key(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    max_points: int,
+) -> DataFrame:
+    """T5 overflow protection, the reference's MAX_CACHE_SIZE drop policy:
+    keep at most ``max_points`` NEWEST points per key (ties broken on the
+    value column set deterministically by the full ordering), dropping the
+    overflow instead of OOM-ing the state store.
+
+    Batch/foreachBatch operator: inside a micro-batch this bounds what one
+    batch may contribute per key; the watermark bounds state across
+    batches — together they cap memory exactly like the reference's
+    bounded per-metric cache queue.
+    """
+    order = [F.desc(ts_col)] + [F.desc(c) for c in df.columns if c not in key_cols + [ts_col]]
+    w = W.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_points)
+        .drop("__rn")
+    )
+
+
+def bounded_file_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    *,
+    max_files_per_trigger: int | None = None,
+):
+    """File-stream reader with source-side backpressure (T5's other half):
+    ``maxFilesPerTrigger`` bounds each micro-batch's input volume so a
+    backlog burst degrades into more batches instead of one giant batch
+    that overflows executor memory."""
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(src_dir)
+
+
+def write_sharded_sink(
+    streaming_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    shard_col: str = "metric",
+    n_shards: int = 8,
+):
+    """T6 sharded append sink: watermark-CLOSED windows (append mode) land
+    in ``shard=<k>/date=<d>/`` parquet directories. Sharding is computed
+    per row from the metric key — a 1000-executor writer fans out with no
+    coordination, and per-shard consumers tail only their directory.
+
+    Append mode means every bucket is written exactly once, when the
+    watermark closes it — no upsert/merge machinery needed (contrast
+    :func:`write_rollup_sink`, the update-mode path for open buckets).
+    """
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("shard", shard_key(shard_col, n_shards))
+            .withColumn("date", F.to_date(F.timestamp_seconds(F.col("bucket_ts"))))
+            .write.mode("append")
+            .partitionBy("shard", "date")
+            .parquet(path)
+        )
+
+    return (
+        streaming_df.writeStream.foreachBatch(_write)
+        .outputMode("append")
         .option("checkpointLocation", checkpoint)
     )

@@ -201,3 +201,57 @@ def test_stream_rollup_equals_batch(spark, tmp_path):
     a = sorted(map(tuple, got.select(cols).collect()))
     b = sorted(map(tuple, want.select(cols).collect()))
     assert a == b
+
+
+def test_cap_points_per_key_keeps_newest(spark):
+    """T5 overflow guard: at most max_points NEWEST rows survive per key."""
+    from kenshin_backup_spark.streaming.ingest import cap_points_per_key
+
+    utc = dt.timezone.utc
+    rows = [
+        ("m1", dt.datetime.fromtimestamp(100 + i, utc), float(i)) for i in range(10)
+    ] + [("m2", dt.datetime.fromtimestamp(50, utc), 1.0)]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    capped = cap_points_per_key(df, key_cols=["metric"], max_points=3)
+    got = {
+        (r.metric, r.value) for r in capped.collect()
+    }
+    # m1: only the 3 newest (values 7,8,9); m2: under the cap, untouched
+    assert got == {("m1", 7.0), ("m1", 8.0), ("m1", 9.0), ("m2", 1.0)}
+
+
+def test_bounded_file_stream_backpressure(spark, tmp_path):
+    """T5 source backpressure: maxFilesPerTrigger=1 over a 3-file source
+    must split the work into >= 3 micro-batches with no row loss."""
+    from kenshin_backup_spark.streaming.ingest import bounded_file_stream
+
+    utc = dt.timezone.utc
+    src = str(tmp_path / "burst")
+    total = 0
+    for f in range(3):
+        rows = [
+            ("m", dt.datetime.fromtimestamp(1000 * f + i, utc), float(i))
+            for i in range(20)
+        ]
+        total += len(rows)
+        df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    stream = bounded_file_stream(
+        spark, src, "metric string, ts timestamp, value double",
+        max_files_per_trigger=1,
+    )
+    seen: list[tuple[int, int]] = []
+
+    def _collect(batch_df, epoch_id):
+        seen.append((epoch_id, batch_df.count()))
+
+    q = (
+        stream.writeStream.foreachBatch(_collect)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen) >= 3, seen
+    assert sum(n for _, n in seen) == total
