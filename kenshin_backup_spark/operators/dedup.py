@@ -148,9 +148,19 @@ def ngram_jaccard_pairs(
     # pipeline per consumer (measured 13× slower). At 100 TB this persist
     # becomes a materialized shingle/posting table on storage.
     shingled = shingled.persist()
-    posting = shingled.select(
-        "id", *(["blk"] if block_col else []), F.explode("sh").alias("g")
-    ).persist()
+    # Posting keys are xxhash64 of the shingle, not the string: the
+    # df-count and self-join shuffles then carry 8-byte longs instead of
+    # ~25-byte gram strings (standard posting-list key compression;
+    # a 2^-64 gram collision would merge two posting lists — negligible,
+    # and caught downstream when an exact-verify stage re-checks pairs).
+    posting = (
+        shingled.select(
+            "id", *(["blk"] if block_col else []), F.explode("sh").alias("gs")
+        )
+        .withColumn("g", F.xxhash64("gs"))
+        .drop("gs")
+        .persist()
+    )
     if max_df is not None:
         keep = (
             posting.groupBy("g")
