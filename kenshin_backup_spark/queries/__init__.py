@@ -87,8 +87,9 @@ _MODULES = (
 #: (semi/anti/outer/range/as-of), window ranking + frames, grouping sets,
 #: set ops, all five scalar families, the LLM dedup tiers (exact, capped
 #: n-gram, SimHash-md5, connected components, LSH-verified), similarity
-#: (exact top-k, IVF, bucketed SRP near-dup), text, multimodal, sources,
-#: graphite series functions, and streaming incl. the stream–stream join.
+#: (exact top-k, IVF, bucketed SRP near-dup), decontamination, text,
+#: multimodal, sources, graphite series functions, and streaming incl.
+#: the stream–stream join and the T5/T6 sharded append sink.
 #: Everything after the window keeps local oracle-parity coverage.
 _PRIORITY = (
     "tsdb_rollup_1h",
@@ -112,7 +113,7 @@ _PRIORITY = (
     "asof_purchase_last_click",
     "window_topk_parts_per_brand",
     "window_running_revenue",
-    "agg_rollup_flag_status",
+    "llm_decontamination",
     "agg_grouping_sets",
     "setops_customer_cohorts",
     "scalar_string_part_names",
@@ -138,7 +139,7 @@ _PRIORITY = (
     "graphite_summarize_top",
     "graphite_groupbynode_sum",
     "graphite_exclude_average",
-    "graphite_deviant_rank",
+    "streaming_sharded_rollup",
     "streaming_rollup_1h",
     "streaming_purchase_click_join",
 )

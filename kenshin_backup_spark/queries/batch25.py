@@ -103,8 +103,12 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"
         )
-        write_bucketed(li, lt, key="l_orderkey", buckets=8)
-        write_bucketed(orders, ot, key="o_orderkey", buckets=8)
+        write_bucketed(
+            li, lt, key="l_orderkey", buckets=8, path=_stage_dir(sf_dir, lt)
+        )
+        write_bucketed(
+            orders, ot, key="o_orderkey", buckets=8, path=_stage_dir(sf_dir, ot)
+        )
     j = bucketed_join(spark, lt, ot, ("l_orderkey", "o_orderkey"))
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return j.groupBy("o_orderpriority").agg(

@@ -25,20 +25,27 @@ def write_bucketed(
     key: str,
     buckets: int,
     sort: bool = True,
+    path: str | None = None,
 ) -> None:
     """Materialize ``df`` as a bucketed (and bucket-sorted) catalog table.
 
-    Drops any prior table AND its warehouse location first: the in-memory
+    Drops any prior table AND its storage location first: the in-memory
     catalog forgets tables between sessions but their files persist, and
     saveAsTable refuses an existing managed location.
+
+    ``path`` makes the table EXTERNAL at that location — pass a /tmp path
+    when the session's warehouse dir may not be writable (e.g. a harness
+    session whose cwd is arbitrary).
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+    loc = path or urlparse(spark.conf.get("spark.sql.warehouse.dir")).path + f"/{table.lower()}"
+    shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort:
         writer = writer.sortBy(key)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 
