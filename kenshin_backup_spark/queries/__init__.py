@@ -42,6 +42,7 @@ from kenshin_backup_spark.queries import (
     batch23,
     batch24,
     batch25,
+    batch26,
     llm,
     relational,
     relational2,
@@ -78,6 +79,7 @@ _MODULES = (
     batch23,
     batch24,
     batch25,
+    batch26,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
