@@ -43,6 +43,7 @@ from kenshin_backup_spark.queries import (
     batch24,
     batch25,
     batch26,
+    batch27,
     llm,
     relational,
     relational2,
@@ -80,6 +81,7 @@ _MODULES = (
     batch24,
     batch25,
     batch26,
+    batch27,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
