@@ -139,7 +139,13 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per customer, recency (days since last order),
     frequency (order count), monetary (quantized revenue) — each scored
     into quartiles with ``ntile(4)``. Ties are broken by customer key so
-    the quartile assignment is a total order in both engines."""
+    the quartile assignment is a total order in both engines.
+
+    Scale note: an unpartitioned ntile is a global sort — fine to ~10^8
+    customers (the aggregate is 4 longs/customer); beyond that, compute
+    approx quartile BOUNDARIES (approx_percentile, one pass) and assign
+    scores scan-side — same output contract, no global sort. The exact
+    ntile stays here because it is the oracle-checkable form."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
