@@ -44,6 +44,7 @@ from kenshin_backup_spark.queries import (
     batch25,
     batch26,
     batch27,
+    batch28,
     llm,
     relational,
     relational2,
@@ -82,6 +83,7 @@ _MODULES = (
     batch25,
     batch26,
     batch27,
+    batch28,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
