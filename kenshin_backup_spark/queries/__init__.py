@@ -45,6 +45,7 @@ from kenshin_backup_spark.queries import (
     batch26,
     batch27,
     batch28,
+    batch29,
     llm,
     relational,
     relational2,
@@ -84,6 +85,7 @@ _MODULES = (
     batch26,
     batch27,
     batch28,
+    batch29,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
