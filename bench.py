@@ -40,6 +40,11 @@ HEADLINE = [
     "text_quality_scores",
     "multimodal_decode_features",
     "streaming_rollup_1h",
+    # round-3 additions: track the round-2/3 operators round-over-round
+    "dedup_connected_components",
+    "dedup_embedding_cosine_bucketed",
+    "graphite_summarize_top",
+    "emb_ann_topk_srp",
 ]
 
 
@@ -60,7 +65,10 @@ def main() -> None:
 
     spark.range(1_000_000).agg(F.sum("id")).collect()
     for t in TABLES:
-        load_table(spark, SF_DIR, t).count()
+        try:
+            load_table(spark, SF_DIR, t).count()
+        except Exception:
+            pass
     warm_sf = "/root/testdata/sf0.001"
     for name in HEADLINE:
         try:
@@ -69,15 +77,22 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         # isolate queries: drop persisted intermediates (e.g. the dedup
         # shingle tables) so one query's cache doesn't tax the next
         spark.catalog.clearCache()
         fn = qs[name]
         t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # Per-query failure isolation: one crashing query must never
+        # discard the other timings or the JSON line (round-2 lesson —
+        # a single streaming failure cost the whole benchmark record).
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - report, don't die
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf_match = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else None
@@ -88,6 +103,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 

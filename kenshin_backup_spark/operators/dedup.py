@@ -341,6 +341,155 @@ def simhash_near_pairs(
     )
 
 
+#: Mersenne prime 2^31-1: the universal-hash modulus for portable MinHash.
+#: Products a·h stay < 2^62, so the arithmetic is exact int64 in ANY engine.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(num_hashes: int, *, seed: int = 42) -> list[tuple[int, int]]:
+    """Seeded (a, b) coefficients for the universal hash family
+    ``h_i(x) = (a_i·x + b_i) mod P`` — plain integers, so the same family
+    reproduces bit-for-bit in DuckDB (cf. :func:`srp_planes` for SRP)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randint(1, MINHASH_P - 1), rng.randint(0, MINHASH_P - 1))
+        for _ in range(num_hashes)
+    ]
+
+
+#: Positional weights for order-independent band keys: Σ mh_j · 31^j over a
+#: band's rows. With mh < 2^31 and Σ weights < 2^15 the sum is < 2^46 — no
+#: overflow, no modulus, exact in both engines.
+def _band_weights(rows_per_band: int) -> list[int]:
+    return [31**j for j in range(rows_per_band)]
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """X2: MinHash+LSH near-dup with PORTABLE integer hashing — the
+    oracle-checkable MinHash (the Spark-ML :func:`minhash_lsh_dupes` twin
+    uses private float hash families and is rows-only).
+
+    Pipeline, all codegen (zero UDFs, zero cross joins):
+
+    1. distinct word-``n``-gram shingles (materialized — see
+       :func:`shingles_from_words`);
+    2. per-shingle portable hash ``md5_hash60 mod P`` (P = 2^31−1);
+    3. ``num_hashes`` universal-hash minima per doc, computed ARRAY-SIDE
+       (``array_min ∘ transform``) — signatures never shuffle raw shingles;
+    4. ``bands`` band keys via positional 31^j folds → explode →
+       self equi-join on (band, key) → distinct candidate pairs
+       (standard b×r banding: P[collide] = 1−(1−j^r)^b);
+    5. exact shingle-set Jaccard verify on candidates only
+       (``array_intersect`` on the materialized shingle arrays).
+
+    Every stage is integer-deterministic, so candidate generation AND
+    verification reproduce exactly in DuckDB — recall is approximate
+    (banding may miss true pairs) but the RESULT is fully oracle-checked.
+
+    At 100 TB: signature cost is a scan-side O(k·|sh|) per doc; the only
+    shuffles are the (band, key) equi-join (bucket sizes tuned by b/r) and
+    the candidate-pair verify join — the same two-tier LSH→verify shape as
+    the production MinHash dedup.
+
+    Returns ``(id_a, id_b, common, size_a, size_b, jaccard)``.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows_per_band = num_hashes // bands
+    params = minhash_params(num_hashes, seed=seed)
+    weights = _band_weights(rows_per_band)
+
+    shingled = (
+        with_shingles(
+            df.select(F.col(id_col).alias("id"), F.col(text_col)),
+            text_col=text_col,
+            n=n,
+        )
+        .where(F.size("sh") > 0)
+        .select("id", "sh")
+        .withColumn(
+            "__hm",
+            F.transform(
+                F.col("sh"), lambda g: F.pmod(md5_hash60(g), F.lit(MINHASH_P))
+            ),
+        )
+        .persist()
+    )
+    def _perm(a: int, b: int):
+        # closure factory, not default-args: PySpark reads lambda arity
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_P))
+
+    mh = [
+        F.array_min(F.transform(F.col("__hm"), _perm(a, b))).cast("long")
+        for (a, b) in params
+    ]
+    band_keys = [
+        sum(
+            mh[bi * rows_per_band + j] * F.lit(weights[j])
+            for j in range(rows_per_band)
+        ).alias(f"__k{bi}")
+        for bi in range(bands)
+    ]
+    sigs = shingled.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"), band_keys[bi].alias("key"))
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh_a = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("common"),
+            F.size("sh_a").cast("long").alias("size_a"),
+            F.size("sh_b").cast("long").alias("size_b"),
+        )
+        .withColumn(
+            "jaccard",
+            (
+                F.col("common")
+                / (F.col("size_a") + F.col("size_b") - F.col("common"))
+            ).cast("double"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold)
+
+
 def minhash_lsh_dupes(
     df: DataFrame,
     *,

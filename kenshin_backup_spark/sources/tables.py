@@ -45,14 +45,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # TIMESTAMP(NANOS) columns surface as epoch-nanos BIGINT under
-    # spark.sql.legacy.parquet.nanosAsLong: convert to TimestampType (µs).
-    # Integer DIV keeps full precision (ns values exceed double's 2^53).
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    if name == "events":
+        df = normalize_event_time(df)
+    return df
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TimestampType regardless of how
+    the parquet writer encoded it. The testdata's encoding has changed
+    between driver rounds, so all three observed encodings are handled:
+
+    - TIMESTAMP(NANOS) surfaces as epoch-nanos BIGINT under
+      ``spark.sql.legacy.parquet.nanosAsLong``; integer DIV keeps full
+      precision (ns values exceed double's 2^53).
+    - plain ``timestamp[us]`` (isAdjustedToUTC=false) reads as
+      TIMESTAMP_NTZ under Spark 4's ``inferTimestampNTZ`` default; with the
+      session tz pinned to UTC the cast to TIMESTAMP is value-preserving.
+      (``withWatermark`` rejects NTZ event time, so this is load-bearing
+      for the streaming path, not a cosmetic cast.)
+    - TIMESTAMP (LTZ) passes through untouched.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -186,3 +186,71 @@ def test_srp_bucketed_pairs_subset_of_exact(spark):
         assert v == exact[k]
     assert (0, 100) in bucketed          # identical vectors never missed
     assert (1, 101) in bucketed
+
+
+def test_srp_topk_subset_of_exact_with_same_scores(spark):
+    """srp_topk's neighbors are a subset of the brute-force candidate
+    universe with identical quantized-exact cosines; identical vectors
+    (sharing every band) are always each other's rank-1."""
+    import random
+
+    from kenshin_backup_spark.operators.similarity import cosine_topk, srp_topk
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    rows.append((200, rows[0][1]))  # exact duplicate of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where("vec_id < 5 OR vec_id = 200")
+
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(queries, df, k=1000).collect()
+    }
+    approx = srp_topk(queries, df, k=5).collect()
+    assert len(approx) > 0
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact_all
+        assert r["cosine"] == exact_all[key]
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in approx if r["rank"] == 1}
+    assert rank1[0] == 200 and rank1[200] == 0  # identical pair never missed
+
+
+def test_minhash_portable_recalls_duplicates_exact_jaccard(spark):
+    """Portable MinHash: identical docs (identical signatures ⇒ identical
+    band keys) are always recalled; reported jaccard equals the exact
+    shingle-set jaccard from the posting-join twin; no pair below the
+    threshold survives the verify stage."""
+    from kenshin_backup_spark.operators.dedup import (
+        minhash_portable_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the old wooden fence near the garden gate"
+    )
+    rows = [
+        (0, base),
+        (1, base),                                  # exact dup
+        (2, base.replace("lazy", "sleepy")),        # near dup
+        (3, "completely different text about spark shuffles and "
+            "partitions and adaptive query execution at scale"),
+        (4, "ok"),                                  # < 3 words: no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["jaccard"], r["common"])
+        for r in minhash_portable_pairs(df, threshold=0.3).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): (r["jaccard"], r["common"])
+        for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    assert (0, 1) in got                      # identical docs always recalled
+    assert got[(0, 1)][0] == 1.0
+    for k, v in got.items():
+        assert v == exact[k]                  # verify stage is exact
+        assert v[0] >= 0.3
+    assert all(4 not in k for k in got)       # shingle-less doc excluded
