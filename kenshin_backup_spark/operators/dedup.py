@@ -417,7 +417,6 @@ def minhash_portable_pairs(
             text_col=text_col,
             n=n,
         )
-        .where(F.size("sh") > 0)
         .select("id", "sh")
         .withColumn(
             "__hm",
@@ -426,6 +425,10 @@ def minhash_portable_pairs(
             ),
         )
         .persist()
+        # filter ABOVE the persist boundary: pushed below it, Catalyst
+        # duplicates the whole normalize→shingle pipeline into the scan's
+        # data filter and the cache build pays it twice
+        .where(F.size("sh") > 0)
     )
     def _perm(a: int, b: int):
         # closure factory, not default-args: PySpark reads lambda arity
@@ -442,17 +445,24 @@ def minhash_portable_pairs(
         ).alias(f"__k{bi}")
         for bi in range(bands)
     ]
-    sigs = shingled.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(bi).alias("band"), band_keys[bi].alias("key"))
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sigs = (
+        shingled.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(bi).alias("band"), band_keys[bi].alias("key"))
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        # both sides of the band self-join read sigs; without persist the
+        # k·|sh| minhash transforms run twice (visible in the physical plan
+        # as two identical Generate subtrees)
+        .persist()
+    )
 
     a = sigs.alias("a")
     b = sigs.alias("b")

@@ -171,9 +171,11 @@ def cosine_near_pairs_bucketed(
     base = df.select(
         F.col(id_col).alias("id"), quantize_vec(vec_col).alias("v")
     ).withColumn("n2", qdot(F.col("v"), F.col("v")))
+    # persist: both sides of the band self-join read the signatures; without
+    # it the num_planes 64-dim projections run twice
     sigs = _srp_band_keys(
         base, id_out="id", num_planes=num_planes, bands=bands, dim=dim, seed=seed
-    )
+    ).persist()
 
     a = sigs.alias("a")
     b = sigs.alias("b")
