@@ -47,6 +47,7 @@ from kenshin_backup_spark.queries import (
     batch28,
     batch29,
     batch30,
+    batch31,
     llm,
     relational,
     relational2,
@@ -88,6 +89,7 @@ _MODULES = (
     batch28,
     batch29,
     batch30,
+    batch31,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry

@@ -101,3 +101,32 @@ def test_policy_first_match_is_deterministic(spark):
                 want[n] = p.name
                 break
     assert got == want
+
+
+def test_cusum_window_reduction_equals_recursion(spark):
+    """The CUSUM query computes s_k = max(0, s_{k-1} + y_k) as
+    S_k − min(0, min_{j≤k} S_j) (prefix sum minus clamped running min).
+    Pin the algebraic reduction against the direct recursion on random
+    integer series — many cases batched into one Spark job."""
+    rng = random.Random(11)
+    rows = []
+    expected = {}
+    for case in range(25):
+        n = rng.randint(1, 40)
+        ys = [rng.randint(-50, 50) for _ in range(n)]
+        s = 0
+        for k, y in enumerate(ys):
+            s = max(0, s + y)
+            expected[(case, k)] = s
+        rows.extend((case, k, y) for k, y in enumerate(ys))
+    df = spark.createDataFrame(rows, "case long, k long, y long")
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("case").orderBy("k")
+    run = df.withColumn("S", F.sum("y").over(w))
+    out = run.withColumn(
+        "smin", F.min(F.least(F.col("S"), F.lit(0))).over(w)
+    ).select("case", "k", (F.col("S") - F.col("smin")).alias("cusum"))
+    got = {(r["case"], r["k"]): r["cusum"] for r in out.collect()}
+    assert got == expected

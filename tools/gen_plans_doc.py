@@ -56,7 +56,61 @@ SHOWCASE = [
         "expression — the plan has zero exchanges below the final "
         "5-group aggregate.",
     ),
+    (
+        "dedup_embedding_cosine_bucketed",
+        "Bucketed embedding near-dup (round 2): ONLY hash equi-joins — the "
+        "operator exists to remove the all-pairs a.id<b.id "
+        "BroadcastNestedLoopJoin; SRP signatures are scan-side expressions.",
+    ),
+    (
+        "llm_decontamination",
+        "Decontamination (round 2): the benchmark gram set is "
+        "distinct+broadcast; the corpus explodes grams scan-side and "
+        "equi-joins the broadcast — zero corpus shuffle before the "
+        "per-doc count.",
+    ),
+    (
+        "emb_ann_topk_srp",
+        "Scalable ANN top-k (round 3): no cross join anywhere (contrast "
+        "emb_cosine_topk's deliberate broadcast NLJ); Spark inserts "
+        "WindowGroupLimit Partial/Final so the per-query top-k is pruned "
+        "map-side before the rank shuffle.",
+    ),
+    (
+        "dedup_minhash_portable",
+        "Portable MinHash LSH (round 3): persisted shingle+hash cache feeds "
+        "array-side signature minima, band-key Generate, band equi-join, "
+        "and the exact array_intersect Jaccard verify applied INSIDE the "
+        "join — all joins are hash equi-joins.",
+    ),
 ]
+
+FOOTER = """
+## Plan-shape lessons (measured, round 3)
+
+- **Persist the signature frame, not just the shingle frame.** Both sides
+  of an LSH band self-join read the signatures; without `sigs.persist()`
+  the plan shows two identical Generate subtrees — the k·|sh| minhash
+  transforms (and the 16×64 SRP projections in the embedding twin) run
+  twice. (`operators/dedup.py minhash_portable_pairs`,
+  `operators/similarity.py cosine_near_pairs_bucketed`.)
+- **Filter above the persist boundary.** `where(size(sh) > 0)` below the
+  persist gets pushed into the scan as a data filter, duplicating the
+  whole normalize→shingle pipeline into the cache build (measured
+  5.6 s → 2.0 s at sf0.1 when moved above). Catalyst pushdown is usually
+  free performance; above a cache boundary it can double expensive
+  projections.
+- **Emit literal matrices as ONE parsed SQL literal.** Building a 16×64
+  plane matrix from per-element `F.lit` calls costs ~1.6 s of driver-side
+  py4j round-trips per call site; `F.expr("array(array(...),...)")`
+  parses JVM-side in milliseconds and constant-folds identically.
+- **streaming_update_sink_rollup** is not a single plan: four micro-batch
+  executions of the streaming rollup, each ending in
+  `upsert_rollup_partitions`' read-merge-rewrite (broadcast join on
+  touched dates + left-anti on revised buckets + dynamic partition
+  overwrite). The oracle equality proves the merge preserved every
+  un-revised bucket across the replayed batches.
+"""
 
 
 def main() -> None:
@@ -82,6 +136,7 @@ def main() -> None:
             text = re.sub(r"Output \[\d+\]: \[[^\]]*\]", "Output: [...]", text)
             text = re.sub(r"Arguments: [^\n]{120,}", "Arguments: [...]", text)
             out.append(f"## {name}\n\n{why}\n\n```\n{text.strip()}\n```\n")
+    out.append(FOOTER)
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")
