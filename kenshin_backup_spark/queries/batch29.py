@@ -28,19 +28,30 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each word contributes only its FIRST-occurrence doc (min
     doc_id per word — one shuffle keyed by word), then a 10-row decile
-    aggregation; the corpus is never re-scanned per decile."""
+    aggregation; the corpus is never re-scanned per decile. The doc count
+    feeding the decile boundaries is a broadcast 1-row aggregate (scalar
+    subquery shape), keeping everything one plan — no driver collect."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (normalize_text("text") != "")
     )
-    n_docs = docs.count()  # driver scalar: decile boundaries only
-    base = docs.select(
-        "doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("word")
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    base = (
+        docs.crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "n_docs",
+            F.explode(F.split(normalize_text("text"), " ")).alias("word"),
+        )
     )
-    decile = F.floor(F.col("doc_id") * 10 / F.lit(n_docs)).cast("long")
-    first = base.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    decile = F.floor(F.col("doc_id") * 10 / F.col("n_docs")).cast("long")
+    first = base.groupBy("word").agg(
+        F.min("doc_id").alias("first_doc"), F.min("n_docs").alias("n_docs")
+    )
     vocab_per = (
         first.select(
-            F.floor(F.col("first_doc") * 10 / F.lit(n_docs)).cast("long").alias("decile")
+            F.floor(F.col("first_doc") * 10 / F.col("n_docs"))
+            .cast("long")
+            .alias("decile")
         )
         .groupBy("decile")
         .agg(F.count(F.lit(1)).alias("new_words"))
@@ -50,13 +61,19 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(F.count(F.lit(1)).alias("tokens"))
     )
+    # token deciles are the spine (every decile has tokens); deciles where
+    # no NEW word appears must still show with their cumulative vocab — an
+    # inner join would truncate the curve to first-occurrence deciles only
     w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
     return (
-        vocab_per.join(toks_per, "decile")
+        toks_per.join(vocab_per, "decile", "left")
         .select(
             F.col("decile").cast("long").alias("decile"),
             F.sum("tokens").over(w).cast("long").alias("cum_tokens"),
-            F.sum("new_words").over(w).cast("long").alias("cum_vocab"),
+            F.sum(F.coalesce("new_words", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
         )
     )
 
@@ -83,12 +100,12 @@ toks_per AS (
          COUNT(*) AS tokens
   FROM base GROUP BY 1
 )
-SELECT v.decile,
-       SUM(t.tokens) OVER (ORDER BY v.decile
+SELECT t.decile,
+       SUM(t.tokens) OVER (ORDER BY t.decile
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
-       SUM(v.new_words) OVER (ORDER BY v.decile
+       SUM(COALESCE(v.new_words, 0)) OVER (ORDER BY t.decile
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
-FROM vocab_per v JOIN toks_per t ON t.decile = v.decile
+FROM toks_per t LEFT JOIN vocab_per v ON v.decile = t.decile
 """
 
 
@@ -103,7 +120,9 @@ def text_zipf_topwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(F.split(normalize_text("text"), " ")).alias("word")
     ).where(F.col("word") != "")
-    total = words.count()  # driver scalar for the share denominator
+    # share denominator as a broadcast 1-row aggregate (scalar-subquery
+    # shape) — one plan, no driver collect
+    total = words.agg(F.count(F.lit(1)).cast("double").alias("t"))
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     w = W.orderBy(F.desc("n"), F.asc("word"))
     return (
@@ -111,11 +130,12 @@ def text_zipf_topwords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word", "n", F.row_number().over(w).cast("long").alias("rank")
         )
         .where(F.col("rank") <= 50)
+        .crossJoin(F.broadcast(total))
         .select(
             "rank",
             "word",
             F.col("n").cast("long").alias("n"),
-            (F.col("n").cast("double") / F.lit(float(total))).alias("share"),
+            (F.col("n").cast("double") / F.col("t")).alias("share"),
         )
     )
 

@@ -39,7 +39,9 @@ def test_queries_rerun_in_same_session(spark):
     correctness): temp views, persisted inputs, and streaming memory sinks
     must not collide or change results."""
     for name in ("tsdb_rollup_1h", "tpch_q17_small_quantity",
-                 "dedup_ngram_jaccard", "streaming_rollup_1h"):
+                 "dedup_ngram_jaccard", "streaming_rollup_1h",
+                 "streaming_update_sink_rollup", "emb_ann_topk_srp",
+                 "dedup_minhash_portable"):
         a = QUERIES[name](spark, SF_SMOKE).count()
         b = QUERIES[name](spark, SF_SMOKE).count()
         assert a == b, name
