@@ -147,7 +147,7 @@ _PRIORITY = (
     "window_range_7day_sum",
     "window_first_last_nth",
     "agg_median_quantity",
-    "scalar_regexp_extract_all",
+    "streaming_drawdown",
     "tsdb_time_weighted_avg",
     "tsdb_interpolate_linear",
     "tsdb_anomaly_mad",

@@ -178,6 +178,46 @@ def streaming_counter_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def streaming_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric running peak / drawdown as a CUSTOM STATEFUL streaming
+    operator (applyInPandasWithState; the transformWithStateInPandas twin
+    exists in streaming/stateful.py but that API's state server needs
+    protobuf, absent in this container). Unlike the EWMA/counter-reset
+    recurrences, running max has no float accumulation, so this stateful
+    query is EXACTLY the batch window ``max() OVER (ORDER BY es,
+    event_id)`` — the rare arbitrary-state operator with a full oracle."""
+    from kenshin_backup_spark.streaming.stateful import drawdown_stream
+
+    stream = _events_stream(spark, sf_dir).withColumnRenamed("event_type", "metric")
+    out = run_stream_to_memory(
+        spark, drawdown_stream(stream), output_mode="append"
+    )
+    return out.select(
+        "metric",
+        F.col("es").cast("long").alias("es"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+        "peak",
+        "drawdown",
+    )
+
+
+_DRAWDOWN_SQL = f"""
+WITH e AS (
+  SELECT event_type AS metric, event_id, value,
+         CAST({_ES} AS BIGINT) AS es
+  FROM events
+)
+SELECT metric, es, event_id, value,
+       MAX(value) OVER (PARTITION BY metric ORDER BY es, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+       MAX(value) OVER (PARTITION BY metric ORDER BY es, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - value
+         AS drawdown
+FROM e
+"""
+
+
 def streaming_sharded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 sharding + T5 backpressure end-to-end: the events stream rolls up
     in APPEND mode (only watermark-closed 1h buckets are emitted, each
@@ -270,12 +310,15 @@ QUERIES = {
     "streaming_ewma": streaming_ewma,
     "streaming_counter_resets": streaming_counter_resets,
     "streaming_sharded_rollup": streaming_sharded_rollup,
+    "streaming_drawdown": streaming_drawdown,
 }
 
 ORACLE = {
     "streaming_rollup_1h": _STREAM_ROLLUP_SQL,
     "streaming_session_windows": _SESSION_SQL,
     "streaming_sharded_rollup": _SHARDED_SQL,
-    # streaming_ewma / streaming_counter_resets: stateful recurrences,
-    # non-SQL-expressible → rows-only checks per the driver contract.
+    # streaming_ewma / streaming_counter_resets: stateful recurrences with
+    # float accumulation, non-SQL-expressible → rows-only checks.
+    # streaming_drawdown: running max has NO accumulation → exact oracle.
+    "streaming_drawdown": _DRAWDOWN_SQL,
 }

@@ -122,3 +122,36 @@ def test_heatmap_single_exchange(spark):
     with without_aqe(spark):
         text = explain_str(df, "simple")
     assert text.count("Exchange hashpartitioning") == 1, text
+
+
+def test_srp_topk_has_no_cross_join(spark):
+    """The scalable ANN top-k must contain no cross join (the brute-force
+    twin's deliberate BroadcastNestedLoopJoin is exactly what it replaces)
+    and must use WindowGroupLimit so the per-query top-k prunes map-side."""
+    from kenshin_backup_spark.queries.batch30 import emb_ann_topk_srp
+
+    df = emb_ann_topk_srp(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+    assert "WindowGroupLimit" in text
+
+
+def test_minhash_portable_has_no_cross_join(spark):
+    """Portable MinHash: band equi-join + verify join only."""
+    from kenshin_backup_spark.queries.batch30 import dedup_minhash_portable
+
+    df = dedup_minhash_portable(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+
+
+def test_hybrid_search_no_corpus_self_join_blowup(spark):
+    """Hybrid retrieval: the corpus appears via the posting equi-join and
+    the candidate verify joins — never a cross join."""
+    from kenshin_backup_spark.queries.batch31 import hybrid_search_rrf
+
+    df = hybrid_search_rrf(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
