@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_embedding_cosine_bucketed",
     "graphite_summarize_top",
     "emb_ann_topk_srp",
+    "hybrid_search_rrf",
 ]
 
 

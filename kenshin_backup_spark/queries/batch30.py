@@ -126,8 +126,13 @@ def streaming_update_sink_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune(spark)
+    from kenshin_backup_spark.sources.tables import staging_fingerprint
+
     safe = sf_dir.strip("/").replace("/", "_")
-    src_dir = f"/tmp/kenshin_stream_src/{safe}/events_split4"
+    # Fingerprinted: a path-keyed copy would replay stale data after the
+    # driver regenerates testdata (see sources.tables.staging_fingerprint).
+    fp = staging_fingerprint(sf_dir, tables=("events",))
+    src_dir = f"/tmp/kenshin_stream_src/{safe}/events_split4_{fp}"
     if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
         # Stage once per sf_dir: deterministic input, only layout varies.
         load_table(spark, sf_dir, "events").repartition(4).write.mode(

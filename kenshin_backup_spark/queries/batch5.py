@@ -16,8 +16,13 @@ _ES = EPOCH_S_SQL.format(x="ts")
 
 
 def _stage_dir(sf_dir: str, fmt: str) -> str:
+    # fingerprinted: the driver regenerates testdata between rounds at the
+    # same paths — a path-keyed cache would replay stale data (see
+    # sources.tables.staging_fingerprint)
+    from kenshin_backup_spark.sources.tables import staging_fingerprint
+
     safe = sf_dir.strip("/").replace("/", "_")
-    return f"/tmp/kenshin_stage/{safe}/{fmt}"
+    return f"/tmp/kenshin_stage/{safe}/{fmt}_{staging_fingerprint(sf_dir)}"
 
 
 # --- Source formats (S-family breadth): CSV / JSON file readers --------------

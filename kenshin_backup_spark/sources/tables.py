@@ -47,6 +47,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_time(df)
+    return normalize_ntz(df)
+
+
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP (session tz is pinned
+    UTC, so the cast is value-preserving). The testdata's temporal columns
+    have flipped physical encoding between driver rounds (ms → us/NTZ);
+    most functions treat NTZ/LTZ alike under UTC, but event-time APIs
+    (withWatermark) and interval arithmetic do not — normalizing at load
+    makes every downstream operator encoding-agnostic."""
+    from pyspark.sql import functions as F
+
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -73,6 +88,23 @@ def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     if dtype == "timestamp_ntz":
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
+
+
+def staging_fingerprint(
+    sf_dir: str, tables: tuple[str, ...] = ("events", "orders", "lineitem")
+) -> str:
+    """Content fingerprint of the source tables a /tmp staging copy derives
+    from. The driver REGENERATES testdata between rounds at the same paths;
+    a staging dir keyed only by path would silently replay last round's
+    data. Keying the dir by (size, mtime_ns) of the sources makes every
+    regeneration a cache miss."""
+    import hashlib
+
+    parts = []
+    for t in tables:
+        st = os.stat(f"{sf_dir}/{t}.parquet")
+        parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
 def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:

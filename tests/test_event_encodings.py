@@ -129,3 +129,15 @@ def test_normalize_event_time_passthrough(spark):
     assert dict(out.dtypes)["ts"] == "timestamp"
     df2 = spark.range(3)
     assert normalize_event_time(df2).columns == ["id"]
+
+
+def test_all_tables_load_with_no_ntz_columns(spark):
+    """load_table normalizes every TIMESTAMP_NTZ column (any table) to
+    TIMESTAMP — orders/lineitem date columns have also flipped encodings
+    between rounds."""
+    from kenshin_backup_spark.sources import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, "/root/testdata/sf0.001", t)
+        ntz = [c for c, ty in df.dtypes if ty == "timestamp_ntz"]
+        assert ntz == [], f"{t}: {ntz}"
