@@ -254,3 +254,56 @@ def test_minhash_portable_recalls_duplicates_exact_jaccard(spark):
         assert v == exact[k]                  # verify stage is exact
         assert v[0] >= 0.3
     assert all(4 not in k for k in got)       # shingle-less doc excluded
+
+
+def test_ann_paths_recall_on_clustered_vectors(spark):
+    """Recall evidence for the rows-only ANN twins (BRP-LSH, IVF): on
+    well-separated clusters (the embeddings fixture's ground-truth shape),
+    each query's approximate top-5 must substantially overlap the exact
+    top-5, and every returned cosine must equal the exact score (the
+    approximation is WHICH candidates are scored, never the score)."""
+    import random
+
+    from kenshin_backup_spark.operators.similarity import (
+        brp_lsh_topk,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    rng = random.Random(5)
+    centers = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(4)]
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(25):
+            rows.append((vid, [x + rng.uniform(-0.05, 0.05) for x in c]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where("vec_id % 25 = 0")  # one query per cluster
+
+    exact = {}
+    for r in cosine_topk(queries, df, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(queries, df, k=1000).collect()
+    }
+
+    for name, fn in (
+        ("ivf", lambda: ivf_topk(queries, df, k=5, n_centroids=4, nprobe=2)),
+        ("brp", lambda: brp_lsh_topk(queries, df, k=5)),
+    ):
+        got = {}
+        rows_out = fn().collect()
+        for r in rows_out:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        # per-query overlap with exact top-5 (clusters are well separated,
+        # so probing the right bucket recovers most true neighbors)
+        total_overlap = sum(
+            len(got.get(q, set()) & nb) for q, nb in exact.items()
+        )
+        assert total_overlap >= 0.6 * sum(len(nb) for nb in exact.values()), name
+        if name == "ivf":  # ivf reports quantized-exact cosines
+            for r in rows_out:
+                key = (r["query_id"], r["neighbor_id"])
+                assert r["cosine"] == exact_scores[key], (name, key)
