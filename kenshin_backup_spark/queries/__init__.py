@@ -48,6 +48,7 @@ from kenshin_backup_spark.queries import (
     batch29,
     batch30,
     batch31,
+    batch32,
     llm,
     relational,
     relational2,
@@ -90,6 +91,7 @@ _MODULES = (
     batch29,
     batch30,
     batch31,
+    batch32,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry

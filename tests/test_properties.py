@@ -130,3 +130,32 @@ def test_cusum_window_reduction_equals_recursion(spark):
     ).select("case", "k", (F.col("S") - F.col("smin")).alias("cusum"))
     got = {(r["case"], r["k"]): r["cusum"] for r in out.collect()}
     assert got == expected
+
+
+def test_approx_percentiles_within_rank_error_of_exact(spark):
+    """Error-bound evidence for the rows-only approx_event_percentiles:
+    percentile_approx(accuracy=10000) guarantees rank error <= n/10000.
+    Against the exact sorted values per metric at sf0.001, each reported
+    quantile must fall inside the worst-case rank window."""
+    from kenshin_backup_spark import queries as reg
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (r["p50"], r["p95"], r["p99"])
+        for r in reg.queries()["approx_event_percentiles"](spark, sf).collect()
+    }
+    from kenshin_backup_spark.sources import load_table
+
+    ev = load_table(spark, sf, "events").select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        slack = max(1, (n + 9999) // 10000)  # ceil(n/accuracy), >= 1 rank
+        for q, approx in zip((0.50, 0.95, 0.99), got[et]):
+            target = int(q * n)
+            lo = vals[max(0, target - slack - 1)]
+            hi = vals[min(n - 1, target + slack)]
+            assert lo <= approx <= hi, (et, q, approx, lo, hi)
