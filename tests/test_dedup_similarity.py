@@ -307,3 +307,19 @@ def test_ann_paths_recall_on_clustered_vectors(spark):
             for r in rows_out:
                 key = (r["query_id"], r["neighbor_id"])
                 assert r["cosine"] == exact_scores[key], (name, key)
+
+
+def test_kmeans_clusters_deterministic_and_total(spark):
+    """emb_kmeans_clusters (rows-only): seeded k-means must partition ALL
+    vectors into exactly k clusters and reproduce identically across runs
+    in the same session (the determinism the rows-only check relies on).
+    No purity assertion: the fixture's labels are not geometrically
+    separable (measured ~0.17 at k=10)."""
+    from kenshin_backup_spark.queries.batch13 import emb_kmeans_clusters
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(tuple(r) for r in emb_kmeans_clusters(spark, sf).collect())
+    b = sorted(tuple(r) for r in emb_kmeans_clusters(spark, sf).collect())
+    assert a == b
+    assert len(a) == 10
+    assert sum(r[1] for r in a) == 500  # every vector assigned

@@ -159,3 +159,47 @@ def test_approx_percentiles_within_rank_error_of_exact(spark):
             lo = vals[max(0, target - slack - 1)]
             hi = vals[min(n - 1, target + slack)]
             assert lo <= approx <= hi, (et, q, approx, lo, hi)
+
+
+def test_holt_linear_forecast_recurrence(spark):
+    """Pin the rows-only Holt linear forecast to an independent reference
+    recurrence: build a tiny events frame whose hourly sums are known,
+    run the query, and check level/trend/forecast for every step."""
+    import datetime as _dt
+
+    from kenshin_backup_spark.queries.batch16 import tsdb_holt_linear_forecast
+
+    # stage a minimal sf-dir-shaped events.parquet: one metric, 4 hours
+    import tempfile
+
+    vals = [(0, 6.0), (1, 8.0), (2, 5.0), (3, 9.0)]
+    rows = [
+        (i, _dt.datetime(2024, 5, 1, h, 0, 0, tzinfo=UTC), 1, "m", v, "{}")
+        for i, (h, v) in enumerate(vals)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r["bucket_ts"]: (r["level"], r["trend"], r["forecast_next"])
+            for r in tsdb_holt_linear_forecast(spark, d).collect()
+        }
+
+    # independent recurrence (alpha=0.5, beta=0.3 per the query)
+    alpha, beta = 0.5, 0.3
+    level, trend = None, 0.0
+    expected = []
+    for _, y in vals:
+        if level is None:
+            level = y
+        else:
+            prev = level
+            level = alpha * y + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+        expected.append((level, trend, level + trend))
+    base = int(_dt.datetime(2024, 5, 1, tzinfo=UTC).timestamp())
+    for i, (h, _) in enumerate(vals):
+        assert got[base + h * 3600] == expected[i]
