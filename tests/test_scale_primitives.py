@@ -131,3 +131,44 @@ def test_wau_hll_within_error_bound(spark):
     assert set(exact) == set(approx)
     for k, v in exact.items():
         assert abs(approx[k] - v) <= max(5, 0.1 * v), (k, v, approx[k])
+
+
+def test_approx_distinct_parts_error_bound(spark):
+    """approx_count_distinct defaults to 5% rsd; each group's HLL estimate
+    must land within 3×rsd of the exact distinct count it ships alongside."""
+    from kenshin_backup_spark.queries.advanced import approx_distinct_parts
+
+    rows = approx_distinct_parts(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_parts"] - r["exact_parts"]) <= max(
+            1, 0.15 * r["exact_parts"]
+        ), dict(r.asDict())
+
+
+def test_lsh_verified_pairs_subset_of_exact_with_same_scores(spark):
+    """dedup_lsh_verified (rows-only): every verified pair must appear in
+    the exhaustive posting-join result with the IDENTICAL exact jaccard —
+    LSH affects candidate recall, never the verified score — and the
+    obvious near-dup pairs the corpus plants must be recalled."""
+    from kenshin_backup_spark.operators.dedup import ngram_jaccard_pairs
+    from kenshin_backup_spark.queries.batch18 import dedup_lsh_verified
+    from kenshin_backup_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup_lsh_verified(spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert got  # fixture plants near-duplicates
+    for k, v in got.items():
+        assert k in exact and v == exact[k], k
+    # high-jaccard exact pairs (>=0.9) are near-certain LSH collisions
+    strong = {k for k, v in exact.items() if v >= 0.9}
+    recalled = strong & set(got)
+    assert len(recalled) >= 0.8 * len(strong)
