@@ -29,7 +29,11 @@ _NORM = "trim(regexp_replace(lower({x}), '\\s+', ' ', 'g'))"
 
 # --- X3: SRP-banded ANN top-k (the scalable, oracle-checkable top-k) --------
 
-_TOPK_PLANES = 16
+#: 24 planes / 4 bands = 6-bit band keys → expected candidate fraction
+#: bands/2^bits = 4/64 ≈ 6% of the corpus per query (vs 25% at 4-bit) —
+#: the selectivity a 100 TB top-k actually wants; near-identical vectors
+#: still collide on some band w.h.p.
+_TOPK_PLANES = 24
 _TOPK_BANDS = 4
 _TOPK_K = 5
 
