@@ -186,7 +186,11 @@ FROM sd JOIN ranked USING (metric) JOIN top USING (metric)
 
 _SRP_PLANES = 16
 _SRP_BANDS = 4
-_SRP_THRESHOLD = 0.9
+#: The synthetic embeddings are near-random (measured max pairwise cosine
+#: ≈ 0.513 at sf0.01), so a 0.9 threshold can only ever return 0 rows —
+#: green but trivial. 0.35 makes the oracle check REAL surviving pairs
+#: (banding recall + exact verify both exercised on non-empty output).
+_SRP_THRESHOLD = 0.35
 
 
 def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
