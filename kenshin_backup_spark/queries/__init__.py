@@ -49,6 +49,7 @@ from kenshin_backup_spark.queries import (
     batch30,
     batch31,
     batch32,
+    batch33,
     llm,
     relational,
     relational2,
@@ -92,6 +93,7 @@ _MODULES = (
     batch30,
     batch31,
     batch32,
+    batch33,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
