@@ -50,6 +50,7 @@ from kenshin_backup_spark.queries import (
     batch31,
     batch32,
     batch33,
+    batch34,
     llm,
     relational,
     relational2,
@@ -94,6 +95,7 @@ _MODULES = (
     batch31,
     batch32,
     batch33,
+    batch34,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
