@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from kenshin_backup_spark.functions.deterministic import QUANT
+from kenshin_backup_spark.operators.scalepat import global_topk, with_global_prefix
 
 
 def _w(order_desc: bool = False) -> W:
@@ -161,16 +162,16 @@ def highest_current(df: DataFrame, n: int) -> DataFrame:
     """graphite ``highestCurrent(n)``: keep the n series with the largest
     latest value (ties → metric name asc). Returns the filtered series."""
     cur = current_value(df)
-    w = W.orderBy(F.desc("current"), F.asc("metric"))
-    top = cur.withColumn("__rk", F.row_number().over(w)).where(F.col("__rk") <= n)
+    top = global_topk(cur, [F.desc("current"), F.asc("metric")], n)
     return df.join(F.broadcast(top.select("metric")), "metric")
 
 
 def sort_by_maxima(df: DataFrame) -> DataFrame:
     """graphite ``sortByMaxima()``: rank series by their max value."""
     mx = df.groupBy("metric").agg(F.max("value").alias("series_max"))
-    w = W.orderBy(F.desc("series_max"), F.asc("metric"))
-    return mx.withColumn("rank", F.row_number().over(w).cast("long"))
+    return with_global_prefix(
+        mx, [F.desc("series_max"), F.asc("metric")], row_number_col="rank"
+    )
 
 
 def _node(n: int):
@@ -269,8 +270,7 @@ def most_deviant(df: DataFrame, n: int) -> DataFrame:
     """graphite ``mostDeviant(n)``: keep the n series with the largest
     standard deviation (ties → metric asc). Returns the filtered frame."""
     sd = series_stdev(df)
-    w = W.orderBy(F.desc("stdev"), F.asc("metric"))
-    top = sd.withColumn("__rk", F.row_number().over(w)).where(F.col("__rk") <= n)
+    top = global_topk(sd, [F.desc("stdev"), F.asc("metric")], n)
     return df.join(F.broadcast(top.select("metric")), "metric")
 
 
@@ -281,16 +281,16 @@ def sort_by_total(df: DataFrame) -> DataFrame:
     tot = df.groupBy("metric").agg(
         (F.sum(q) / F.lit(float(QUANT))).cast("double").alias("series_total")
     )
-    w = W.orderBy(F.desc("series_total"), F.asc("metric"))
-    return tot.withColumn("rank", F.row_number().over(w).cast("long"))
+    return with_global_prefix(
+        tot, [F.desc("series_total"), F.asc("metric")], row_number_col="rank"
+    )
 
 
 def limit_series(df: DataFrame, n: int) -> DataFrame:
     """graphite ``limit(n)``: keep the first n series by name order (the
     deterministic stand-in for graphite's wildcard-expansion order)."""
     names = df.select("metric").distinct()
-    w = W.orderBy(F.asc("metric"))
-    keep = names.withColumn("__rk", F.row_number().over(w)).where(F.col("__rk") <= n)
+    keep = global_topk(names, [F.asc("metric")], n)
     return df.join(F.broadcast(keep.select("metric")), "metric")
 
 

@@ -74,3 +74,47 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     if m:
         return int(m.group(1))
     return len(re.findall(r"WholeStageCodegen", explain_str(df, "simple")))
+
+
+def _top_level_bracket_groups(line: str) -> list[str]:
+    """Top-level ``[...]`` groups of one plan line (brackets nest)."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(line):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                groups.append(line[start + 1 : i])
+                start = -1
+    return groups
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """ORDER-BY specs of every Window node with an EMPTY partition spec in
+    the optimized logical plan. An unpartitioned window moves its ENTIRE
+    input through one task (``WindowExec: No Partition Defined``) — the
+    single worst 100 TB anti-pattern. Legitimate uses are windows over
+    provably bounded inputs: a ``limit(k)`` result, or the per-partition
+    offsets frame inside ``scalepat.with_global_prefix`` (which orders by
+    ``__scalepat_pid`` — partition-count rows).
+
+    Detection: a logical ``Window [funcs], [part], [order]`` line has three
+    top-level bracket groups; the unpartitioned form has two (funcs, order).
+    Returns the order-spec text of each unpartitioned window so tests can
+    whitelist the bounded ones.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    out: list[str] = []
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-:*")
+        if not stripped.startswith("Window ["):
+            continue
+        groups = _top_level_bracket_groups(stripped)
+        # first group is the function list (contains windowspecdefinition);
+        # partitioned windows carry [part] + [order] after it
+        if len(groups) == 2:
+            out.append(groups[1])
+    return out

@@ -15,6 +15,11 @@ from kenshin_backup_spark.functions.deterministic import (
     qsum,
 )
 from kenshin_backup_spark.operators.joins import asof_join
+from kenshin_backup_spark.operators.scalepat import (
+    ntile_expr,
+    with_global_prefix,
+    with_global_scalars,
+)
 from kenshin_backup_spark.operators.multimodal import (
     decode_stub,
     frame_sample_stub,
@@ -215,15 +220,31 @@ FROM orders GROUP BY o_orderpriority
 
 
 def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile/percent_rank/dense_rank over customer account balances."""
+    """ntile/percent_rank/dense_rank over customer account balances.
+
+    The order key is total (custkey tiebreak), so rank = dense_rank =
+    row_number and percent_rank = (rn−1)/(n−1): all three derive from one
+    ``with_global_prefix`` global row number (range repartition + broadcast
+    offsets) and the closed-form ``ntile_expr`` — no unpartitioned window,
+    output bit-identical to the NTILE/PERCENT_RANK/DENSE_RANK oracle."""
     cust = load_table(spark, sf_dir, "customer")
-    w = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return cust.select(
+    base = with_global_scalars(
+        cust.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        n=F.count(F.lit(1)),
+    )
+    ranked = with_global_prefix(
+        base, [F.desc("c_acctbal"), F.asc("c_custkey")], row_number_col="rn"
+    )
+    pct = F.when(
+        F.col("n") > 1,
+        (F.col("rn") - 1).cast("double") / (F.col("n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return ranked.select(
         F.col("c_custkey").cast("long").alias("c_custkey"),
         "c_mktsegment",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.percent_rank().over(w).cast("double").alias("pct_rank"),
-        F.dense_rank().over(w).cast("long").alias("drank"),
+        ntile_expr(F.col("rn"), F.col("n"), 4).alias("quartile"),
+        pct.cast("double").alias("pct_rank"),
+        F.col("rn").cast("long").alias("drank"),
     )
 
 

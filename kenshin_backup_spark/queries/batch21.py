@@ -15,6 +15,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kenshin_backup_spark.functions.deterministic import EPOCH_S_SQL
+from kenshin_backup_spark.operators.scalepat import (
+    with_global_prefix,
+    with_global_scalars,
+)
 from kenshin_backup_spark.sources import load_table
 
 _ES = EPOCH_S_SQL.format(x="ts")
@@ -69,22 +73,29 @@ FROM day_user d JOIN wau w ON w.target_day = d.day
 def orders_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers ranked by revenue; cumulative share of total — the 80/20
     curve. Prefix and total sums are the same exact BIGINTs, so the share
-    is one deterministic division; rank ties break by custkey."""
+    is one deterministic division; rank ties break by custkey.
+
+    Scale shape: the global rank and running sum go through
+    ``with_global_prefix`` (range-repartition + per-partition windows +
+    broadcast running offsets — bit-identical to the unpartitioned window,
+    no single-partition sort); the total is a broadcast 1-row scalar."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 1000000).cast("long")).alias("rev_l")
     )
-    w = W.orderBy(F.desc("rev_l"), F.asc("o_custkey")).rowsBetween(
-        W.unboundedPreceding, 0
+    order = [F.desc("rev_l"), F.asc("o_custkey")]
+    prefixed = with_global_prefix(
+        with_global_scalars(per_cust, total_l=F.sum("rev_l")),
+        order,
+        sums={"cum_l": "rev_l"},
+        row_number_col="rank",
     )
-    wr = W.orderBy(F.desc("rev_l"), F.asc("o_custkey"))
-    total = F.sum("rev_l").over(W.partitionBy())
-    return per_cust.select(
+    return prefixed.select(
         F.col("o_custkey").cast("long").alias("o_custkey"),
-        F.row_number().over(wr).cast("long").alias("rank"),
+        "rank",
         (F.col("rev_l").cast("double") / 1000000.0).alias("revenue"),
         (
-            F.sum("rev_l").over(w).cast("double") / total.cast("double")
+            F.col("cum_l").cast("double") / F.col("total_l").cast("double")
         ).alias("cum_share"),
     )
 

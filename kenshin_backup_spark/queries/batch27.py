@@ -17,6 +17,11 @@ from kenshin_backup_spark.functions.deterministic import (
     QSUM_SQL,
     qsum,
 )
+from kenshin_backup_spark.operators.scalepat import (
+    ntile_expr,
+    with_global_prefix,
+    with_global_scalars,
+)
 from kenshin_backup_spark.sources import load_table
 
 _ES = EPOCH_S_SQL.format(x="ts")
@@ -45,13 +50,24 @@ def tsdb_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_err").alias("errors"),
         )
     )
-    w6 = W.orderBy("bucket_ts").rangeBetween(-5 * 3600, 0)
-    out = hourly.select(
-        "bucket_ts",
+    # Trailing-6h sums via contribute-forward expansion (each hourly row
+    # feeds its 6 target buckets, then one hash aggregate) — the same
+    # result as a RANGE window ordered by bucket_ts, without funnelling
+    # the whole bucket axis through one partition.
+    contrib = hourly.select(
+        F.explode(
+            F.sequence(
+                F.col("bucket_ts"), F.col("bucket_ts") + 5 * 3600, F.lit(3600)
+            )
+        ).alias("t6"),
         "total",
         "errors",
-        F.sum("total").over(w6).alias("total_6h"),
-        F.sum("errors").over(w6).alias("errors_6h"),
+    )
+    six = contrib.groupBy("t6").agg(
+        F.sum("total").alias("total_6h"), F.sum("errors").alias("errors_6h")
+    )
+    out = hourly.join(six, hourly.bucket_ts == six.t6).select(
+        "bucket_ts", "total", "errors", "total_6h", "errors_6h"
     )
     burn = (
         (F.col("errors") * 10 > F.col("total"))
@@ -138,14 +154,15 @@ FROM yearly
 def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per customer, recency (days since last order),
     frequency (order count), monetary (quantized revenue) — each scored
-    into quartiles with ``ntile(4)``. Ties are broken by customer key so
-    the quartile assignment is a total order in both engines.
+    into quartiles with exact ``NTILE(4)`` semantics. Ties are broken by
+    customer key so the quartile assignment is a total order in both
+    engines.
 
-    Scale note: an unpartitioned ntile is a global sort — fine to ~10^8
-    customers (the aggregate is 4 longs/customer); beyond that, compute
-    approx quartile BOUNDARIES (approx_percentile, one pass) and assign
-    scores scan-side — same output contract, no global sort. The exact
-    ntile stays here because it is the oracle-checkable form."""
+    Scale shape: each dimension's global rank comes from
+    ``with_global_prefix`` (range repartition + broadcast offsets — no
+    unpartitioned-window global sort), and the quartile is the closed-form
+    ``ntile_expr(rank, n)`` scan-side. Output is bit-identical to the
+    NTILE window the oracle runs."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
@@ -159,17 +176,24 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frequency").cast("long").alias("frequency"),
         "monetary",
     )
-    r_w = W.orderBy(F.asc("recency_days"), F.asc("custkey"))
-    f_w = W.orderBy(F.desc("frequency"), F.asc("custkey"))
-    m_w = W.orderBy(F.desc("monetary"), F.asc("custkey"))
-    return base.select(
+    base = with_global_scalars(base, n=F.count(F.lit(1)))
+    ranked = with_global_prefix(
+        base, [F.asc("recency_days"), F.asc("custkey")], row_number_col="r_rank"
+    )
+    ranked = with_global_prefix(
+        ranked, [F.desc("frequency"), F.asc("custkey")], row_number_col="f_rank"
+    )
+    ranked = with_global_prefix(
+        ranked, [F.desc("monetary"), F.asc("custkey")], row_number_col="m_rank"
+    )
+    return ranked.select(
         "custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(r_w).cast("long").alias("r_score"),
-        F.ntile(4).over(f_w).cast("long").alias("f_score"),
-        F.ntile(4).over(m_w).cast("long").alias("m_score"),
+        ntile_expr(F.col("r_rank"), F.col("n"), 4).alias("r_score"),
+        ntile_expr(F.col("f_rank"), F.col("n"), 4).alias("f_score"),
+        ntile_expr(F.col("m_rank"), F.col("n"), 4).alias("m_score"),
     )
 
 

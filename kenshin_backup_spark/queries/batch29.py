@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kenshin_backup_spark.operators.dedup import normalize_text
+from kenshin_backup_spark.operators.scalepat import global_topk
 from kenshin_backup_spark.sources import load_table
 
 _NORM = "trim(regexp_replace(lower({x}), '\\s+', ' ', 'g'))"
@@ -124,12 +125,14 @@ def text_zipf_topwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shape) — one plan, no driver collect
     total = words.agg(F.count(F.lit(1)).cast("double").alias("t"))
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    # Global top-50 via TakeOrderedAndProject, then rank over the 50
+    # survivors (window input bounded by k, not by the vocabulary).
+    top = global_topk(counts, [F.desc("n"), F.asc("word")], 50)
     w = W.orderBy(F.desc("n"), F.asc("word"))
     return (
-        counts.select(
+        top.select(
             "word", "n", F.row_number().over(w).cast("long").alias("rank")
         )
-        .where(F.col("rank") <= 50)
         .crossJoin(F.broadcast(total))
         .select(
             "rank",

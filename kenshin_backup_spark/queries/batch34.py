@@ -44,11 +44,16 @@ def events_seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> Data
     joined = base.join(F.broadcast(prof), ["metric", "hod"])
     # residual_q = vq − floor(mean_q): integer; |residual| ranking total-ordered
     resid = (F.col("vq") - F.floor(F.col("s") / F.col("c"))).cast("long")
-    w = W.orderBy(F.abs(resid).desc(), F.asc("event_id"))
-    return (
+    # Global top-k via orderBy().limit() → TakeOrderedAndProject: each task
+    # keeps its local top 20, the driver merges — no single-partition sort.
+    top = (
         joined.withColumn("residual_q", resid)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 20)
+        .orderBy(F.abs(F.col("residual_q")).desc(), F.asc("event_id"))
+        .limit(20)
+    )
+    w = W.orderBy(F.abs(F.col("residual_q")).desc(), F.asc("event_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(
             "rank",
             "metric",

@@ -157,9 +157,11 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_qlong(F.col("l_extendedprice"))).alias("val_l"))
     )
-    total = F.sum("val_l").over(W.partitionBy())
+    # Broadcast-scalar threshold: a 1-row global aggregate cross-joined in,
+    # not an unpartitioned window (which would single-partition per_part).
+    total = per_part.agg(F.sum("val_l").alias("total_l"))
     return (
-        per_part.withColumn("total_l", total)
+        per_part.crossJoin(F.broadcast(total))
         .where(F.col("val_l") * 200 > F.col("total_l"))
         .select(
             F.col("l_partkey").cast("long").alias("l_partkey"),
@@ -270,8 +272,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_supp = li.groupBy("l_suppkey").agg(F.sum(_qlong(rev)).alias("rev_l"))
-    mx = F.max("rev_l").over(W.partitionBy())
-    top = per_supp.withColumn("max_l", mx).where(F.col("rev_l") == F.col("max_l"))
+    # Broadcast-scalar max instead of an unpartitioned window over per_supp.
+    mx = per_supp.agg(F.max("rev_l").alias("max_l"))
+    top = per_supp.crossJoin(F.broadcast(mx)).where(F.col("rev_l") == F.col("max_l"))
     return top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey).select(
         F.col("s_suppkey").cast("long").alias("s_suppkey"),
         "s_name",

@@ -10,6 +10,7 @@ from kenshin_backup_spark.plans import (
     has_broadcast_join,
     pushed_filters,
     scan_read_schema,
+    unpartitioned_windows,
     wholestage_codegen_spans,
     without_aqe,
 )
@@ -155,3 +156,81 @@ def test_hybrid_search_no_corpus_self_join_blowup(spark):
     df = hybrid_search_rrf(spark, SF_SMOKE)
     text = explain_str(df)
     assert "CartesianProduct" not in text
+
+
+# --- unpartitioned-window gates (the round-3 verdict's #1 anti-pattern) -----
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_seasonal_anomalies_is_takeordered_not_global_window(spark):
+    """The global top-20 must plan as TakeOrderedAndProject (per-task
+    partial top-k) with the rank window applied over the 20-row limit —
+    never a ranking window over the full events table."""
+    from kenshin_backup_spark.queries.batch34 import (
+        events_seasonal_residual_anomalies,
+    )
+
+    df = events_seasonal_residual_anomalies(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in explain_str(df)
+    assert "GlobalLimit 20" in _optimized(df)
+
+
+def test_zipf_topwords_is_takeordered(spark):
+    from kenshin_backup_spark.queries.batch29 import text_zipf_topwords
+
+    df = text_zipf_topwords(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in explain_str(df)
+    assert "GlobalLimit 50" in _optimized(df)
+
+
+def test_global_scalar_queries_have_no_windows(spark):
+    """q11/q15 attach their global total/max as a broadcast 1-row cross
+    join — zero Window nodes anywhere in the plan."""
+    from kenshin_backup_spark.queries.batch9 import (
+        tpch_q11_important_parts,
+        tpch_q15_top_supplier,
+    )
+
+    for fn in (tpch_q11_important_parts, tpch_q15_top_supplier):
+        assert unpartitioned_windows(fn(spark, SF_SMOKE)) == [], fn.__name__
+
+
+def test_prefix_sum_queries_unpartitioned_windows_are_bounded(spark):
+    """Pareto / RFM / ntile-quartiles route global rank+cumsum through
+    with_global_prefix: the ONLY unpartitioned windows left are the
+    per-partition offset frames (ordered by __scalepat_pid, whose row
+    count is the partition count — bounded, not data-proportional)."""
+    from kenshin_backup_spark.queries.advanced import window_ntile_quartiles
+    from kenshin_backup_spark.queries.batch21 import orders_pareto_curve
+    from kenshin_backup_spark.queries.batch27 import customer_rfm_scores
+
+    for fn in (orders_pareto_curve, customer_rfm_scores, window_ntile_quartiles):
+        specs = unpartitioned_windows(fn(spark, SF_SMOKE))
+        assert specs, f"{fn.__name__}: expected bounded offset windows"
+        for spec in specs:
+            assert "__scalepat_pid" in spec, f"{fn.__name__}: {spec}"
+
+
+def test_bench_headliners_have_no_data_proportional_global_window(spark):
+    """Every bench-headline batch query must be free of unpartitioned
+    windows over data-proportional input: any unpartitioned window in the
+    plan must order by __scalepat_pid (bounded offsets) or sit above a
+    GlobalLimit (bounded top-k rank)."""
+    import bench as bench_mod
+    from kenshin_backup_spark.queries import queries as all_queries
+
+    qs = all_queries()
+    for name in bench_mod.HEADLINE:
+        if name.startswith("streaming_") or name == "dedup_connected_components":
+            continue  # streaming queries execute on build; CC collects
+        df = qs[name](spark, SF_SMOKE)
+        specs = unpartitioned_windows(df)
+        if not specs:
+            continue
+        plan = _optimized(df)
+        assert all("__scalepat_pid" in s for s in specs) or "GlobalLimit" in plan, (
+            name,
+            specs,
+        )

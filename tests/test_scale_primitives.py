@@ -172,3 +172,64 @@ def test_lsh_verified_pairs_subset_of_exact_with_same_scores(spark):
     strong = {k for k, v in exact.items() if v >= 0.9}
     recalled = strong & set(got)
     assert len(recalled) >= 0.8 * len(strong)
+
+
+# --- scalepat: scale-safe global idioms == unpartitioned-window results -----
+
+def _kv(spark, seed=23, n=777):
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(-500, 500)) for i in range(n)]
+    rng.shuffle(rows)
+    return spark.createDataFrame(rows, "id long, v long")
+
+
+def test_with_global_prefix_matches_unpartitioned_window(spark):
+    from pyspark.sql import Window as W
+
+    from kenshin_backup_spark.operators.scalepat import with_global_prefix
+
+    df = _kv(spark)
+    order = [F.desc("v"), F.asc("id")]
+    got = with_global_prefix(
+        df, order, sums={"cum": "v"}, row_number_col="rn", num_partitions=7
+    )
+    w = W.orderBy(*order)
+    want = df.select(
+        "id",
+        "v",
+        F.sum("v").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+    a = sorted(map(tuple, got.select("id", "v", "cum", "rn").collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert a == b
+
+
+def test_ntile_expr_matches_sql_ntile(spark):
+    from pyspark.sql import Window as W
+
+    from kenshin_backup_spark.operators.scalepat import (
+        ntile_expr,
+        with_global_prefix,
+        with_global_scalars,
+    )
+
+    for n, buckets in [(777, 4), (16, 4), (3, 4), (100, 7)]:
+        df = _kv(spark, seed=n, n=n)
+        order = [F.asc("v"), F.asc("id")]
+        got = with_global_prefix(
+            with_global_scalars(df, n=F.count(F.lit(1))), order, row_number_col="rn"
+        ).select("id", ntile_expr(F.col("rn"), F.col("n"), buckets).alias("t"))
+        want = df.select(
+            "id", F.ntile(buckets).over(W.orderBy(*order)).cast("long").alias("t")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_global_topk_matches_sorted_head(spark):
+    from kenshin_backup_spark.operators.scalepat import global_topk
+
+    df = _kv(spark, seed=5)
+    got = [tuple(r) for r in global_topk(df, [F.desc("v"), F.asc("id")], 25).collect()]
+    want = sorted(map(tuple, df.collect()), key=lambda r: (-r[1], r[0]))[:25]
+    assert got == want
