@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kenshin_backup_spark.cache import persist_tracked
+
 
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form for fingerprinting: lowercase, collapse
@@ -147,7 +149,7 @@ def ngram_jaccard_pairs(
     # self-join); without persistence Spark recomputes the regex/shingle
     # pipeline per consumer (measured 13× slower). At 100 TB this persist
     # becomes a materialized shingle/posting table on storage.
-    shingled = shingled.persist()
+    shingled = shingled.transform(persist_tracked)
     # Posting keys are xxhash64 of the shingle, not the string: the
     # df-count and self-join shuffles then carry 8-byte longs instead of
     # ~25-byte gram strings (standard posting-list key compression;
@@ -159,7 +161,7 @@ def ngram_jaccard_pairs(
         )
         .withColumn("g", F.xxhash64("gs"))
         .drop("gs")
-        .persist()
+        .transform(persist_tracked)
     )
     if max_df is not None:
         keep = (
@@ -168,7 +170,7 @@ def ngram_jaccard_pairs(
             .where(F.col("df") <= max_df)
             .select("g")
         )
-        posting = posting.join(F.broadcast(keep), "g").persist()
+        posting = posting.join(F.broadcast(keep), "g").transform(persist_tracked)
         sizes = posting.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     else:
         sizes = shingled.select("id", F.size("sh").alias("sz"))
@@ -304,7 +306,7 @@ def simhash_near_pairs(
         hash_fn=hash_fn,
         bits=bits,
         ngram=ngram,
-    ).select("id", "sig").persist()
+    ).select("id", "sig").transform(persist_tracked)
     chunks = None
     for c in range(4):
         piece = sigs.select(
@@ -408,6 +410,15 @@ def minhash_portable_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
+    # 31^j fold overflow bound: mh < 2^31 and Σ_j 31^j must keep the band
+    # key < 2^63. 31^7·2^31 ≈ 2^65 already wraps int64 — Spark would wrap
+    # silently while DuckDB promotes, desyncing the band keys from the
+    # oracle. 7 rows/band is the exact-arithmetic ceiling.
+    if rows_per_band > 7:
+        raise ValueError(
+            f"num_hashes//bands = {rows_per_band} > 7 overflows the 31^j "
+            "band fold in int64; use more bands or fewer hashes"
+        )
     params = minhash_params(num_hashes, seed=seed)
     weights = _band_weights(rows_per_band)
 
@@ -424,7 +435,7 @@ def minhash_portable_pairs(
                 F.col("sh"), lambda g: F.pmod(md5_hash60(g), F.lit(MINHASH_P))
             ),
         )
-        .persist()
+        .transform(persist_tracked)
         # filter ABOVE the persist boundary: pushed below it, Catalyst
         # duplicates the whole normalize→shingle pipeline into the scan's
         # data filter and the cache build pays it twice
@@ -461,7 +472,7 @@ def minhash_portable_pairs(
         # both sides of the band self-join read sigs; without persist the
         # k·|sh| minhash transforms run twice (visible in the physical plan
         # as two identical Generate subtrees)
-        .persist()
+        .transform(persist_tracked)
     )
 
     a = sigs.alias("a")
@@ -524,7 +535,7 @@ def minhash_lsh_dupes(
     ).select("id", "sh").where(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
     # feats feeds fit + both sides of approxSimilarityJoin — persist once.
-    feats = tf.transform(shingled).persist()
+    feats = tf.transform(shingled).transform(persist_tracked)
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed
     )
@@ -683,7 +694,7 @@ def connected_components(
         F.col(dst_col).cast("long").alias("dst"),
     )
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.distinct().persist()
+    sym = sym.distinct().transform(persist_tracked)
     if nodes is not None:
         lab = nodes.select(F.col(node_col).cast("long").alias("id")).distinct()
     else:

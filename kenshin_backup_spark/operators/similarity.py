@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from kenshin_backup_spark.cache import persist_tracked
+
 #: Quantization scale for embedding elements (see module docstring).
 VEC_QUANT = 10_000
 
@@ -66,12 +68,18 @@ def cosine_topk(
     score with codegen'd array expressions, rank per query with a window.
     Returns ``(query_id, neighbor_id, cosine, rank)``.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize_vec(vec_col).alias("qv")
-    ).withColumn("qn", qdot(F.col("qv"), F.col("qv")))
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), quantize_vec(vec_col).alias("cv")
-    ).withColumn("cn", qdot(F.col("cv"), F.col("cv")))
+    # Zero-norm vectors would score cosine NaN, which Spark ranks largest
+    # in a descending window — exclude them (oracles mirror the filter).
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), quantize_vec(vec_col).alias("qv"))
+        .withColumn("qn", qdot(F.col("qv"), F.col("qv")))
+        .where(F.col("qn") > 0)
+    )
+    c = (
+        candidates.select(F.col(id_col).alias("neighbor_id"), quantize_vec(vec_col).alias("cv"))
+        .withColumn("cn", qdot(F.col("cv"), F.col("cv")))
+        .where(F.col("cn") > 0)
+    )
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
@@ -101,9 +109,13 @@ def cosine_near_pairs(
     scale path replaces the cross join with LSH/IVF bucketing (same
     verification expression on candidates only).
     """
-    base = df.select(
-        F.col(id_col).alias("id"), quantize_vec(vec_col).alias("v")
-    ).withColumn("n2", qdot(F.col("v"), F.col("v")))
+    base = (
+        df.select(F.col(id_col).alias("id"), quantize_vec(vec_col).alias("v"))
+        .withColumn("n2", qdot(F.col("v"), F.col("v")))
+        # zero-norm guard: cosine with a zero vector is NaN, and NaN
+        # comparison/ordering semantics differ across engines
+        .where(F.col("n2") > 0)
+    )
     a = base.alias("a")
     b = base.alias("b")
     pairs = a.join(b, F.col("a.id") < F.col("b.id"))
@@ -168,14 +180,17 @@ def cosine_near_pairs_bucketed(
     if num_planes % bands != 0:
         raise ValueError("num_planes must divide evenly into bands")
 
-    base = df.select(
-        F.col(id_col).alias("id"), quantize_vec(vec_col).alias("v")
-    ).withColumn("n2", qdot(F.col("v"), F.col("v")))
+    base = (
+        df.select(F.col(id_col).alias("id"), quantize_vec(vec_col).alias("v"))
+        .withColumn("n2", qdot(F.col("v"), F.col("v")))
+        # zero-norm guard: see cosine_near_pairs
+        .where(F.col("n2") > 0)
+    )
     # persist: both sides of the band self-join read the signatures; without
     # it the num_planes 64-dim projections run twice
     sigs = _srp_band_keys(
         base, id_out="id", num_planes=num_planes, bands=bands, dim=dim, seed=seed
-    ).persist()
+    ).transform(persist_tracked)
 
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -285,12 +300,20 @@ def srp_topk(
     bucket_c) per band — tuned by ``num_planes``/``bands`` exactly like
     the near-pair variant.
     """
-    q = queries.select(
-        F.col(id_col).alias("id"), quantize_vec(vec_col).alias("v")
-    ).withColumn("n2", qdot(F.col("v"), F.col("v")))
-    c = candidates.select(
-        F.col(id_col).alias("id"), quantize_vec(vec_col).alias("v")
-    ).withColumn("n2", qdot(F.col("v"), F.col("v")))
+    # Zero-norm guard: a vector whose components all quantize to 0 would
+    # yield cosine NaN, and Spark ranks NaN LARGEST in a descending window
+    # (DuckDB differs) — drop such vectors before signatures/ranking on
+    # both the Spark and oracle sides.
+    q = (
+        queries.select(F.col(id_col).alias("id"), quantize_vec(vec_col).alias("v"))
+        .withColumn("n2", qdot(F.col("v"), F.col("v")))
+        .where(F.col("n2") > 0)
+    )
+    c = (
+        candidates.select(F.col(id_col).alias("id"), quantize_vec(vec_col).alias("v"))
+        .withColumn("n2", qdot(F.col("v"), F.col("v")))
+        .where(F.col("n2") > 0)
+    )
 
     kwargs = dict(num_planes=num_planes, bands=bands, dim=dim, seed=seed)
     qsig = _srp_band_keys(q, id_out="query_id", **kwargs)

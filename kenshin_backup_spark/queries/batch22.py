@@ -244,7 +244,8 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.id < b.id
 ),
-n AS (SELECT id, list_dot_product(v, v) AS n2 FROM q)
+-- zero-norm guard (mirrors cosine_near_pairs_bucketed)
+n AS (SELECT id, list_dot_product(v, v) AS n2 FROM q WHERE list_dot_product(v, v) > 0)
 SELECT c.id_a, c.id_b,
        CAST(list_dot_product(qa.v, qb.v)
             / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))

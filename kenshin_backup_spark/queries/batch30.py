@@ -62,12 +62,15 @@ def _srp_topk_sql() -> str:
     bits_per_band = _TOPK_PLANES // _TOPK_BANDS
     values = ",\n         ".join(f"({i}, {p})" for i, p in enumerate(planes))
     return f"""
-WITH q AS (
+WITH q0 AS (
   SELECT vec_id AS id,
          list_transform(embedding,
            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
   FROM embeddings
 ),
+-- zero-norm guard (mirrors srp_topk): NaN cosines rank differently in
+-- Spark vs DuckDB, so zero vectors are excluded on both sides
+q AS (SELECT id, v FROM q0 WHERE list_dot_product(v, v) > 0),
 planes AS (
   SELECT * FROM (VALUES {values}) AS t(p, comp)
 ),
@@ -130,13 +133,15 @@ def streaming_update_sink_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune(spark)
-    from kenshin_backup_spark.sources.tables import staging_fingerprint
+    from kenshin_backup_spark.sources.tables import staged_path
 
     safe = sf_dir.strip("/").replace("/", "_")
-    # Fingerprinted: a path-keyed copy would replay stale data after the
-    # driver regenerates testdata (see sources.tables.staging_fingerprint).
-    fp = staging_fingerprint(sf_dir, tables=("events",))
-    src_dir = f"/tmp/kenshin_stream_src/{safe}/events_split4_{fp}"
+    # Fingerprint-keyed + stale-generation reaping: a path-keyed copy would
+    # replay stale data after the driver regenerates testdata, and old
+    # fingerprints would leak disk (see sources.tables.staged_path).
+    src_dir = staged_path(
+        sf_dir, "events_split4", base="/tmp/kenshin_stream_src", tables=("events",)
+    )
     if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
         # Stage once per sf_dir: deterministic input, only layout varies.
         load_table(spark, sf_dir, "events").repartition(4).write.mode(

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from kenshin_backup_spark.cache import persist_tracked
 from kenshin_backup_spark.operators.dedup import with_shingles
 from kenshin_backup_spark.operators.similarity import qdot, quantize_vec
 from kenshin_backup_spark.sources import load_table
@@ -59,7 +60,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = (
         with_shingles(docs.select(F.col("doc_id").alias("id"), "text"), n=3)
         .select("id", "sh")
-        .persist()
+        .transform(persist_tracked)
     )
     posting = shingled.select("id", F.explode("sh").alias("g"))
     qsh = (
@@ -73,12 +74,20 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
 
-    qv = emb.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), quantize_vec("embedding").alias("qvec")
-    ).withColumn("qn", qdot(F.col("qvec"), F.col("qvec")))
-    cv = emb.select(
-        F.col("vec_id").alias("id"), quantize_vec("embedding").alias("cvec")
-    ).withColumn("cn", qdot(F.col("cvec"), F.col("cvec")))
+    # Zero-norm guard (both engines): a zero-quantized vector gives cosine
+    # NaN, which Spark ranks largest in a descending window while DuckDB
+    # does not — exclude such vectors before the ranking windows.
+    qv = (
+        emb.where(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), quantize_vec("embedding").alias("qvec"))
+        .withColumn("qn", qdot(F.col("qvec"), F.col("qvec")))
+        .where(F.col("qn") > 0)
+    )
+    cv = (
+        emb.select(F.col("vec_id").alias("id"), quantize_vec("embedding").alias("cvec"))
+        .withColumn("cn", qdot(F.col("cvec"), F.col("cvec")))
+        .where(F.col("cn") > 0)
+    )
     scored = (
         overlap.join(F.broadcast(qv), "qid")
         .join(cv, "id")
@@ -126,12 +135,14 @@ overlap AS (
   FROM qsh q JOIN posting p ON q.g = p.g AND q.qid != p.id
   GROUP BY 1, 2
 ),
-vecs AS (
+vecs0 AS (
   SELECT vec_id AS id,
          list_transform(embedding,
            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
   FROM embeddings
 ),
+-- zero-norm guard (mirrors the Spark side): NaN cosines rank differently
+vecs AS (SELECT id, v FROM vecs0 WHERE list_dot_product(v, v) > 0),
 n AS (SELECT id, list_dot_product(v, v) AS n2 FROM vecs),
 scored AS (
   SELECT o.qid, o.id, o.overlap,
@@ -180,7 +191,7 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = (
         with_shingles(docs.select(F.col("doc_id").alias("id"), "text"), n=3)
         .select("id", "sh")
-        .persist()
+        .transform(persist_tracked)
     )
     posting = shingled.select("id", F.explode("sh").alias("g"))
     a = posting.alias("a")
@@ -259,7 +270,7 @@ def text_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
         .where(F.length("w") > 0)
-        .persist()
+        .transform(persist_tracked)
     )
     df_tab = words.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     return (

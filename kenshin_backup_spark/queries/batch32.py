@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kenshin_backup_spark.cache import persist_tracked
 from kenshin_backup_spark.operators.dedup import ngram_jaccard_pairs
 from kenshin_backup_spark.sources import load_table
 
@@ -42,14 +43,14 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         ngram_jaccard_pairs(docs, threshold=_TRI_T)
         .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .persist()
+        .transform(persist_tracked)
     )
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .persist()
+        .transform(persist_tracked)
     )
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
@@ -61,7 +62,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = with_deg.select(
         F.when(src_is_u, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(src_is_u, F.col("v")).otherwise(F.col("u")).alias("d"),
-    ).persist()
+    ).transform(persist_tracked)
 
     a = oriented.alias("a")
     b = oriented.alias("b")

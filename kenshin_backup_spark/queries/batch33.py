@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kenshin_backup_spark.cache import persist_tracked
 from kenshin_backup_spark.sources import load_table
 
 _MIN_PAIR_SUPPORT = 3
@@ -31,7 +32,7 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     basket = li.select(
         F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("part")
-    ).distinct().persist()
+    ).distinct().transform(persist_tracked)
     n_orders = basket.agg(
         F.countDistinct("oid").cast("long").alias("n_orders")
     )

@@ -102,7 +102,8 @@ WITH qv AS (
          list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
   FROM embeddings
 ),
-norms AS (SELECT id, list_sum(list_transform(v, x -> x * x)) AS n2 FROM qv),
+-- zero-norm guard (mirrors cosine_near_pairs): NaN semantics differ
+norms AS (SELECT id, list_sum(list_transform(v, x -> x * x)) AS n2 FROM qv WHERE list_sum(list_transform(v, x -> x * x)) > 0),
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b,
          list_sum(list_transform(generate_series(1, len(a.v)),

@@ -16,13 +16,11 @@ _ES = EPOCH_S_SQL.format(x="ts")
 
 
 def _stage_dir(sf_dir: str, fmt: str) -> str:
-    # fingerprinted: the driver regenerates testdata between rounds at the
-    # same paths — a path-keyed cache would replay stale data (see
-    # sources.tables.staging_fingerprint)
-    from kenshin_backup_spark.sources.tables import staging_fingerprint
+    # fingerprint-keyed + stale-generation reaping (see
+    # sources.tables.staged_path)
+    from kenshin_backup_spark.sources.tables import staged_path
 
-    safe = sf_dir.strip("/").replace("/", "_")
-    return f"/tmp/kenshin_stage/{safe}/{fmt}_{staging_fingerprint(sf_dir)}"
+    return staged_path(sf_dir, fmt)
 
 
 # --- Source formats (S-family breadth): CSV / JSON file readers --------------

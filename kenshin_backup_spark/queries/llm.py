@@ -178,7 +178,9 @@ WITH qv AS (
   FROM embeddings
 ),
 norms AS (
+  -- zero-norm guard (mirrors cosine_topk): NaN cosines rank differently
   SELECT id, list_sum(list_transform(v, x -> x * x)) AS n2 FROM qv
+  WHERE list_sum(list_transform(v, x -> x * x)) > 0
 ),
 pairs AS (
   SELECT q.id AS query_id, c.id AS neighbor_id,

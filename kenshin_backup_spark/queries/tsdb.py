@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kenshin_backup_spark.cache import persist_tracked
 from kenshin_backup_spark.functions.deterministic import (
     EPOCH_S_SQL,
     QAVG_SQL,
@@ -36,7 +37,7 @@ def _hour_grid_wide(spark: SparkSession, sf_dir: str, step: int) -> DataFrame:
     # ONE scan of raw events: grid bounds and the key set derive from the
     # (tiny) aggregated partials, not from re-scans of the fact table —
     # at 100 TB the three-scan variant costs 3× the IO for nothing.
-    parts = rollup_partials(ev, key_cols=["event_type"], step_seconds=step).persist()
+    parts = rollup_partials(ev, key_cols=["event_type"], step_seconds=step).transform(persist_tracked)
     wide = finalize(parts)
     bounds = parts.agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
     grid = bounds.select(
@@ -169,7 +170,7 @@ def tsdb_fetch_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel — the exact ``fetch(path, from, until)`` read surface."""
     step = 1800
     ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "click")
-    parts = rollup_partials(ev, key_cols=["event_type"], step_seconds=step).persist()
+    parts = rollup_partials(ev, key_cols=["event_type"], step_seconds=step).transform(persist_tracked)
     vals = finalize(parts, agg="average")
     bounds = parts.agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
     grid = bounds.select(

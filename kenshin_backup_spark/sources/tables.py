@@ -107,6 +107,30 @@ def staging_fingerprint(
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
+def staged_path(
+    sf_dir: str,
+    tag: str,
+    *,
+    base: str = "/tmp/kenshin_stage",
+    tables: tuple[str, ...] = ("events", "orders", "lineitem"),
+) -> str:
+    """Fingerprint-keyed staging directory for derived /tmp copies of the
+    testdata, with stale-generation reaping: siblings carrying the same
+    ``tag`` but an old fingerprint (left behind by a prior testdata
+    regeneration) are deleted, so staging disk stays bounded across driver
+    rounds instead of growing one copy per regeneration."""
+    import glob
+    import shutil
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    parent = f"{base}/{safe}"
+    path = f"{parent}/{tag}_{staging_fingerprint(sf_dir, tables=tables)}"
+    for stale in glob.glob(f"{parent}/{tag}_*"):
+        if stale != path:
+            shutil.rmtree(stale, ignore_errors=True)
+    return path
+
+
 def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
     """Register all testdata tables as temp views (for the SQL surface)."""
     for name in TABLES:

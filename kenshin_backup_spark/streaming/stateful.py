@@ -10,9 +10,14 @@ operators.
 
 Scale notes (100 TB): state is O(#metrics) — a few doubles per key, far
 smaller than windowed-agg state; the GroupStateTimeout reaps idle metrics.
-Rows within a (key, micro-batch) pair are sorted by event time inside the
-pandas function; cross-batch order is guaranteed by the engine feeding
-batches in trigger order.
+A key's rows within a micro-batch may arrive split across SEVERAL Arrow
+chunks in arbitrary post-shuffle order (chunk size is
+``spark.sql.execution.arrow.maxRecordsPerBatch``), so every operator here
+materializes the full group (``pd.concat``) and sorts it ONCE by event
+time before folding — sorting each chunk independently would compute the
+running state out of order whenever a key exceeds one chunk per batch.
+Cross-batch order is guaranteed by the engine feeding batches in trigger
+order.
 """
 
 from __future__ import annotations
@@ -49,12 +54,14 @@ def ewma_stream(
     ) -> Iterator["pd.DataFrame"]:
         (ewma,) = state.get if state.exists else (None,)
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("__es")
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("__es")
             for es, val in zip(pdf["__es"], pdf[v]):
                 ewma = val if ewma is None else alpha * val + (1 - alpha) * ewma
                 out.append((key[0], int(es), float(val), float(ewma)))
-        state.update((float(ewma),))
+        if ewma is not None:
+            state.update((float(ewma),))
         yield pd.DataFrame(out, columns=["metric", "es", "value", "ewma"])
 
     prepped = stream.withColumn("__es", F.unix_timestamp(F.col(t)).cast("long"))
@@ -94,8 +101,9 @@ def counter_reset_stream(
     ) -> Iterator["pd.DataFrame"]:
         last, resets = state.get if state.exists else (None, 0)
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("__es")
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("__es")
             for es, val in zip(pdf["__es"], pdf[v]):
                 if last is None:
                     delta = None
@@ -107,7 +115,8 @@ def counter_reset_stream(
                 out.append((key[0], int(es), float(val),
                             None if delta is None else float(delta), int(resets)))
                 last = val
-        state.update((float(last), int(resets)))
+        if last is not None:
+            state.update((float(last), int(resets)))
         yield pd.DataFrame(out, columns=["metric", "es", "value", "delta", "resets"])
 
     prepped = stream.withColumn("__es", F.unix_timestamp(F.col(t)).cast("long"))
@@ -167,8 +176,9 @@ def drawdown_stream_tws(
         def handleInputRows(self, key, rows, timerValues):
             peak = self._peak.get()[0] if self._peak.exists() else None
             out = []
-            for pdf in rows:
-                pdf = pdf.sort_values(["__es", i])
+            chunks = list(rows)
+            if chunks:
+                pdf = pd.concat(chunks).sort_values(["__es", i])
                 for es, eid, val in zip(pdf["__es"], pdf[i], pdf[v]):
                     peak = val if peak is None or val > peak else peak
                     out.append(
@@ -227,8 +237,9 @@ def drawdown_stream(
     ) -> Iterator["pd.DataFrame"]:
         (peak,) = state.get if state.exists else (None,)
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["__es", i])
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["__es", i])
             for es, eid, val in zip(pdf["__es"], pdf[i], pdf[v]):
                 peak = val if peak is None or val > peak else peak
                 out.append(
