@@ -49,6 +49,28 @@ HEADLINE = [
 ]
 
 
+def _best_prior() -> dict[str, float]:
+    """Best (fastest) recorded per-query time across all committed
+    BENCH_r*.json rounds — the self-reporting regression baseline."""
+    import glob
+
+    best: dict[str, float] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                lines = [ln for ln in f.read().splitlines() if ln.strip()]
+            rec = json.loads(lines[-1])
+        except Exception:
+            continue
+        for name, sec in (rec.get("queries") or {}).items():
+            if isinstance(sec, (int, float)) and (
+                name not in best or sec < best[name]
+            ):
+                best[name] = float(sec)
+    return best
+
+
 def main() -> None:
     from kenshin_backup_spark import queries as registry
     from kenshin_backup_spark.session import get_spark
@@ -106,6 +128,16 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Self-reported regression gate: any query >1.5× its best committed
+    # round is flagged here instead of waiting for a cross-round diff.
+    best = _best_prior()
+    regressed = {
+        name: round(sec / best[name], 2)
+        for name, sec in timings.items()
+        if name in best and best[name] > 0 and sec > 1.5 * best[name]
+    }
+    if regressed:
+        out["regressed"] = regressed
     print(json.dumps(out))
     spark.stop()
 
