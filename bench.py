@@ -46,6 +46,11 @@ HEADLINE = [
     "graphite_summarize_top",
     "emb_ann_topk_srp",
     "hybrid_search_rrf",
+    # round-4 additions: the maintenance round-trip and the two prefix-sum
+    # rewrites (global rank/cumsum without a single-partition sort)
+    "tsdb_ladder_roundtrip",
+    "orders_pareto_curve",
+    "customer_rfm_scores",
 ]
 
 

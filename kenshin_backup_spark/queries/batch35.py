@@ -1,0 +1,137 @@
+"""Batch-35 queries (round 4): ladder maintenance round-trip.
+
+``tsdb_ladder_roundtrip`` drives the ENTIRE reference maintenance path in
+one oracle-checked query: materialize a two-level retention ladder
+(SURVEY §4.2 build), expire date partitions past each level's retention
+horizon (the ring buffer's implicit forgetting), compact the fine level's
+small files, then serve a fetch from the maintained ladder. The fetch
+range lies inside the fine level's retention, so the result must equal a
+direct rollup over raw events — a hash match proves expiry dropped ONLY
+dead partitions and compaction preserved every row.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kenshin_backup_spark.functions.deterministic import EPOCH_S_SQL, QSUM_SQL
+from kenshin_backup_spark.operators.fetch import Archive
+from kenshin_backup_spark.operators.ladder import (
+    Ladder,
+    build_ladder,
+    compact_level,
+    expire_retention,
+    fetch_from_ladder,
+)
+from kenshin_backup_spark.operators.rollup import finalize
+from kenshin_backup_spark.sources import load_table
+from kenshin_backup_spark.sources.tables import staged_path
+
+_ES = EPOCH_S_SQL.format(x="ts")
+
+#: Fine level: 10-minute buckets, 10-day retention. Coarse: 1-hour buckets,
+#: 40-day retention — at sf0.01 (~30 days of events) expiry genuinely drops
+#: fine-level date partitions while the fetch window stays fully covered.
+_FINE = Archive(step_seconds=600, points=1440)
+_COARSE = Archive(step_seconds=3600, points=960)
+_FETCH_SPAN = 2 * 86400  # trailing 2 days — inside fine retention
+
+
+def tsdb_ladder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build → expire → compact → fetch over a materialized ladder.
+
+    The ladder is (re)built from scratch under a fingerprint-keyed staging
+    dir on every call (idempotent; stale testdata generations are reaped by
+    ``staged_path``). ``now`` is the max event time — a 1-row scalar
+    aggregate the driver needs to CONFIGURE the maintenance actions
+    (retention horizons are engine-API inputs, exactly like the reference's
+    wall clock; this is not a data-path collect).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_type").alias("metric"), "ts", "value"
+    )
+    now_ts = int(
+        pts.agg(F.max(F.unix_timestamp("ts").cast("long")).alias("m")).first()["m"]
+    )
+
+    root = staged_path(sf_dir, "ladder_rt", tables=("events",))
+    shutil.rmtree(root, ignore_errors=True)
+    ladder = Ladder(root=root, archives=(_FINE, _COARSE), key_cols=("metric",))
+    build_ladder(pts, ladder)
+    expire_retention(ladder, now_ts=now_ts)
+    compact_level(spark, ladder, _FINE.step_seconds)
+
+    fetched = fetch_from_ladder(
+        spark,
+        ladder,
+        metric_glob="*",
+        from_ts=now_ts - _FETCH_SPAN,
+        until_ts=now_ts,
+        now_ts=now_ts,
+    )
+    wide = finalize(fetched)
+    return wide.select(
+        "metric",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_points"),
+        "sum_value",
+        "avg_value",
+        "min_value",
+        "max_value",
+    )
+
+
+_LADDER_RT_SQL = f"""
+WITH e AS (
+  SELECT event_type AS metric, value,
+         CAST({_ES} AS BIGINT) AS es,
+         CAST(({_ES} // {_FINE.step_seconds}) * {_FINE.step_seconds} AS BIGINT)
+           AS bucket_ts
+  FROM events
+),
+nowt AS (SELECT MAX(es) AS now_ts FROM e),
+bounds AS (
+  SELECT ((now_ts - {_FETCH_SPAN}) // {_FINE.step_seconds})
+           * {_FINE.step_seconds} AS lo,
+         (now_ts // {_FINE.step_seconds}) * {_FINE.step_seconds} AS hi
+  FROM nowt
+),
+agg AS (
+  SELECT metric, bucket_ts,
+         COUNT(value) AS cnt,
+         {QSUM_SQL.format(x="value")} AS sum_value,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value
+  FROM e GROUP BY 1, 2
+),
+grid AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, {_FINE.step_seconds})) AS BIGINT)
+           AS bucket_ts
+  FROM bounds
+),
+keys AS (SELECT DISTINCT metric FROM e)
+SELECT k.metric,
+       g.bucket_ts,
+       COALESCE(a.cnt, 0) AS n_points,
+       CASE WHEN a.cnt > 0 THEN a.sum_value END AS sum_value,
+       CASE WHEN a.cnt > 0
+            THEN CAST(a.sum_value / a.cnt AS DOUBLE) END AS avg_value,
+       CASE WHEN a.cnt > 0 THEN a.min_value END AS min_value,
+       CASE WHEN a.cnt > 0 THEN a.max_value END AS max_value
+FROM keys k
+CROSS JOIN grid g
+LEFT JOIN agg a ON a.metric = k.metric AND a.bucket_ts = g.bucket_ts
+"""
+
+
+QUERIES = {
+    "tsdb_ladder_roundtrip": tsdb_ladder_roundtrip,
+}
+
+ORACLE = {
+    "tsdb_ladder_roundtrip": _LADDER_RT_SQL,
+}

@@ -170,12 +170,23 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_counter_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: monotonic-counter derivative with reset
-    detection (rows-only; unit-tested recurrence)."""
+    detection. Rows fold in total (es, event_id) order and each output is
+    one float subtraction + an integer running count (no accumulation), so
+    — like :func:`streaming_drawdown` — this stateful query has a FULL SQL
+    oracle: ``value - lag(value)`` with the reset rule, and a running
+    ``sum(is_drop)``, over the same order."""
     from kenshin_backup_spark.streaming.stateful import counter_reset_stream
 
     stream = _events_stream(spark, sf_dir).withColumnRenamed("event_type", "metric")
     out = run_stream_to_memory(spark, counter_reset_stream(stream), output_mode="append")
-    return out
+    return out.select(
+        "metric",
+        F.col("es").cast("long").alias("es"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+        "delta",
+        F.col("resets").cast("long").alias("resets"),
+    )
 
 
 def streaming_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,6 +226,29 @@ SELECT metric, es, event_id, value,
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - value
          AS drawdown
 FROM e
+"""
+
+
+_RESETS_SQL = f"""
+WITH e AS (
+  SELECT event_type AS metric, event_id, value,
+         CAST({_ES} AS BIGINT) AS es
+  FROM events
+),
+lagged AS (
+  SELECT metric, es, event_id, value,
+         LAG(value) OVER (PARTITION BY metric ORDER BY es, event_id) AS prev
+  FROM e
+)
+SELECT metric, es, event_id, value,
+       CASE WHEN prev IS NULL THEN NULL
+            WHEN value >= prev THEN value - prev
+            ELSE value END AS delta,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END)
+              OVER (PARTITION BY metric ORDER BY es, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS resets
+FROM lagged
 """
 
 
@@ -317,8 +351,10 @@ ORACLE = {
     "streaming_rollup_1h": _STREAM_ROLLUP_SQL,
     "streaming_session_windows": _SESSION_SQL,
     "streaming_sharded_rollup": _SHARDED_SQL,
-    # streaming_ewma / streaming_counter_resets: stateful recurrences with
-    # float accumulation, non-SQL-expressible → rows-only checks.
-    # streaming_drawdown: running max has NO accumulation → exact oracle.
+    # streaming_ewma: stateful recurrence with float ACCUMULATION (each
+    # step feeds the next multiply-add), non-SQL-expressible → rows-only.
+    # streaming_drawdown / streaming_counter_resets: running max / single
+    # lag-subtraction + integer count have NO accumulation → exact oracles.
     "streaming_drawdown": _DRAWDOWN_SQL,
+    "streaming_counter_resets": _RESETS_SQL,
 }

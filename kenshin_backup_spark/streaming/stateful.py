@@ -77,7 +77,10 @@ def ewma_stream(
     )
 
 
-RESET_OUTPUT_SCHEMA = "metric string, es long, value double, delta double, resets long"
+RESET_OUTPUT_SCHEMA = (
+    "metric string, es long, event_id long, value double, delta double, "
+    "resets long"
+)
 RESET_STATE_SCHEMA = "last double, resets long"
 
 
@@ -87,14 +90,21 @@ def counter_reset_stream(
     key_col: str = "metric",
     ts_col: str = "ts",
     value_col: str = "value",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Monotonic-counter derivative with reset detection: when a counter
     drops (restart/wrap), emit delta = new value (counter restarted from
     zero) and count the reset — graphite ``nonNegativeDerivative`` +
-    ``resetCount`` in one stateful pass."""
+    ``resetCount`` in one stateful pass.
+
+    Rows fold in (es, id) order — a TOTAL order — and each output is one
+    float subtraction plus an integer counter (no accumulation), so the
+    result is EXACTLY the batch windows ``value - lag(value)`` /
+    ``sum(is_drop)`` over the same order: a stateful streaming query with
+    a full SQL oracle (cf. :func:`drawdown_stream`)."""
     import pandas as pd
 
-    k, t, v = key_col, ts_col, value_col
+    k, t, v, i = key_col, ts_col, value_col, id_col
 
     def _update(
         key, pdfs: Iterator["pd.DataFrame"], state: GroupState
@@ -103,8 +113,8 @@ def counter_reset_stream(
         out = []
         chunks = list(pdfs)
         if chunks:
-            pdf = pd.concat(chunks).sort_values("__es")
-            for es, val in zip(pdf["__es"], pdf[v]):
+            pdf = pd.concat(chunks).sort_values(["__es", i])
+            for es, eid, val in zip(pdf["__es"], pdf[i], pdf[v]):
                 if last is None:
                     delta = None
                 elif val >= last:
@@ -112,12 +122,14 @@ def counter_reset_stream(
                 else:
                     resets += 1
                     delta = val  # counter restarted from zero
-                out.append((key[0], int(es), float(val),
+                out.append((key[0], int(es), int(eid), float(val),
                             None if delta is None else float(delta), int(resets)))
                 last = val
         if last is not None:
             state.update((float(last), int(resets)))
-        yield pd.DataFrame(out, columns=["metric", "es", "value", "delta", "resets"])
+        yield pd.DataFrame(
+            out, columns=["metric", "es", "event_id", "value", "delta", "resets"]
+        )
 
     prepped = stream.withColumn("__es", F.unix_timestamp(F.col(t)).cast("long"))
     return (
