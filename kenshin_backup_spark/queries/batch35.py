@@ -128,10 +128,134 @@ LEFT JOIN agg a ON a.metric = k.metric AND a.bucket_ts = g.bucket_ts
 """
 
 
+# --- policy-driven rollup (S6 → A-family integration) -----------------------
+
+#: Ordered storage-schema config (first match wins), exercising per-policy
+#: step AND kernel AND xFilesFactor in one plan. Patterns are un-anchored
+#: regexes like carbon's.
+_POLICIES = (
+    ("errors", "^error", 600, "sum", 0.0),
+    ("money", "^purchase", 1800, "max", 0.0),
+    ("default", ".*", 3600, "average", 0.0),
+)
+
+
+def tsdb_policy_driven_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup where EACH metric's bucket step and aggregation kernel come
+    from its storage-schema policy (the reference's per-schema retentions +
+    aggregationMethod applied together): policy assignment is the ordered
+    first-match ``when`` chain (``operators/policies.py``), the bucket
+    width is a per-row column, and the output value picks the policy's
+    kernel from the shared partial state.
+
+    At 100 TB this is ONE scan + ONE hash aggregate keyed
+    (metric, bucket): the policy fields are scan-side expressions, so
+    heterogeneous retention ladders cost nothing extra over a uniform
+    rollup."""
+    from kenshin_backup_spark.operators.policies import Policy, assign_policy
+
+    ev = load_table(spark, sf_dir, "events")
+    pols = [
+        Policy(name=n, pattern=p, steps=(step,), agg=agg, xff=xff)
+        for n, p, step, agg, xff in _POLICIES
+    ]
+    base = assign_policy(
+        ev.select(F.col("event_type").alias("metric"), "ts", "value"),
+        pols,
+        metric_col="metric",
+    )
+    step = F.lit(None).cast("long")
+    agg = F.lit(None).cast("string")
+    for n, _, s, a, _x in reversed(_POLICIES):
+        step = F.when(F.col("policy") == n, F.lit(s)).otherwise(step)
+        agg = F.when(F.col("policy") == n, F.lit(a)).otherwise(agg)
+    es = F.unix_timestamp("ts").cast("long")
+    with_cfg = base.select(
+        "metric",
+        "policy",
+        step.alias("step_seconds"),
+        agg.alias("agg"),
+        (es - F.pmod(es, step)).cast("long").alias("bucket_ts"),
+        "value",
+    )
+    parts = with_cfg.groupBy(
+        "metric", "policy", "agg", "step_seconds", "bucket_ts"
+    ).agg(
+        F.count("value").alias("n_points"),
+        F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias("sum_q"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    sum_v = (F.col("sum_q") / 1_000_000.0).cast("double")
+    value = (
+        F.when(F.col("agg") == "sum", sum_v)
+        .when(F.col("agg") == "average", (sum_v / F.col("n_points")).cast("double"))
+        .when(F.col("agg") == "max", F.col("max_v"))
+        .when(F.col("agg") == "min", F.col("min_v"))
+    )
+    return parts.select(
+        "metric",
+        "policy",
+        F.col("step_seconds").cast("long").alias("step_seconds"),
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        F.col("n_points").cast("long").alias("n_points"),
+        value.cast("double").alias("value"),
+    )
+
+
+def _policy_rollup_sql() -> str:
+    policy_case = " ".join(
+        f"WHEN regexp_matches(event_type, '{p}') THEN '{n}'"
+        for n, p, _s, _a, _x in _POLICIES
+    )
+    step_case = " ".join(
+        f"WHEN policy = '{n}' THEN {s}" for n, _p, s, _a, _x in _POLICIES
+    )
+    agg_case = " ".join(
+        f"WHEN policy = '{n}' THEN '{a}'" for n, _p, _s, a, _x in _POLICIES
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type AS metric, value,
+         CAST({_ES} AS BIGINT) AS es,
+         CASE {policy_case} ELSE 'default' END AS policy
+  FROM events
+),
+cfg AS (
+  SELECT metric, value, es, policy,
+         CASE {step_case} END AS step_seconds,
+         CASE {agg_case} END AS agg
+  FROM base
+),
+parts AS (
+  SELECT metric, policy, agg, step_seconds,
+         CAST(es - es % step_seconds AS BIGINT) AS bucket_ts,
+         COUNT(value) AS n_points,
+         SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS sum_q,
+         MIN(value) AS min_v,
+         MAX(value) AS max_v
+  FROM cfg GROUP BY 1, 2, 3, 4, 5
+)
+SELECT metric, policy,
+       CAST(step_seconds AS BIGINT) AS step_seconds,
+       bucket_ts,
+       CAST(n_points AS BIGINT) AS n_points,
+       CAST(CASE agg
+              WHEN 'sum' THEN CAST(sum_q AS DOUBLE) / 1000000
+              WHEN 'average' THEN (CAST(sum_q AS DOUBLE) / 1000000) / n_points
+              WHEN 'max' THEN max_v
+              WHEN 'min' THEN min_v
+            END AS DOUBLE) AS value
+FROM parts
+"""
+
+
 QUERIES = {
     "tsdb_ladder_roundtrip": tsdb_ladder_roundtrip,
+    "tsdb_policy_driven_rollup": tsdb_policy_driven_rollup,
 }
 
 ORACLE = {
     "tsdb_ladder_roundtrip": _LADDER_RT_SQL,
+    "tsdb_policy_driven_rollup": _policy_rollup_sql(),
 }

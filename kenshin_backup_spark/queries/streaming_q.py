@@ -155,17 +155,44 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
+_EWMA_ALPHA = 0.3
+
+
 def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-metric EWMA.
-    Inherently sequential/recursive → no SQL oracle (rows-only check);
-    the recurrence itself is unit-tested against a reference impl."""
+    The per-row running values carry float ACCUMULATION (each step feeds
+    the next multiply-add), so this per-row emission stays rows-only; the
+    terminal fold state is oracle-checked by
+    :func:`streaming_ewma_final`."""
     from kenshin_backup_spark.streaming.stateful import ewma_stream
 
     stream = _events_stream(spark, sf_dir).withColumnRenamed("event_type", "metric")
     out = run_stream_to_memory(
-        spark, ewma_stream(stream, alpha=0.3), output_mode="append"
+        spark, ewma_stream(stream, alpha=_EWMA_ALPHA), output_mode="append"
     )
     return out
+
+
+def streaming_ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal EWMA state per metric, ORACLE-CHECKED: the stateful fold
+    runs in total (es, event_id) order with plain IEEE multiply-adds, so
+    the final state per key is exactly a seeded left fold over the ordered
+    values — which DuckDB reproduces bit-for-bit with ``list_reduce`` over
+    ``list(value ORDER BY es, event_id)``. This pins the stateful
+    operator's cross-batch state handling (not just row plumbing) to an
+    exact oracle — rare for a float recurrence."""
+    from kenshin_backup_spark.streaming.stateful import ewma_stream
+
+    stream = _events_stream(spark, sf_dir).withColumnRenamed("event_type", "metric")
+    out = run_stream_to_memory(
+        spark, ewma_stream(stream, alpha=_EWMA_ALPHA), output_mode="append"
+    )
+    last = F.max(F.struct(F.col("es"), F.col("event_id"), F.col("ewma")))
+    return out.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max("es").cast("long").alias("last_es"),
+        last["ewma"].cast("double").alias("ewma_final"),
+    )
 
 
 def streaming_counter_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,6 +253,31 @@ SELECT metric, es, event_id, value,
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - value
          AS drawdown
 FROM e
+"""
+
+
+#: repr() round-trips the exact doubles the pandas fold multiplies by, so
+#: the DuckDB lambda performs the IDENTICAL IEEE ops in the same order.
+_EWMA_FINAL_SQL = f"""
+WITH e AS (
+  SELECT event_type AS metric, event_id, value,
+         CAST({_ES} AS BIGINT) AS es
+  FROM events
+),
+ordered AS (
+  SELECT metric,
+         list(value ORDER BY es, event_id) AS vals,
+         COUNT(*) AS n_points,
+         MAX(es) AS last_es
+  FROM e GROUP BY metric
+)
+SELECT metric,
+       CAST(n_points AS BIGINT) AS n_points,
+       last_es,
+       CAST(list_reduce(vals,
+              (acc, x) -> {_EWMA_ALPHA!r} * x + {1 - _EWMA_ALPHA!r} * acc)
+            AS DOUBLE) AS ewma_final
+FROM ordered
 """
 
 
@@ -342,6 +394,7 @@ QUERIES = {
     "streaming_rollup_1h": streaming_rollup_1h,
     "streaming_session_windows": streaming_session_windows,
     "streaming_ewma": streaming_ewma,
+    "streaming_ewma_final": streaming_ewma_final,
     "streaming_counter_resets": streaming_counter_resets,
     "streaming_sharded_rollup": streaming_sharded_rollup,
     "streaming_drawdown": streaming_drawdown,
@@ -351,10 +404,11 @@ ORACLE = {
     "streaming_rollup_1h": _STREAM_ROLLUP_SQL,
     "streaming_session_windows": _SESSION_SQL,
     "streaming_sharded_rollup": _SHARDED_SQL,
-    # streaming_ewma: stateful recurrence with float ACCUMULATION (each
-    # step feeds the next multiply-add), non-SQL-expressible → rows-only.
+    # streaming_ewma: per-row float accumulation → rows-only; but its
+    # TERMINAL fold state is exact (streaming_ewma_final via list_reduce).
     # streaming_drawdown / streaming_counter_resets: running max / single
     # lag-subtraction + integer count have NO accumulation → exact oracles.
+    "streaming_ewma_final": _EWMA_FINAL_SQL,
     "streaming_drawdown": _DRAWDOWN_SQL,
     "streaming_counter_resets": _RESETS_SQL,
 }

@@ -28,7 +28,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EWMA_OUTPUT_SCHEMA = "metric string, es long, value double, ewma double"
+EWMA_OUTPUT_SCHEMA = (
+    "metric string, es long, event_id long, value double, ewma double"
+)
 EWMA_STATE_SCHEMA = "ewma double"
 
 
@@ -39,15 +41,22 @@ def ewma_stream(
     key_col: str = "metric",
     ts_col: str = "ts",
     value_col: str = "value",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Per-metric EWMA over an event stream, state = one double per metric.
 
     ``ewma_t = alpha * v_t + (1 - alpha) * ewma_{t-1}`` (seeded with the
     first value). Emits one row per input point with the running EWMA.
+
+    Rows fold in total (es, id) order, so although the float accumulation
+    makes per-row EWMA non-SQL-expressible, the fold SEQUENCE is
+    deterministic — the terminal state per key is exactly a left fold over
+    the ordered values and is oracle-checked via DuckDB ``list_reduce``
+    (``streaming_ewma_final``).
     """
     import pandas as pd
 
-    k, t, v = key_col, ts_col, value_col
+    k, t, v, i = key_col, ts_col, value_col, id_col
 
     def _update(
         key, pdfs: Iterator["pd.DataFrame"], state: GroupState
@@ -56,13 +65,15 @@ def ewma_stream(
         out = []
         chunks = list(pdfs)
         if chunks:
-            pdf = pd.concat(chunks).sort_values("__es")
-            for es, val in zip(pdf["__es"], pdf[v]):
+            pdf = pd.concat(chunks).sort_values(["__es", i])
+            for es, eid, val in zip(pdf["__es"], pdf[i], pdf[v]):
                 ewma = val if ewma is None else alpha * val + (1 - alpha) * ewma
-                out.append((key[0], int(es), float(val), float(ewma)))
+                out.append((key[0], int(es), int(eid), float(val), float(ewma)))
         if ewma is not None:
             state.update((float(ewma),))
-        yield pd.DataFrame(out, columns=["metric", "es", "value", "ewma"])
+        yield pd.DataFrame(
+            out, columns=["metric", "es", "event_id", "value", "ewma"]
+        )
 
     prepped = stream.withColumn("__es", F.unix_timestamp(F.col(t)).cast("long"))
     return (

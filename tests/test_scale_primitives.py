@@ -233,3 +233,21 @@ def test_global_topk_matches_sorted_head(spark):
     got = [tuple(r) for r in global_topk(df, [F.desc("v"), F.asc("id")], 25).collect()]
     want = sorted(map(tuple, df.collect()), key=lambda r: (-r[1], r[0]))[:25]
     assert got == want
+
+
+def test_tracked_persists_cleared_when_next_query_builds(spark):
+    from kenshin_backup_spark import cache
+
+    df = spark.range(10).transform(cache.persist_tracked)
+    df.count()
+    assert df.is_cached
+    cache.clear_tracked()
+    assert not df.is_cached
+    # registry queries clear the previous query's caches on build
+    from kenshin_backup_spark.queries import queries
+    from tests.conftest import SF_SMOKE
+
+    qs = queries()
+    df2 = spark.range(10).transform(cache.persist_tracked)
+    qs["tpch_q1_pricing_summary"](spark, SF_SMOKE)
+    assert not df2.is_cached

@@ -20,14 +20,16 @@ UTC = dt.timezone.utc
 def _file_stream(spark, tmp_path, rows):
     src = tmp_path / "pts"
     src.mkdir()
-    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    df = spark.createDataFrame(
+        rows, "metric string, ts timestamp, event_id long, value double"
+    )
     df.coalesce(1).write.mode("overwrite").parquet(str(src))
     return spark.readStream.schema(df.schema).parquet(str(src))
 
 
 def test_ewma_stream_matches_reference(spark, tmp_path):
     vals = [10.0, 20.0, 30.0, 10.0]
-    rows = [("m", dt.datetime.fromtimestamp(100 + i * 60, UTC), v)
+    rows = [("m", dt.datetime.fromtimestamp(100 + i * 60, UTC), i, v)
             for i, v in enumerate(vals)]
     stream = _file_stream(spark, tmp_path, rows)
     out = run_stream_to_memory(
@@ -43,13 +45,7 @@ def test_counter_reset_stream(spark, tmp_path):
     vals = [5.0, 9.0, 2.0, 4.0]  # drop at t=3 → reset
     rows = [("c", dt.datetime.fromtimestamp(i * 10, UTC), i, v)
             for i, v in enumerate(vals)]
-    src = tmp_path / "pts"
-    src.mkdir()
-    df = spark.createDataFrame(
-        rows, "metric string, ts timestamp, event_id long, value double"
-    )
-    df.coalesce(1).write.mode("overwrite").parquet(str(src))
-    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    stream = _file_stream(spark, tmp_path, rows)
     out = run_stream_to_memory(
         spark, counter_reset_stream(stream), output_mode="append"
     )

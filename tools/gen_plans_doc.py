@@ -83,9 +83,38 @@ SHOWCASE = [
         "and the exact array_intersect Jaccard verify applied INSIDE the "
         "join — all joins are hash equi-joins.",
     ),
+    (
+        "events_seasonal_residual_anomalies",
+        "Global top-k done right (round 4): the |residual| ranking plans as "
+        "TakeOrderedAndProject (each task keeps its local top-20, driver "
+        "merges) and the rank window runs over the 20 surviving rows — "
+        "round 3's version moved the ENTIRE events table through one "
+        "unpartitioned Window task.",
+    ),
+    (
+        "orders_pareto_curve",
+        "Global prefix sums without a global sort (round 4, "
+        "operators/scalepat.with_global_prefix): range repartition on the "
+        "sort key, per-partition cumsum/row_number windows keyed on "
+        "spark_partition_id, per-partition subtotals (one row per "
+        "partition) windowed into running offsets, broadcast back. The "
+        "only unpartitioned window in the plan is over the "
+        "partition-count-row offsets frame.",
+    ),
 ]
 
 FOOTER = """
+## Plan-shape lessons (measured, round 4)
+
+- **An unpartitioned ranking window is a single-task sort — use
+  orderBy().limit() or range-partitioned prefix sums.** `row_number()
+  OVER (ORDER BY x)` moves every input row to ONE task (`WindowExec: No
+  Partition Defined`); `orderBy().limit(k)` plans as
+  TakeOrderedAndProject (partial top-k map-side), and exact global
+  rank/cumsum decomposes into per-range windows + broadcast offsets
+  (`operators/scalepat.py`). `plans.unpartitioned_windows` +
+  `tests/test_plans.py` gate the whole class mechanically.
+
 ## Plan-shape lessons (measured, round 3)
 
 - **Persist the signature frame, not just the shingle frame.** Both sides
