@@ -53,6 +53,7 @@ from kenshin_backup_spark.queries import (
     batch33,
     batch34,
     batch35,
+    batch36,
     llm,
     relational,
     relational2,
@@ -99,20 +100,22 @@ _MODULES = (
     batch33,
     batch34,
     batch35,
+    batch36,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
 #: entries, so this ordering is evidence policy. Round-4 re-curation
 #: (all three tiers exact-green in the stricter local parity suite):
-#: 1. one driver-green r3 anchor per SURVEY §2 family (21 slots);
-#: 2. every query whose PLAN or BEHAVIOR changed this round — the
-#:    unpartitioned-window sweep (seasonal anomalies, q11/q15, Zipf,
-#:    Pareto, RFM, ntile quartiles, SLO burn, seriesfns rankings), the
-#:    zero-norm cosine guards, the stateful chunk-ordering fix, and the
-#:    new ladder round-trip — so the driver re-certifies the new plans
-#:    (13 slots);
-#: 3. never-driver-checked rotations (remaining slots) — cumulative
-#:    unique driver-checked grows 89 → 113 if all pass.
+#: 1. one driver-green r3 anchor per SURVEY §2 family (18 slots);
+#: 2. the round-4 NEW operators (policy-driven rollup, EWMA terminal
+#:    fold, document chunking, ladder round-trip) and every query whose
+#:    PLAN or BEHAVIOR changed this round — the unpartitioned-window
+#:    sweep (seasonal anomalies, q11/q15, Zipf, Pareto, RFM, ntile
+#:    quartiles, SLO burn, seriesfns rankings), the zero-norm cosine
+#:    guards, and the stateful chunk-ordering fix — so the driver
+#:    certifies the new plans (17 slots);
+#: 3. never-driver-checked rotations (remaining 15 slots) — cumulative
+#:    unique driver-checked grows 89 → 116 if all pass.
 #: Families green in earlier rounds (policy/glob, scalar datetime/math/
 #: array, outer/anti/range joins, grouping sets, session windows, …)
 #: rotate out but keep local oracle-parity coverage.
@@ -123,8 +126,6 @@ _PRIORITY = (
     "tpch_q1_pricing_summary",
     "asof_purchase_last_click",
     "window_topk_parts_per_brand",
-    "setops_customer_cohorts",
-    "scalar_json_event_props",
     "llm_decontamination",
     "dedup_exact_fingerprint",
     "dedup_ngram_jaccard_capped",
@@ -138,7 +139,10 @@ _PRIORITY = (
     "streaming_rollup_1h",
     "streaming_update_sink_rollup",
     "streaming_purchase_click_join",
-    "source_bucketed_join",
+    # --- new this round ------------------------------------------------------
+    "tsdb_policy_driven_rollup",
+    "streaming_ewma_final",
+    "llm_document_chunking",
     # --- changed this round: driver must re-certify the new plans -----------
     "events_seasonal_residual_anomalies",
     "tpch_q11_important_parts",
