@@ -128,6 +128,137 @@ LEFT JOIN agg a ON a.metric = k.metric AND a.bucket_ts = g.bucket_ts
 """
 
 
+def tsdb_ladder_coarse_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive SELECTION through the materialized ladder: the fetch range
+    starts OUTSIDE the fine level's retention, so ``select_archive`` must
+    fall back to the coarse 1-hour archive — the reference's
+    finest-adequate-archive routing driven end-to-end (the single-level
+    ``tsdb_fetch_gapfill`` never exercises the fallback). The ladder is
+    built fresh under its own staging tag so this query is independent of
+    ``tsdb_ladder_roundtrip``'s expire/compact mutations."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(F.col("event_type").alias("metric"), "ts", "value")
+    now_ts = int(
+        pts.agg(F.max(F.unix_timestamp("ts").cast("long")).alias("m")).first()["m"]
+    )
+    root = staged_path(sf_dir, "ladder_coarse", tables=("events",))
+    shutil.rmtree(root, ignore_errors=True)
+    ladder = Ladder(root=root, archives=(_FINE, _COARSE), key_cols=("metric",))
+    build_ladder(pts, ladder)
+
+    fetched = fetch_from_ladder(
+        spark,
+        ladder,
+        metric_glob="*",
+        from_ts=now_ts - 20 * 86400,  # beyond fine retention (10 d) → coarse
+        until_ts=now_ts - 12 * 86400,
+        now_ts=now_ts,
+    )
+    wide = finalize(fetched)
+    return wide.select(
+        "metric",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_points"),
+        "sum_value",
+        "avg_value",
+        "min_value",
+        "max_value",
+    )
+
+
+_LADDER_COARSE_SQL = f"""
+WITH e AS (
+  SELECT event_type AS metric, value,
+         CAST({_ES} AS BIGINT) AS es,
+         CAST(({_ES} // {_COARSE.step_seconds}) * {_COARSE.step_seconds} AS BIGINT)
+           AS bucket_ts
+  FROM events
+),
+nowt AS (SELECT MAX(es) AS now_ts FROM e),
+bounds AS (
+  SELECT ((now_ts - {20 * 86400}) // {_COARSE.step_seconds})
+           * {_COARSE.step_seconds} AS lo,
+         ((now_ts - {12 * 86400}) // {_COARSE.step_seconds})
+           * {_COARSE.step_seconds} AS hi
+  FROM nowt
+),
+agg AS (
+  SELECT metric, bucket_ts,
+         COUNT(value) AS cnt,
+         {QSUM_SQL.format(x="value")} AS sum_value,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value
+  FROM e GROUP BY 1, 2
+),
+grid AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, {_COARSE.step_seconds})) AS BIGINT)
+           AS bucket_ts
+  FROM bounds
+),
+keys AS (SELECT DISTINCT metric FROM e)
+SELECT k.metric,
+       g.bucket_ts,
+       COALESCE(a.cnt, 0) AS n_points,
+       CASE WHEN a.cnt > 0 THEN a.sum_value END AS sum_value,
+       CASE WHEN a.cnt > 0
+            THEN CAST(a.sum_value / a.cnt AS DOUBLE) END AS avg_value,
+       CASE WHEN a.cnt > 0 THEN a.min_value END AS min_value,
+       CASE WHEN a.cnt > 0 THEN a.max_value END AS max_value
+FROM keys k
+CROSS JOIN grid g
+LEFT JOIN agg a ON a.metric = k.metric AND a.bucket_ts = g.bucket_ts
+"""
+
+
+# --- skew-salted rollup, driver-faced ---------------------------------------
+
+def tsdb_rollup_salted_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew lever driver-faced: level-0 rollup through
+    ``rollup_partials_salted`` (pre-aggregate on (metric, salt) so one hot
+    metric spreads across reducers, then merge the salted partials). All
+    partial state is associative, so the result must be BIT-IDENTICAL to
+    the unsalted rollup — the oracle is the plain direct SQL rollup, and a
+    hash match proves salting is pure plan shape, not semantics."""
+    from kenshin_backup_spark.operators.rollup import (
+        finalize as fin,
+        rollup_partials_salted,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = rollup_partials_salted(
+        ev.select(F.col("event_type").alias("metric"), "ts", "value"),
+        key_cols=["metric"],
+        step_seconds=3600,
+        salt_buckets=8,
+    )
+    wide = fin(parts)
+    return wide.select(
+        "metric",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        F.col("cnt").cast("long").alias("n_points"),
+        "sum_value",
+        "avg_value",
+        "min_value",
+        "max_value",
+    )
+
+
+_SALTED_SQL = f"""
+WITH e AS (
+  SELECT event_type AS metric, value,
+         CAST(({_ES} // 3600) * 3600 AS BIGINT) AS bucket_ts
+  FROM events
+)
+SELECT metric, bucket_ts,
+       COUNT(value) AS n_points,
+       {QSUM_SQL.format(x="value")} AS sum_value,
+       CAST({QSUM_SQL.format(x="value")} / COUNT(value) AS DOUBLE) AS avg_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM e GROUP BY 1, 2
+"""
+
+
 # --- policy-driven rollup (S6 → A-family integration) -----------------------
 
 #: Ordered storage-schema config (first match wins), exercising per-policy
@@ -252,10 +383,14 @@ FROM parts
 
 QUERIES = {
     "tsdb_ladder_roundtrip": tsdb_ladder_roundtrip,
+    "tsdb_ladder_coarse_fetch": tsdb_ladder_coarse_fetch,
+    "tsdb_rollup_salted_1h": tsdb_rollup_salted_1h,
     "tsdb_policy_driven_rollup": tsdb_policy_driven_rollup,
 }
 
 ORACLE = {
     "tsdb_ladder_roundtrip": _LADDER_RT_SQL,
+    "tsdb_ladder_coarse_fetch": _LADDER_COARSE_SQL,
+    "tsdb_rollup_salted_1h": _SALTED_SQL,
     "tsdb_policy_driven_rollup": _policy_rollup_sql(),
 }
