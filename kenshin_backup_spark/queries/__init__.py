@@ -54,6 +54,8 @@ from kenshin_backup_spark.queries import (
     batch34,
     batch35,
     batch36,
+    batch37,
+    batch38,
     llm,
     relational,
     relational2,
@@ -101,6 +103,8 @@ _MODULES = (
     batch34,
     batch35,
     batch36,
+    batch37,
+    batch38,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
@@ -108,13 +112,14 @@ _MODULES = (
 #: (all three tiers exact-green in the stricter local parity suite):
 #: 1. one driver-green r3 anchor per SURVEY §2 family (18 slots);
 #: 2. the round-4 NEW operators (policy-driven rollup, EWMA terminal
-#:    fold, document chunking, ladder round-trip) and every query whose
-#:    PLAN or BEHAVIOR changed this round — the unpartitioned-window
-#:    sweep (seasonal anomalies, q11/q15, Zipf, Pareto, RFM, ntile
-#:    quartiles, SLO burn, seriesfns rankings), the zero-norm cosine
-#:    guards, and the stateful chunk-ordering fix — so the driver
-#:    certifies the new plans (17 slots);
-#: 3. never-driver-checked rotations (remaining 15 slots) — cumulative
+#:    fold, document chunking, BM25 retrieval, series auto/cross-
+#:    correlation, deterministic corpus split, ladder round-trip) and
+#:    every query whose PLAN or BEHAVIOR changed this round — the
+#:    unpartitioned-window sweep (seasonal anomalies, q11/q15, Zipf,
+#:    Pareto, RFM, ntile quartiles, SLO burn, seriesfns rankings), the
+#:    zero-norm cosine guards, and the stateful chunk-ordering fix — so
+#:    the driver certifies the new plans (21 slots);
+#: 3. never-driver-checked rotations (remaining 11 slots) — cumulative
 #:    unique driver-checked grows 89 → 116 if all pass.
 #: Families green in earlier rounds (policy/glob, scalar datetime/math/
 #: array, outer/anti/range joins, grouping sets, session windows, …)
@@ -143,6 +148,10 @@ _PRIORITY = (
     "tsdb_policy_driven_rollup",
     "streaming_ewma_final",
     "llm_document_chunking",
+    "retrieval_bm25_topk",
+    "tsdb_autocorrelation",
+    "tsdb_cross_correlation",
+    "llm_train_test_split",
     # --- changed this round: driver must re-certify the new plans -----------
     "events_seasonal_residual_anomalies",
     "tpch_q11_important_parts",
@@ -160,15 +169,11 @@ _PRIORITY = (
     "tsdb_ladder_roundtrip",
     # --- rotated in: never driver-checked, locally exact-green --------------
     "scalar_string_family2",
-    "scalar_string_family3",
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",
     "tpch_q12_ship_lag",
-    "tpch_q13_order_count_distribution",
     "tpch_q14_promo_share",
-    "tpch_q16_supplier_relation",
     "tpch_q18_large_orders",
-    "tpch_q22_cohort",
     "graphite_divide_series",
     "llm_sequence_packing",
     "orders_market_basket",

@@ -234,3 +234,26 @@ def test_bench_headliners_have_no_data_proportional_global_window(spark):
             name,
             specs,
         )
+
+
+def test_batch37_plans_are_scale_safe(spark):
+    """Batch-37 contracts: BM25 and the correlation queries never plan a
+    cartesian product, and every window is partitioned (per-query ranks
+    only — no data-proportional global window anywhere)."""
+    from kenshin_backup_spark.queries.batch37 import (
+        retrieval_bm25_topk,
+        tsdb_autocorrelation,
+        tsdb_cross_correlation,
+        llm_train_test_split,
+    )
+
+    for fn in (
+        retrieval_bm25_topk,
+        tsdb_autocorrelation,
+        tsdb_cross_correlation,
+        llm_train_test_split,
+    ):
+        df = fn(spark, SF_SMOKE)
+        text = explain_str(df)
+        assert "CartesianProduct" not in text, fn.__name__
+        assert unpartitioned_windows(df) == [], fn.__name__
