@@ -114,7 +114,15 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
             continue
         groups = _top_level_bracket_groups(stripped)
         # first group is the function list (contains windowspecdefinition);
-        # partitioned windows carry [part] + [order] after it
-        if len(groups) == 2:
+        # fully-specified windows carry [part] + [order] after it. Two
+        # trailing forms are ambiguous at the bracket level: an
+        # UNPARTITIONED ordered window prints [funcs], [order] while a
+        # partition-only (no ORDER BY) window prints [funcs], [part] —
+        # an order spec always carries a sort direction, a partition spec
+        # never does. A single-group node is a global unordered window
+        # (whole input, one task) — flagged too.
+        if len(groups) == 1:
+            out.append("")
+        elif len(groups) == 2 and ("ASC" in groups[1] or "DESC" in groups[1]):
             out.append(groups[1])
     return out

@@ -56,6 +56,7 @@ from kenshin_backup_spark.queries import (
     batch36,
     batch37,
     batch38,
+    batch39,
     llm,
     relational,
     relational2,
@@ -105,6 +106,7 @@ _MODULES = (
     batch36,
     batch37,
     batch38,
+    batch39,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry

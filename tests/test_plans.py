@@ -236,15 +236,26 @@ def test_bench_headliners_have_no_data_proportional_global_window(spark):
         )
 
 
-def test_batch37_plans_are_scale_safe(spark):
-    """Batch-37 contracts: BM25 and the correlation queries never plan a
-    cartesian product, and every window is partitioned (per-query ranks
-    only — no data-proportional global window anywhere)."""
+def test_batch37_39_plans_are_scale_safe(spark):
+    """Batch-37/38/39 contracts: no cartesian product anywhere (the only
+    cross joins are broadcast 1-row scalar attaches), and every window is
+    partitioned (per-query / per-metric / per-cohort ranks — no
+    data-proportional global window)."""
     from kenshin_backup_spark.queries.batch37 import (
         retrieval_bm25_topk,
         tsdb_autocorrelation,
         tsdb_cross_correlation,
         llm_train_test_split,
+    )
+    from kenshin_backup_spark.queries.batch38 import (
+        agg_skewness_kurtosis,
+        events_user_gini_diversity,
+        lineitem_weighted_median,
+    )
+    from kenshin_backup_spark.queries.batch39 import (
+        orders_cohort_ltv,
+        text_tfidf_keywords,
+        tsdb_histogram_percentile,
     )
 
     for fn in (
@@ -252,6 +263,12 @@ def test_batch37_plans_are_scale_safe(spark):
         tsdb_autocorrelation,
         tsdb_cross_correlation,
         llm_train_test_split,
+        agg_skewness_kurtosis,
+        events_user_gini_diversity,
+        lineitem_weighted_median,
+        orders_cohort_ltv,
+        text_tfidf_keywords,
+        tsdb_histogram_percentile,
     ):
         df = fn(spark, SF_SMOKE)
         text = explain_str(df)
