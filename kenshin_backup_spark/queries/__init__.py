@@ -57,6 +57,7 @@ from kenshin_backup_spark.queries import (
     batch37,
     batch38,
     batch39,
+    batch40,
     llm,
     relational,
     relational2,
@@ -107,6 +108,7 @@ _MODULES = (
     batch37,
     batch38,
     batch39,
+    batch40,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
@@ -115,13 +117,14 @@ _MODULES = (
 #: 1. one driver-green r3 anchor per SURVEY §2 family (18 slots);
 #: 2. the round-4 NEW operators (policy-driven rollup, EWMA terminal
 #:    fold, document chunking, BM25 retrieval, series auto/cross-
-#:    correlation, deterministic corpus split, ladder round-trip) and
-#:    every query whose PLAN or BEHAVIOR changed this round — the
+#:    correlation, deterministic corpus split, whisper/pickle byte
+#:    round-trips, histogram percentile, ladder round-trip) and every
+#:    query whose PLAN or BEHAVIOR changed this round — the
 #:    unpartitioned-window sweep (seasonal anomalies, q11/q15, Zipf,
 #:    Pareto, RFM, ntile quartiles, SLO burn, seriesfns rankings), the
 #:    zero-norm cosine guards, and the stateful chunk-ordering fix — so
-#:    the driver certifies the new plans (21 slots);
-#: 3. never-driver-checked rotations (remaining 11 slots) — cumulative
+#:    the driver certifies the new plans (24 slots);
+#: 3. never-driver-checked rotations (remaining 8 slots) — cumulative
 #:    unique driver-checked grows 89 → 116 if all pass.
 #: Families green in earlier rounds (policy/glob, scalar datetime/math/
 #: array, outer/anti/range joins, grouping sets, session windows, …)
@@ -154,6 +157,9 @@ _PRIORITY = (
     "tsdb_autocorrelation",
     "tsdb_cross_correlation",
     "llm_train_test_split",
+    "source_whisper_roundtrip",
+    "source_pickle_batches",
+    "tsdb_histogram_percentile",
     # --- changed this round: driver must re-certify the new plans -----------
     "events_seasonal_residual_anomalies",
     "tpch_q11_important_parts",
@@ -172,9 +178,6 @@ _PRIORITY = (
     # --- rotated in: never driver-checked, locally exact-green --------------
     "scalar_string_family2",
     "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q12_ship_lag",
-    "tpch_q14_promo_share",
     "tpch_q18_large_orders",
     "graphite_divide_series",
     "llm_sequence_packing",
