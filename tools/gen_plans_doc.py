@@ -101,6 +101,29 @@ SHOWCASE = [
         "only unpartitioned window in the plan is over the "
         "partition-count-row offsets frame.",
     ),
+    (
+        "retrieval_bm25_topk",
+        "BM25 retrieval (round 4): the inverted-index shape — every join "
+        "is a hash equi-join (term posting join, doc-length join, "
+        "broadcast df-capped query terms); corpus stats attach as a "
+        "broadcast 1-row cross join; WindowGroupLimit prunes the per-query "
+        "top-k map-side. The corpus never self-joins.",
+    ),
+    (
+        "tsdb_autocorrelation",
+        "Series ACF (round 4): the fact table collapses to the "
+        "(metric, hour) grain in a partial-aggregated rollup BEFORE the "
+        "lag self-join, so the join input is ~8.8k rows/metric·year; the "
+        "lag fan-out is a scan-side Generate over the rollup, and moment "
+        "sums partial-aggregate again after the join.",
+    ),
+    (
+        "tsdb_histogram_percentile",
+        "Histogram percentile (round 4): bucket assignment is a scan-side "
+        "integer expression; the shuffled state is metrics × le-buckets "
+        "integer counts (mergeable by addition across shards/windows); "
+        "windows partition on the metric key.",
+    ),
 ]
 
 FOOTER = """
