@@ -58,6 +58,7 @@ from kenshin_backup_spark.queries import (
     batch38,
     batch39,
     batch40,
+    batch41,
     llm,
     relational,
     relational2,
@@ -109,6 +110,7 @@ _MODULES = (
     batch38,
     batch39,
     batch40,
+    batch41,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry

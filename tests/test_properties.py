@@ -203,3 +203,94 @@ def test_holt_linear_forecast_recurrence(spark):
     base = int(_dt.datetime(2024, 5, 1, tzinfo=UTC).timestamp())
     for i, (h, _) in enumerate(vals):
         assert got[base + h * 3600] == expected[i]
+
+
+# --- LTTB downsample (rows-only: sequential greedy, no SQL oracle) ----------
+
+def test_lttb_properties(spark):
+    """Endpoints anchored, exact output count, strictly monotone ts,
+    output points are a subset of the input series."""
+    from kenshin_backup_spark.queries.batch41 import (
+        _LTTB_OUT,
+        tsdb_downsample_lttb,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = tsdb_downsample_lttb(spark, sf).collect()
+    from kenshin_backup_spark.sources import load_table
+
+    ev = load_table(spark, sf, "events")
+    es = F.unix_timestamp("ts").cast("long")
+    hourly = {
+        (r.event_type, r.bucket_ts): r.v
+        for r in ev.select(
+            "event_type",
+            ((es / 3600).cast("long") * 3600).alias("bucket_ts"),
+            "value",
+        )
+        .groupBy("event_type", "bucket_ts")
+        .agg(
+            (
+                (F.sum(F.floor(F.col("value") * 1000000).cast("long")) / F.lit(1e6))
+                / F.count("value")
+            ).alias("v")
+        )
+        .collect()
+    }
+    per_metric: dict[str, list] = {}
+    for r in out:
+        per_metric.setdefault(r.event_type, []).append((r.ts, r.value))
+        assert (r.event_type, r.ts) in hourly  # subset of real points
+        assert hourly[(r.event_type, r.ts)] == r.value  # exact values
+    in_ts = {}
+    for (m, ts) in hourly:
+        in_ts.setdefault(m, []).append(ts)
+    for m, pts in per_metric.items():
+        pts.sort()
+        n_in = len(in_ts[m])
+        assert len(pts) == min(n_in, _LTTB_OUT)
+        assert pts[0][0] == min(in_ts[m])  # first endpoint anchored
+        assert pts[-1][0] == max(in_ts[m])  # last endpoint anchored
+        ts_list = [t for t, _ in pts]
+        assert ts_list == sorted(set(ts_list))  # strictly increasing
+
+
+def test_lttb_pure_function_small_cases():
+    from kenshin_backup_spark.queries.batch41 import _lttb
+
+    # fewer points than buckets → identity
+    assert _lttb([1, 2, 3], [1.0, 2.0, 3.0], 60) == [0, 1, 2]
+    # a spike must survive: 100 flat points with one spike at index 37
+    ts = list(range(100))
+    vs = [0.0] * 100
+    vs[37] = 50.0
+    picked = _lttb(ts, vs, 10)
+    assert 37 in picked
+    assert picked[0] == 0 and picked[-1] == 99
+    assert len(picked) == 10
+
+
+# --- MMR rerank (rows-only: greedy, no SQL oracle) --------------------------
+
+def test_mmr_rank1_is_cosine_top1_and_diversity_no_worse(spark):
+    from kenshin_backup_spark.operators.similarity import cosine_topk
+    from kenshin_backup_spark.queries.batch41 import emb_mmr_rerank
+    from kenshin_backup_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = emb_mmr_rerank(spark, sf).collect()
+    emb = load_table(spark, sf, "embeddings")
+    top = cosine_topk(emb.where(F.col("vec_id") < 10), emb, k=1).collect()
+    top1 = {r.query_id: r.neighbor_id for r in top}
+    got1 = {r.query_id: r.neighbor_id for r in out if r.rank == 1}
+    assert got1 == top1  # λ-weighted greedy step 1 = pure relevance
+    # determinism: a second run returns the identical trace
+    again = emb_mmr_rerank(spark, sf).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # each query yields exactly 5 ranks 1..5 with distinct neighbors
+    per_q: dict[int, list] = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rows in per_q.items():
+        assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]
+        assert len({r.neighbor_id for r in rows}) == 5
