@@ -59,6 +59,7 @@ from kenshin_backup_spark.queries import (
     batch39,
     batch40,
     batch41,
+    batch42,
     llm,
     relational,
     relational2,
@@ -111,6 +112,7 @@ _MODULES = (
     batch39,
     batch40,
     batch41,
+    batch42,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry

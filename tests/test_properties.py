@@ -294,3 +294,42 @@ def test_mmr_rank1_is_cosine_top1_and_diversity_no_worse(spark):
     for q, rows in per_q.items():
         assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]
         assert len({r.neighbor_id for r in rows}) == 5
+
+
+# --- PageRank (rows-only: iterative float recursion) ------------------------
+
+def test_pagerank_mass_star_and_cycle(spark):
+    from kenshin_backup_spark.operators.graph import pagerank
+
+    # star: 1..5 all point at 0; 0 is dangling (mass redistributes)
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    ranks = {r.id: r.rank for r in pagerank(edges, nodes, iters=20).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # probability mass
+    assert ranks[0] == max(ranks.values())  # hub dominates
+    leaf = [ranks[i] for i in range(1, 6)]
+    assert max(leaf) - min(leaf) < 1e-12  # symmetric leaves tie
+
+    # 4-cycle: perfect symmetry → uniform 1/4 each
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    cn = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    cr = {r.id: r.rank for r in pagerank(cyc, cn, iters=20).collect()}
+    for v in cr.values():
+        assert abs(v - 0.25) < 1e-9
+
+
+def test_pagerank_docs_query_stable(spark):
+    from kenshin_backup_spark.queries.batch42 import graph_pagerank_docs
+
+    sf = "/root/testdata/sf0.001"
+    a = {r.doc_id: r.rank for r in graph_pagerank_docs(spark, sf).collect()}
+    b = {r.doc_id: r.rank for r in graph_pagerank_docs(spark, sf).collect()}
+    assert abs(sum(a.values()) - 1.0) < 1e-6
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9  # cross-run stability (tolerance:
+        # float inflow sums may reassociate across shuffles)
