@@ -46,11 +46,14 @@ HEADLINE = [
     "graphite_summarize_top",
     "emb_ann_topk_srp",
     "hybrid_search_rrf",
-    # round-4 additions: the maintenance round-trip and the two prefix-sum
-    # rewrites (global rank/cumsum without a single-partition sort)
+    # round-4 additions: the maintenance round-trip, the two prefix-sum
+    # rewrites (global rank/cumsum without a single-partition sort), and
+    # the new retrieval/span-dedup operators
     "tsdb_ladder_roundtrip",
     "orders_pareto_curve",
     "customer_rfm_scores",
+    "retrieval_bm25_topk",
+    "dedup_substring_spans",
 ]
 
 

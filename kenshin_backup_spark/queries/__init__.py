@@ -60,6 +60,7 @@ from kenshin_backup_spark.queries import (
     batch40,
     batch41,
     batch42,
+    batch43,
     llm,
     relational,
     relational2,
@@ -113,6 +114,7 @@ _MODULES = (
     batch40,
     batch41,
     batch42,
+    batch43,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
