@@ -61,6 +61,7 @@ from kenshin_backup_spark.queries import (
     batch41,
     batch42,
     batch43,
+    batch44,
     llm,
     relational,
     relational2,
@@ -115,6 +116,7 @@ _MODULES = (
     batch41,
     batch42,
     batch43,
+    batch44,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
