@@ -44,21 +44,23 @@ def test_wsp_slot_alignment_and_last_write_wins(tmp_path):
 
 def test_wsp_ring_wraparound(tmp_path):
     path = str(tmp_path / "m.wsp")
-    # capacity 3, 5 sequential slots: the final ring holds slots 2..4
+    # capacity 3, 5 sequential slots: the final ring holds the last 3
     # (wrapping overwrites the oldest), which is whisper's semantics
-    write_wsp(path, [(i * 60, float(i)) for i in range(5)], step=60, capacity=3)
+    write_wsp(
+        path, [(600 + i * 60, float(i)) for i in range(5)], step=60, capacity=3
+    )
     with open(path, "rb") as f:
         rows = sorted(decode_wsp(f.read()))
     assert [(ts, v) for _, _, ts, v in rows] == [
-        (120, 2.0),
-        (180, 3.0),
-        (240, 4.0),
+        (720, 2.0),
+        (780, 3.0),
+        (840, 4.0),
     ]
 
 
 def test_wsp_info_header(tmp_path):
     path = str(tmp_path / "m.wsp")
-    write_wsp(path, [(0, 1.0), (60, 2.0)], step=60, agg="max", xff=0.25)
+    write_wsp(path, [(60, 1.0), (120, 2.0)], step=60, agg="max", xff=0.25)
     with open(path, "rb") as f:
         info = wsp_info(f.read())
     assert info["aggregation"] == "max"
