@@ -62,6 +62,7 @@ from kenshin_backup_spark.queries import (
     batch42,
     batch43,
     batch44,
+    batch45,
     llm,
     relational,
     relational2,
@@ -117,6 +118,7 @@ _MODULES = (
     batch42,
     batch43,
     batch44,
+    batch45,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
