@@ -63,6 +63,7 @@ from kenshin_backup_spark.queries import (
     batch43,
     batch44,
     batch45,
+    batch46,
     llm,
     relational,
     relational2,
@@ -119,6 +120,7 @@ _MODULES = (
     batch43,
     batch44,
     batch45,
+    batch46,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
