@@ -274,3 +274,43 @@ def test_batch37_39_plans_are_scale_safe(spark):
         text = explain_str(df)
         assert "CartesianProduct" not in text, fn.__name__
         assert unpartitioned_windows(df) == [], fn.__name__
+
+
+def test_driver_window_plans_have_no_global_anti_patterns(spark):
+    """Mechanized audit over the driver's 50-slot correctness window
+    (minus streaming/iterative/side-effecting queries, which execute on
+    build): no CartesianProduct, and any unpartitioned window must be
+    bounded — over a with_global_prefix offsets frame (__scalepat_pid),
+    under a GlobalLimit, or in the explicit bounded whitelist (windows
+    whose input is a fixed-cardinality aggregate, e.g. 10 deciles).
+    A full-registry sweep of this audit ran clean in round 4."""
+    from kenshin_backup_spark.queries import queries as all_queries
+
+    BOUNDED_WHITELIST = {"text_vocab_growth"}  # 10-row decile frame
+    SKIP = {
+        "dedup_connected_components",  # iterative, collects a probe
+        "source_whisper_roundtrip",  # writes fixture files on build
+        "source_pickle_batches",
+        "source_text_lineproto",
+        "tsdb_ladder_roundtrip",  # materializes a parquet ladder
+        "upsert_latest_state",
+        "source_bucketed_join",
+        "source_partitioned_pruning",
+        "graph_pagerank_docs",
+    }
+    qs = all_queries()
+    for name in list(qs)[:50]:
+        if name.startswith("streaming_") or name in SKIP:
+            continue
+        df = qs[name](spark, SF_SMOKE)
+        exec_plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in exec_plan, name
+        specs = [
+            s
+            for s in unpartitioned_windows(df)
+            if "__scalepat_pid" not in s
+        ]
+        if not specs or name in BOUNDED_WHITELIST:
+            continue
+        plan = _optimized(df)
+        assert "GlobalLimit" in plan, (name, specs)
