@@ -28,6 +28,11 @@ from pyspark.sql import SparkSession
 #: Runtime-settable confs applied to ANY session the engine touches.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # Runtime-settable (unlike most sizing knobs): an externally owned
+    # session keeps Spark's default 200, which over-parallelizes local
+    # data into 200-task shuffles; match the core count like get_spark
+    # does. On a real cluster a deployment sets ~2-3× total cores.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
