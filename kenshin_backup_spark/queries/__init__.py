@@ -64,6 +64,7 @@ from kenshin_backup_spark.queries import (
     batch44,
     batch45,
     batch46,
+    batch47,
     llm,
     relational,
     relational2,
@@ -121,6 +122,7 @@ _MODULES = (
     batch44,
     batch45,
     batch46,
+    batch47,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
