@@ -65,6 +65,7 @@ from kenshin_backup_spark.queries import (
     batch45,
     batch46,
     batch47,
+    batch48,
     llm,
     relational,
     relational2,
@@ -123,6 +124,7 @@ _MODULES = (
     batch45,
     batch46,
     batch47,
+    batch48,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry

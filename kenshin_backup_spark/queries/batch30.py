@@ -239,7 +239,13 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(threshold: float | None = _MH_THRESHOLD) -> str:
+    where = (
+        "WHERE CAST(common AS DOUBLE) / (size_a + size_b - common)"
+        f" >= {threshold}"
+        if threshold is not None
+        else ""
+    )
     rows_per_band = _MH_HASHES // _MH_BANDS
     params = minhash_params(_MH_HASHES)
     param_values = ",\n         ".join(
@@ -295,7 +301,7 @@ verified AS (
 SELECT id_a, id_b, common, size_a, size_b,
        CAST(common AS DOUBLE) / (size_a + size_b - common) AS jaccard
 FROM verified
-WHERE CAST(common AS DOUBLE) / (size_a + size_b - common) >= {_MH_THRESHOLD}
+{where}
 """
 
 
