@@ -66,6 +66,7 @@ from kenshin_backup_spark.queries import (
     batch46,
     batch47,
     batch48,
+    batch49,
     llm,
     relational,
     relational2,
@@ -125,6 +126,7 @@ _MODULES = (
     batch46,
     batch47,
     batch48,
+    batch49,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
