@@ -67,6 +67,7 @@ from kenshin_backup_spark.queries import (
     batch47,
     batch48,
     batch49,
+    batch50,
     llm,
     relational,
     relational2,
@@ -127,6 +128,7 @@ _MODULES = (
     batch47,
     batch48,
     batch49,
+    batch50,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
