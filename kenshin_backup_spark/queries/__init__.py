@@ -68,6 +68,7 @@ from kenshin_backup_spark.queries import (
     batch48,
     batch49,
     batch50,
+    batch51,
     llm,
     relational,
     relational2,
@@ -129,6 +130,7 @@ _MODULES = (
     batch48,
     batch49,
     batch50,
+    batch51,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
