@@ -29,6 +29,7 @@ def __getattr__(name):
     """Lazy top-level API (keeps ``import kenshin_backup_spark`` free of a
     pyspark import cost until an attribute is touched)."""
     api = {
+        "Engine": ("kenshin_backup_spark.api", "Engine"),
         "get_spark": ("kenshin_backup_spark.session", "get_spark"),
         "tune": ("kenshin_backup_spark.session", "tune"),
         "load_table": ("kenshin_backup_spark.sources", "load_table"),

@@ -1,0 +1,220 @@
+"""User-facing engine facade — the reference's whole lifecycle in one
+object, so a user of the reference TSDB can switch without learning the
+operator modules first.
+
+The reference workflow is: configure storage schemas → send datapoints →
+fetch ranges → inspect metric headers. ``Engine`` maps it 1:1:
+
+=================  ===========================================
+reference          Engine
+=================  ===========================================
+storage-schemas    ``policies=[Policy(...), ...]`` (ordered,
+                   first match wins — carbon semantics)
+send datapoints    :meth:`Engine.write` (any long frame)
+fetch(m, t0, t1)   :meth:`Engine.fetch` → long (metric, ts,
+                   value) frame, gap-filled, archive-routed
+info(metric)       :meth:`Engine.info` → header dict
+list metrics       :meth:`Engine.metrics` (glob)
+retention expiry   :meth:`Engine.expire`
+=================  ===========================================
+
+Storage is one retention ladder PER POLICY under ``root/policy=<name>``
+(the reference keeps one file per metric; per-policy parquet ladders are
+the Spark-shaped equivalent — metrics co-partition by date with
+metric-sorted row groups, so a fetch prunes to the partitions and row
+groups it needs). Everything delegates to the operator modules; the
+facade adds no semantics of its own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kenshin_backup_spark.functions.deterministic import glob_to_regex
+from kenshin_backup_spark.operators.fetch import Archive
+from kenshin_backup_spark.operators.ladder import (
+    Ladder,
+    build_ladder,
+    compact_level,
+    expire_retention,
+    fetch_from_ladder,
+)
+from kenshin_backup_spark.operators.policies import (
+    DEFAULT_POLICY,
+    Policy,
+    assign_policy,
+)
+from kenshin_backup_spark.operators.rollup import finalize
+from kenshin_backup_spark.session import tune
+
+
+class Engine:
+    """Facade over the rollup-ladder store (see module docstring)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        *,
+        policies: list[Policy] | None = None,
+        points_per_level: int = 10_000,
+    ) -> None:
+        self.spark = tune(spark)
+        self.root = root.rstrip("/")
+        self.policies = list(policies) if policies else [DEFAULT_POLICY]
+        self._ppl = points_per_level
+        self._written: set[str] = set()
+
+    # -- storage-schema plumbing --------------------------------------------
+
+    def _ladder(self, policy: Policy) -> Ladder:
+        archives = tuple(
+            Archive(step_seconds=s, points=self._ppl) for s in policy.steps
+        )
+        return Ladder(
+            root=f"{self.root}/policy={policy.name}",
+            archives=archives,
+            key_cols=("metric",),
+        )
+
+    def policy_for(self, metric: str) -> Policy:
+        """First-match policy for one metric name (carbon semantics)."""
+        import re
+
+        for p in self.policies:
+            if re.search(p.pattern, metric):
+                return p
+        return self.policies[-1]
+
+    # -- write path -----------------------------------------------------------
+
+    def write(
+        self,
+        points: DataFrame,
+        *,
+        metric_col: str = "metric",
+        ts_col: str = "ts",
+        value_col: str = "value",
+    ) -> None:
+        """Materialize the retention ladder(s) for a long points frame.
+
+        Points route to their metric's policy; each policy's ladder is
+        built fine→coarse with cascaded aggregates (never re-reading
+        raw). Re-writing a policy's ladder replaces it (the batch
+        equivalent of the streaming update sink)."""
+        pts = points.select(
+            F.col(metric_col).alias("metric"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).alias("value"),
+        )
+        tagged = assign_policy(pts, self.policies)
+        for p in self.policies:
+            sub = tagged.where(F.col("policy") == p.name).drop("policy")
+            if sub.take(1):
+                build_ladder(sub, self._ladder(p))
+                self._written.add(p.name)
+
+    # -- read path ------------------------------------------------------------
+
+    def fetch(
+        self,
+        metric_glob: str,
+        from_ts: int,
+        until_ts: int,
+        *,
+        now_ts: int | None = None,
+        kernel: str | None = None,
+    ) -> DataFrame:
+        """Reference ``fetch``: archive-routed, range-clamped, gap-filled
+        values for every metric matching the glob, as one long frame
+        ``(metric, bucket_ts, value, n_points)``. ``kernel`` defaults to
+        each policy's configured aggregation."""
+        if now_ts is None:
+            now_ts = until_ts
+        out: DataFrame | None = None
+        for p in self.policies:
+            if p.name not in self._written:
+                continue
+            raw = fetch_from_ladder(
+                self.spark,
+                self._ladder(p),
+                metric_glob=metric_glob,
+                from_ts=from_ts,
+                until_ts=until_ts,
+                now_ts=now_ts,
+            )
+            wide = finalize(raw, agg=kernel or p.agg, xff=p.xff)
+            part = wide.select(
+                "metric",
+                F.col("bucket_ts").cast("long").alias("bucket_ts"),
+                F.col("value"),
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_points"),
+            )
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            raise ValueError("fetch before any write")
+        return out
+
+    # -- header / catalog -----------------------------------------------------
+
+    def info(self, metric: str) -> dict:
+        """Reference header read: the metric's policy and archive table."""
+        p = self.policy_for(metric)
+        return {
+            "metric": metric,
+            "policy": p.name,
+            "aggregation": p.agg,
+            "xff": p.xff,
+            "archives": [
+                {
+                    "step_seconds": s,
+                    "points": self._ppl,
+                    "retention_seconds": s * self._ppl,
+                }
+                for s in p.steps
+            ],
+        }
+
+    def metrics(self, glob: str = "*") -> list[str]:
+        """Metric browse over everything written, filtered by glob."""
+        rx = glob_to_regex(glob)
+        names: set[str] = set()
+        for p in self.policies:
+            if p.name not in self._written:
+                continue
+            lad = self._ladder(p)
+            finest = min(a.step_seconds for a in lad.archives)
+            df = self.spark.read.parquet(lad.level_path(finest))
+            rows = (
+                df.select("metric")
+                .distinct()
+                .where(F.col("metric").rlike(rx))
+                .collect()
+            )
+            names.update(r.metric for r in rows)
+        return sorted(names)
+
+    # -- maintenance ----------------------------------------------------------
+
+    def expire(self, *, now_ts: int) -> dict[str, dict[int, list[str]]]:
+        """Drop date partitions older than each level's retention."""
+        return {
+            p.name: expire_retention(self._ladder(p), now_ts=now_ts)
+            for p in self.policies
+            if p.name in self._written
+        }
+
+    def compact(self) -> dict[str, dict[int, tuple[int, int]]]:
+        """Compact every written level's small files; returns per-policy
+        per-step (files_before, files_after)."""
+        out: dict[str, dict[int, tuple[int, int]]] = {}
+        for p in self.policies:
+            if p.name not in self._written:
+                continue
+            lad = self._ladder(p)
+            out[p.name] = {
+                a.step_seconds: compact_level(self.spark, lad, a.step_seconds)
+                for a in lad.archives
+            }
+        return out

@@ -1,0 +1,117 @@
+"""End-to-end Engine facade test: the reference user workflow
+(storage-schemas → write → fetch → info → browse → expire) against the
+events fixture, with results cross-checked against direct aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kenshin_backup_spark.api import Engine
+from kenshin_backup_spark.operators.policies import Policy
+from kenshin_backup_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _points(spark):
+    ev = load_table(spark, SF, "events")
+    return ev.select(
+        F.col("event_type").alias("metric"), "ts", "value"
+    )
+
+
+def _engine(spark, tmp_path):
+    return Engine(
+        spark,
+        str(tmp_path / "store"),
+        policies=[
+            # clicks get a finer ladder than everything else — exercises
+            # first-match routing and multi-policy fetch
+            Policy(name="clicks", pattern=r"^click$", steps=(600, 3600),
+                   agg="sum"),
+            Policy(name="default", pattern=".*", steps=(3600,), agg="average"),
+        ],
+    )
+
+
+def test_engine_write_fetch_matches_direct(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    pts = _points(spark)
+    eng.write(pts)
+
+    es = F.unix_timestamp("ts").cast("long")
+    lo = pts.agg(F.min(es)).collect()[0][0]
+    hi = pts.agg(F.max(es)).collect()[0][0]
+
+    # default-policy metric, average kernel, hourly
+    got = {
+        (r.metric, r.bucket_ts): (r.value, r.n_points)
+        for r in eng.fetch("view", lo, hi + 1).collect()
+    }
+    direct = {
+        (r.metric, r.bucket_ts): (r.avg, r.n)
+        for r in pts.where(F.col("metric") == "view")
+        .select("metric", ((es / 3600).cast("long") * 3600).alias("bucket_ts"), "value")
+        .groupBy("metric", "bucket_ts")
+        .agg(
+            (
+                (F.sum(F.floor(F.col("value") * 1000000).cast("long")) / F.lit(1e6))
+                / F.count("value")
+            ).alias("avg"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    for key, (v, n) in direct.items():
+        assert key in got
+        assert got[key][1] == n
+        assert abs(got[key][0] - v) < 1e-9
+    # grid rows with no data surface as gaps (value NULL), never dropped
+    gaps = [k for k, (v, n) in got.items() if n == 0]
+    for k in gaps:
+        assert got[k][0] is None
+
+    # clicks policy: sum kernel at its finest (600 s) archive
+    clicks = {
+        r.bucket_ts: r.value
+        for r in eng.fetch("click", hi - 2 * 3600, hi + 1).collect()
+    }
+    direct_c = {
+        r.b: r.s
+        for r in pts.where(F.col("metric") == "click")
+        .select(((es / 600).cast("long") * 600).alias("b"), "value")
+        .where(F.col("b") >= (hi - 2 * 3600) - ((hi - 2 * 3600) % 600))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.floor(F.col("value") * 1000000).cast("long")) / F.lit(1e6))
+            .cast("double")
+            .alias("s")
+        )
+        .collect()
+    }
+    for b, s in direct_c.items():
+        assert b in clicks and clicks[b] is not None
+        assert abs(clicks[b] - s) < 1e-9
+
+
+def test_engine_info_browse_and_policy_routing(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    eng.write(_points(spark))
+    info = eng.info("click")
+    assert info["policy"] == "clicks"
+    assert info["aggregation"] == "sum"
+    assert [a["step_seconds"] for a in info["archives"]] == [600, 3600]
+    assert eng.info("view")["policy"] == "default"
+    assert eng.metrics("*") == ["click", "error", "purchase", "signup", "view"]
+    assert eng.metrics("{click,view}") == ["click", "view"]
+
+
+def test_engine_expire_drops_old_partitions(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    pts = _points(spark)
+    eng.write(pts)
+    es = F.unix_timestamp("ts").cast("long")
+    hi = pts.agg(F.max(es)).collect()[0][0]
+    # far-future "now": every finest-level partition is beyond retention
+    dropped = eng.expire(now_ts=hi + 10 * 365 * 86400)
+    assert dropped["clicks"][600], "expected expired partitions"
