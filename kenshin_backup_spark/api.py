@@ -156,6 +156,28 @@ class Engine:
             raise ValueError("fetch before any write")
         return out
 
+    def render(
+        self,
+        target: str,
+        from_ts: int,
+        until_ts: int,
+        *,
+        now_ts: int | None = None,
+    ) -> DataFrame:
+        """Evaluate a graphite render-target expression (the reference
+        consumers' query language) over this store — e.g.
+        ``summarize(scale({click,view}, 0.001), '1h', 'max')``. Leaves
+        fetch through :meth:`fetch`; the whole nested expression compiles
+        into one Catalyst plan (see :mod:`kenshin_backup_spark.render`)."""
+        from kenshin_backup_spark.render import render as _render
+
+        def fetch_fn(glob: str) -> DataFrame:
+            return self.fetch(glob, from_ts, until_ts, now_ts=now_ts).select(
+                "metric", "bucket_ts", "value"
+            )
+
+        return _render(target, fetch_fn)
+
     # -- header / catalog -----------------------------------------------------
 
     def info(self, metric: str) -> dict:

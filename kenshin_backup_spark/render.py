@@ -1,0 +1,219 @@
+"""Graphite render-target expression language over the series catalog.
+
+The reference's users don't call Python functions — they write render
+targets like ``summarize(scale(cpu.*, 0.001), '1h', 'max')`` against
+graphite-web, which evaluates them over fetched series. This module is
+that consumer surface for the Spark engine: a recursive-descent parser
+for the target grammar plus an evaluator that maps every function call
+onto :mod:`kenshin_backup_spark.operators.seriesfns`. Because each
+function is a lazy DataFrame transform, an arbitrarily nested target
+still compiles into ONE Catalyst plan — graphite-web re-walks Python
+lists per function; here the whole expression optimizes jointly.
+
+Grammar (graphite target subset)::
+
+    expr   := call | leaf
+    call   := NAME '(' arg (',' arg)* ')'
+    arg    := expr | NUMBER | STRING
+    leaf   := metric glob (dots, *, ?, {a,b}, [...])
+
+Leaves resolve through a caller-supplied ``fetch_fn(glob) -> DataFrame``
+returning the canonical series frame ``(metric, bucket_ts, value)`` —
+storage-agnostic, so targets run equally over an :class:`Engine` store,
+a rollup table, or a test fixture.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from kenshin_backup_spark.operators import seriesfns as sf
+
+# --- interval strings -------------------------------------------------------
+
+_UNITS = {"s": 1, "sec": 1, "min": 60, "m": 60, "h": 3600, "hour": 3600,
+          "d": 86400, "day": 86400, "w": 604800, "week": 604800}
+
+
+def parse_interval(text: str | int | float) -> int:
+    """``'1h'`` → 3600; bare numbers are seconds (graphite semantics)."""
+    if isinstance(text, (int, float)):
+        return int(text)
+    m = re.fullmatch(r"\s*(-?\d+)\s*([a-zA-Z]*)\s*", text)
+    if not m:
+        raise ValueError(f"bad interval {text!r}")
+    n, unit = int(m.group(1)), m.group(2).lower()
+    if unit and unit not in _UNITS:
+        raise ValueError(f"bad interval unit {unit!r} in {text!r}")
+    return n * (_UNITS[unit] if unit else 1)
+
+
+# --- tokenizer / parser -----------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<string>'[^']*'|"[^"]*")
+    | (?P<number>-?\d+\.\d+|-?\d+(?![\w.*{]))
+    | (?P<lparen>\()
+    | (?P<rparen>\))
+    | (?P<comma>,)
+    | (?P<glob>(?:\{[^}]*\}|[A-Za-z_*?\[\]])(?:\{[^}]*\}|[\w.\-*?\[\]])*)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+
+
+def _tokenize(target: str) -> list[_Tok]:
+    out, pos = [], 0
+    while pos < len(target):
+        m = _TOKEN.match(target, pos)
+        if not m:
+            raise ValueError(f"bad token at {target[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append(_Tok(kind, m.group()))
+    return out
+
+
+class _Parser:
+    """Recursive descent over the target grammar.
+
+    Ambiguity note: a glob token followed by ``(`` is a function CALL;
+    otherwise it is a metric leaf. ``{a,b}`` alternation braces contain
+    commas — the tokenizer keeps them inside the glob token, so argument
+    splitting never sees them."""
+
+    def __init__(self, toks: list[_Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self, kind: str | None = None) -> _Tok:
+        t = self.peek()
+        if t is None or (kind and t.kind != kind):
+            raise ValueError(f"expected {kind}, got {t}")
+        self.i += 1
+        return t
+
+    def expr(self):
+        t = self.take()
+        if t.kind == "glob":
+            nxt = self.peek()
+            if nxt and nxt.kind == "lparen":
+                self.take("lparen")
+                args = []
+                if self.peek() and self.peek().kind != "rparen":
+                    args.append(self.arg())
+                    while self.peek() and self.peek().kind == "comma":
+                        self.take("comma")
+                        args.append(self.arg())
+                self.take("rparen")
+                return ("call", t.text, args)
+            return ("leaf", t.text)
+        raise ValueError(f"expected expression, got {t}")
+
+    def arg(self):
+        t = self.peek()
+        if t.kind == "string":
+            self.take()
+            return ("str", t.text[1:-1])
+        if t.kind == "number":
+            self.take()
+            return ("num", float(t.text) if "." in t.text else int(t.text))
+        return self.expr()
+
+    def parse(self):
+        node = self.expr()
+        if self.peek() is not None:
+            raise ValueError(f"trailing input at {self.peek()}")
+        return node
+
+
+# --- evaluator --------------------------------------------------------------
+
+def _need(args, n_min, n_max, name):
+    if not (n_min <= len(args) <= n_max):
+        raise ValueError(f"{name}: expected {n_min}..{n_max} args, got {len(args)}")
+
+
+#: graphite function name → evaluator(df_args, scalar_args) (scalars keep
+#: their parse kinds so interval strings can be distinguished from counts)
+def _registry() -> dict[str, Callable]:
+    return {
+        "alias": lambda d, s: sf.alias_series(d[0], str(s[0])),
+        "scale": lambda d, s: sf.scale(d[0], float(s[0])),
+        "offset": lambda d, s: sf.offset(d[0], float(s[0])),
+        "absolute": lambda d, s: sf.absolute(d[0]),
+        "timeShift": lambda d, s: sf.time_shift(d[0], parse_interval(s[0])),
+        "keepLastValue": lambda d, s: sf.keep_last_value(
+            d[0], int(s[0]) if s else None
+        ),
+        "derivative": lambda d, s: sf.derivative(d[0]),
+        "nonNegativeDerivative": lambda d, s: sf.non_negative_derivative(d[0]),
+        "perSecond": lambda d, s: sf.per_second(d[0]),
+        "integral": lambda d, s: sf.integral(d[0]),
+        "movingAverage": lambda d, s: sf.moving_average(d[0], int(s[0])),
+        "summarize": lambda d, s: sf.summarize(
+            d[0], parse_interval(s[0]), str(s[1]) if len(s) > 1 else "sum"
+        ),
+        "highestCurrent": lambda d, s: sf.highest_current(d[0], int(s[0])),
+        "sortByMaxima": lambda d, s: sf.sort_by_maxima(d[0]),
+        "sortByTotal": lambda d, s: sf.sort_by_total(d[0]),
+        "aliasByNode": lambda d, s: sf.alias_by_node(d[0], *[int(x) for x in s]),
+        "groupByNode": lambda d, s: sf.group_by_node(
+            d[0], int(s[0]), str(s[1]) if len(s) > 1 else "sum"
+        ),
+        "sumSeries": lambda d, s: sf.sum_series(d[0]),
+        "averageSeries": lambda d, s: sf.average_series(d[0]),
+        "exclude": lambda d, s: sf.exclude(d[0], str(s[0])),
+        "grep": lambda d, s: sf.grep(d[0], str(s[0])),
+        "mostDeviant": lambda d, s: sf.most_deviant(d[0], int(s[0])),
+        "limit": lambda d, s: sf.limit_series(d[0], int(s[0])),
+        "asPercent": lambda d, s: sf.as_percent(d[0]),
+    }
+
+
+SUPPORTED_FUNCTIONS = tuple(sorted(_registry()))
+
+
+def render(target: str, fetch_fn: Callable[[str], DataFrame]) -> DataFrame:
+    """Parse and evaluate one render target; leaves resolve via
+    ``fetch_fn(glob)`` → canonical series frame."""
+    reg = _registry()
+
+    def ev(node) -> DataFrame:
+        if node[0] == "leaf":
+            return fetch_fn(node[1])
+        _, name, args = node
+        if name not in reg:
+            raise ValueError(
+                f"unsupported function {name!r}; supported: "
+                f"{', '.join(SUPPORTED_FUNCTIONS)}"
+            )
+        dfs, scalars = [], []
+        for a in args:
+            if a[0] in ("leaf", "call"):
+                dfs.append(ev(a))
+            else:
+                scalars.append(a[1])
+        if not dfs:
+            raise ValueError(f"{name}: needs a series argument")
+        _need(dfs, 1, 1, name)
+        return reg[name](dfs, scalars)
+
+    return ev(_Parser(_tokenize(target)).parse())
