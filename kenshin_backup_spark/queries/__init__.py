@@ -69,6 +69,7 @@ from kenshin_backup_spark.queries import (
     batch49,
     batch50,
     batch51,
+    batch52,
     llm,
     relational,
     relational2,
@@ -131,6 +132,7 @@ _MODULES = (
     batch49,
     batch50,
     batch51,
+    batch52,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
@@ -182,6 +184,7 @@ _PRIORITY = (
     "source_whisper_roundtrip",
     "source_pickle_batches",
     "tsdb_histogram_percentile",
+    "graphite_render_pipeline",
     # --- changed this round: driver must re-certify the new plans -----------
     "events_seasonal_residual_anomalies",
     "tpch_q11_important_parts",
@@ -201,7 +204,6 @@ _PRIORITY = (
     "scalar_string_family2",
     "tpch_q7_nation_volume",
     "tpch_q18_large_orders",
-    "graphite_divide_series",
     "llm_sequence_packing",
     "orders_market_basket",
     "join_interval_overlap",
