@@ -70,6 +70,7 @@ from kenshin_backup_spark.queries import (
     batch50,
     batch51,
     batch52,
+    batch53,
     llm,
     relational,
     relational2,
@@ -133,6 +134,7 @@ _MODULES = (
     batch50,
     batch51,
     batch52,
+    batch53,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry

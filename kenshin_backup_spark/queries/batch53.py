@@ -1,0 +1,221 @@
+"""Batch-53 queries (round 4): winnowing fingerprint dedup + BPE merge stats.
+
+Two classic training-data-pipeline algorithms not yet in the registry:
+
+- ``dedup_winnowing_pairs`` — MOSS-style winnowing (Schleimer, Wilkerson,
+  Aiken, SIGMOD 2003): char k-gram hashes per position, select the minimum
+  hash of every sliding window of ``w`` consecutive grams, and pair up
+  documents sharing >= ``MIN_SHARED`` selected fingerprints. Winnowing
+  guarantees any match of length >= w+k-1 chars is detected while keeping
+  only ~2/(w+1) of the grams — the density/recall tradeoff that makes
+  char-level dedup affordable at corpus scale.
+- ``text_bpe_pair_merges`` — the first step of byte-pair-encoding tokenizer
+  training: corpus-frequency-weighted counts of adjacent character pairs
+  inside words, top 30 merge candidates.
+
+Determinism: the gram hash is a portable base-31 polynomial over Unicode
+code points (``ascii`` = code point of first char in BOTH Spark and DuckDB;
+``substring`` is character-based in both), with precomputed integer power
+literals — max value ~2.5e17 < int64, no modulus needed, bit-identical in
+both engines. Both queries are therefore fully oracle-checked.
+
+Scale notes (100 TB):
+- winnowing explodes one row per gram position (~n_chars per doc), but the
+  selection window partitions by ``doc_id`` — no global sort, no skew
+  beyond document length. The fingerprint posting list is df-capped
+  (drop hashes appearing in > 10 docs — boilerplate shingles) exactly like
+  the capped-Jaccard plan, bounding candidate-pair volume; the pair join is
+  an equi-join on the 8-byte fingerprint.
+- BPE pair counting is a scan + map-side partial count on a key space
+  bounded by |alphabet|^2; the global top-30 uses ``orderBy().limit()``
+  (TakeOrderedAndProject — per-task partial top-k, no single-partition
+  window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kenshin_backup_spark.operators.dedup import normalize_text
+from kenshin_backup_spark.sources import load_table
+
+_NORM = "trim(regexp_replace(lower({x}), '\\s+', ' ', 'g'))"
+
+#: Winnowing parameters: k-gram size, window length, posting df cap,
+#: minimum shared fingerprints to emit a pair.
+K = 8
+W_WIN = 4
+DF_CAP = 10
+MIN_SHARED = 2
+
+#: Precomputed 31^j literals (j = K-1 .. 0) shared by both engines.
+_POW31 = [31**j for j in range(K - 1, -1, -1)]
+
+
+def _gram_hash_spark(g) -> F.Column:
+    """Base-31 polynomial over the K code points of gram column ``g``."""
+    terms = [
+        F.ascii(F.substring(g, j + 1, 1)).cast("long") * F.lit(_POW31[j])
+        for j in range(K)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint near-dup pairs (see module docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.regexp_replace(normalize_text("text"), " ", "")
+    base = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), s.alias("s"))
+        .where(F.length("s") >= K + W_WIN - 1)
+        .withColumn("n", (F.length("s") - (K - 1)).cast("long"))
+    )
+    pos = base.select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.col("n").cast("int"))).alias("pos"),
+        "s",
+    )
+    grams = pos.select(
+        "doc_id", "n", "pos", F.expr(f"substring(s, pos, {K})").alias("g")
+    )
+    hashed = grams.select(
+        "doc_id", "n", "pos", _gram_hash_spark(F.col("g")).alias("h")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, W_WIN - 1)
+    )
+    # Window min over ALL gram rows; only rows where a full window fits are
+    # window *starts* — filter AFTER the window projection.
+    fps = (
+        hashed.withColumn("fp", F.min("h").over(w))
+        .where(F.col("pos") <= F.col("n") - (W_WIN - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= DF_CAP
+    )
+    posting = fps.join(keep.select("fp"), "fp")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= MIN_SHARED)
+        .select("id_a", "id_b", F.col("shared").cast("long").alias("shared"))
+    )
+
+
+_HASH_SQL = " + ".join(
+    # BIGINT cast first: DuckDB's ascii() is INT32 and INT32 * INT32
+    # overflows before promotion.
+    f"CAST(ascii(substr(g, {j + 1}, 1)) AS BIGINT) * {_POW31[j]}"
+    for j in range(K)
+)
+
+_WINNOW_SQL = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         replace({_NORM.format(x="text")}, ' ', '') AS s
+  FROM documents
+  WHERE len(replace({_NORM.format(x="text")}, ' ', '')) >= {K + W_WIN - 1}
+),
+pos AS (
+  SELECT doc_id, len(s) - {K - 1} AS n,
+         UNNEST(generate_series(1, len(s) - {K - 1})) AS pos, s
+  FROM base
+),
+hashes AS (
+  SELECT doc_id, n, pos, {_HASH_SQL} AS h
+  FROM (SELECT doc_id, n, pos, substr(s, pos, {K}) AS g FROM pos)
+),
+winmin AS (
+  SELECT doc_id, n, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {W_WIN - 1} FOLLOWING) AS fp
+  FROM hashes
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM winmin WHERE pos <= n - {W_WIN - 1}
+),
+keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {DF_CAP}),
+posting AS (SELECT doc_id, fp FROM fps JOIN keep USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+FROM posting a JOIN posting b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {MIN_SHARED}
+"""
+
+
+def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 BPE merge candidates (see module docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias(
+            "w"
+        )
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, 2),
+            )
+        ).alias("pair")
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(30)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "pair", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+_BPE_SQL = """
+WITH words AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+),
+pairs AS (
+  SELECT UNNEST(list_transform(
+           generate_series(1, len(w) - 1), i -> substr(w, i, 2))) AS pair
+  FROM words
+  WHERE len(w) >= 2
+),
+counted AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rank,
+       pair, cnt
+FROM counted
+ORDER BY cnt DESC, pair ASC
+LIMIT 30
+"""
+
+
+QUERIES = {
+    "dedup_winnowing_pairs": dedup_winnowing_pairs,
+    "text_bpe_pair_merges": text_bpe_pair_merges,
+}
+
+ORACLE = {
+    "dedup_winnowing_pairs": _WINNOW_SQL,
+    "text_bpe_pair_merges": _BPE_SQL,
+}
