@@ -71,6 +71,7 @@ from kenshin_backup_spark.queries import (
     batch51,
     batch52,
     batch53,
+    batch54,
     llm,
     relational,
     relational2,
@@ -135,6 +136,7 @@ _MODULES = (
     batch51,
     batch52,
     batch53,
+    batch54,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
