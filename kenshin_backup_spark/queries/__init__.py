@@ -72,6 +72,7 @@ from kenshin_backup_spark.queries import (
     batch52,
     batch53,
     batch54,
+    batch55,
     llm,
     relational,
     relational2,
@@ -137,6 +138,7 @@ _MODULES = (
     batch52,
     batch53,
     batch54,
+    batch55,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
