@@ -73,6 +73,7 @@ from kenshin_backup_spark.queries import (
     batch53,
     batch54,
     batch55,
+    batch56,
     llm,
     relational,
     relational2,
@@ -139,6 +140,7 @@ _MODULES = (
     batch53,
     batch54,
     batch55,
+    batch56,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
