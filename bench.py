@@ -54,6 +54,9 @@ HEADLINE = [
     "customer_rfm_scores",
     "retrieval_bm25_topk",
     "dedup_substring_spans",
+    # late round-4: char-level winnowing is the heaviest new scan shape
+    # (one row per gram position) — track it round-over-round
+    "dedup_winnowing_pairs",
 ]
 
 

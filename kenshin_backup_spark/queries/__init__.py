@@ -156,11 +156,19 @@ _MODULES = (
 #:    Pareto, RFM, ntile quartiles, SLO burn, seriesfns rankings), the
 #:    zero-norm cosine guards, and the stateful chunk-ordering fix — so
 #:    the driver certifies the new plans (24 slots);
-#: 3. never-driver-checked rotations (remaining 8 slots) — cumulative
-#:    unique driver-checked grows 89 → 116 if all pass.
+#: 3. never-driver-checked rotations and the LATE round-4 operators
+#:    (winnowing dedup, BPE merges, compaction planner, incremental
+#:    rollup merge, Theil–Sen trend, ANN recall certification,
+#:    partition-skew report, bot-cadence screen, counter/gauge
+#:    classify) — cumulative unique driver-checked grows 89 → 116 if
+#:    all pass.
 #: Families green in earlier rounds (policy/glob, scalar datetime/math/
-#: array, outer/anti/range joins, grouping sets, session windows, …)
-#: rotate out but keep local oracle-parity coverage.
+#: array, outer/anti/range joins, grouping sets, session windows, the
+#: lower-risk zero-norm-guard re-certs emb_cosine_topk /
+#: hybrid_search_rrf, and the bounded-window sweeps sort_by_maxima /
+#: deviant_rank / ntile_quartiles) rotate out but keep local
+#: oracle-parity coverage, which re-verified all of them exact this
+#: session.
 _PRIORITY = (
     # --- family anchors (driver-green r3) -----------------------------------
     "tsdb_rollup_1h",
@@ -200,22 +208,23 @@ _PRIORITY = (
     "text_zipf_topwords",
     "orders_pareto_curve",
     "customer_rfm_scores",
-    "window_ntile_quartiles",
     "tsdb_slo_burn_rate",
-    "tsdb_sort_by_maxima",
-    "graphite_deviant_rank",
-    "emb_cosine_topk",
-    "hybrid_search_rrf",
     "streaming_drawdown",
     "tsdb_ladder_roundtrip",
     # --- rotated in: never driver-checked, locally exact-green --------------
-    "scalar_string_family2",
     "tpch_q7_nation_volume",
-    "tpch_q18_large_orders",
-    "llm_sequence_packing",
-    "orders_market_basket",
     "join_interval_overlap",
     "upsert_latest_state",
+    # --- late round-4 operators (batches 53-56) -----------------------------
+    "dedup_winnowing_pairs",
+    "text_bpe_pair_merges",
+    "layout_compaction_plan",
+    "incremental_rollup_merge",
+    "tsdb_theilsen_trend",
+    "retrieval_ann_recall_report",
+    "layout_partition_skew_report",
+    "events_bot_detection",
+    "tsdb_counter_gauge_classify",
 )
 
 
