@@ -65,9 +65,12 @@ def _gram_hash_spark(g) -> F.Column:
     return out
 
 
-def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint near-dup pairs (see module docstring)."""
-    docs = load_table(spark, sf_dir, "documents")
+def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
+    """Selected winnowing fingerprints ``(doc_id, fp)`` for a frame with
+    ``doc_id`` and ``text`` columns. Guarantee (Schleimer et al. 2003,
+    the reason `tests/test_properties.py` can assert it): any common
+    substring of length >= K + W_WIN - 1 in the normalized space-stripped
+    text yields at least one shared fingerprint."""
     s = F.regexp_replace(normalize_text("text"), " ", "")
     base = (
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), s.alias("s"))
@@ -93,12 +96,18 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Window min over ALL gram rows; only rows where a full window fits are
     # window *starts* — filter AFTER the window projection.
-    fps = (
+    return (
         hashed.withColumn("fp", F.min("h").over(w))
         .where(F.col("pos") <= F.col("n") - (W_WIN - 1))
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint near-dup pairs (see module docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs)
     keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= DF_CAP
     )

@@ -333,3 +333,37 @@ def test_pagerank_docs_query_stable(spark):
     for k in a:
         assert abs(a[k] - b[k]) < 1e-9  # cross-run stability (tolerance:
         # float inflow sums may reassociate across shuffles)
+
+
+def test_winnowing_detection_guarantee(spark):
+    """Schleimer et al. 2003 theorem: if two documents share a substring of
+    length >= K + W_WIN - 1 (after normalization), winnowing selects at
+    least one common fingerprint — for ANY surrounding context. 25 random
+    pairs with a planted shared run, verified in one Spark job."""
+    import random
+    import string
+
+    from kenshin_backup_spark.queries.batch53 import (
+        K,
+        W_WIN,
+        winnowing_fingerprints,
+    )
+
+    rng = random.Random(7)
+    alpha = string.ascii_lowercase
+    rows = []
+    for case in range(25):
+        shared_len = K + W_WIN - 1 + rng.randint(0, 20)
+        shared = "".join(rng.choice(alpha) for _ in range(shared_len))
+        for side in (0, 1):
+            pre = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+            post = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+            rows.append((case * 2 + side, pre + shared + post))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(docs).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    for case in range(25):
+        a, b = by_doc[case * 2], by_doc[case * 2 + 1]
+        assert a & b, f"case {case}: no shared fingerprint"
