@@ -118,6 +118,22 @@ SHOWCASE = [
         "sums partial-aggregate again after the join.",
     ),
     (
+        "dedup_winnowing_pairs",
+        "Winnowing fingerprint dedup (round 4): the gram explode and "
+        "polynomial hash are scan-side Generate+Project (no UDF); the "
+        "min-selection window partitions by doc_id; the pair join is a "
+        "hash equi-join on the 8-byte fingerprint with a df-capped "
+        "posting list — char-level dedup with zero cross joins.",
+    ),
+    (
+        "incremental_rollup_merge",
+        "Incremental MV maintenance (round 4): the latest-day boundary "
+        "attaches as a broadcast 1-row scalar (no driver collect, no "
+        "global window); state and delta partial-aggregate map-side and "
+        "merge by integer addition — the oracle equality against a full "
+        "recompute is the mergeability proof.",
+    ),
+    (
         "tsdb_histogram_percentile",
         "Histogram percentile (round 4): bucket assignment is a scan-side "
         "integer expression; the shuffled state is metrics × le-buckets "
