@@ -315,3 +315,122 @@ def as_percent(df: DataFrame) -> DataFrame:
         ),
     )
     return out.drop("__q")
+
+
+def min_series(df: DataFrame, name: str = "minSeries") -> DataFrame:
+    """graphite ``minSeries()``: per-bucket minimum across series."""
+    return _combine(df.withColumn("metric", F.lit(name)), "min")
+
+
+def max_series(df: DataFrame, name: str = "maxSeries") -> DataFrame:
+    """graphite ``maxSeries()``: per-bucket maximum across series."""
+    return _combine(df.withColumn("metric", F.lit(name)), "max")
+
+
+def count_series(df: DataFrame, name: str = "countSeries") -> DataFrame:
+    """graphite ``countSeries()``: per-bucket count of non-gap series."""
+    out = df.withColumn("metric", F.lit(name)).groupBy(
+        "metric", "bucket_ts"
+    ).agg(F.count("value").cast("double").alias("value"))
+    return out
+
+
+def diff_series(minuend: DataFrame, subtrahend: DataFrame) -> DataFrame:
+    """graphite ``diffSeries(a, b)``: the first target minus the (summed)
+    second, per bucket; missing subtrahend buckets count as 0 (graphite's
+    safeDiff). Both sides collapse to one series first, so the join is a
+    per-bucket equi-join on already-aggregated frames."""
+    a = _combine(minuend.withColumn("metric", F.lit("diffSeries")), "sum")
+    b = (
+        _combine(subtrahend.withColumn("metric", F.lit("diffSeries")), "sum")
+        .withColumnRenamed("value", "__sub")
+    )
+    return (
+        a.join(b, ["metric", "bucket_ts"], "left")
+        .withColumn(
+            "value",
+            (F.col("value") - F.coalesce(F.col("__sub"), F.lit(0.0))).cast(
+                "double"
+            ),
+        )
+        .drop("__sub")
+    )
+
+
+def divide_series(dividend: DataFrame, divisor: DataFrame) -> DataFrame:
+    """graphite ``divideSeries(a, b)``: per-bucket quotient; NULL (gap)
+    when the divisor bucket is missing or zero (graphite's safeDiv)."""
+    a = _combine(dividend.withColumn("metric", F.lit("divideSeries")), "sum")
+    b = (
+        _combine(divisor.withColumn("metric", F.lit("divideSeries")), "sum")
+        .withColumnRenamed("value", "__div")
+    )
+    return (
+        a.join(b, ["metric", "bucket_ts"], "left")
+        .withColumn(
+            "value",
+            F.when(
+                F.col("__div").isNotNull() & (F.col("__div") != 0.0),
+                (F.col("value") / F.col("__div")).cast("double"),
+            ),
+        )
+        .drop("__div")
+    )
+
+
+def remove_above_value(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``removeAboveValue(n)``: values above n become gaps."""
+    return df.withColumn(
+        "value", F.when(F.col("value") <= threshold, F.col("value"))
+    )
+
+
+def remove_below_value(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``removeBelowValue(n)``: values below n become gaps."""
+    return df.withColumn(
+        "value", F.when(F.col("value") >= threshold, F.col("value"))
+    )
+
+
+def transform_null(df: DataFrame, default: float = 0.0) -> DataFrame:
+    """graphite ``transformNull(default)``: fill gap slots with a constant."""
+    return df.withColumn(
+        "value", F.coalesce(F.col("value"), F.lit(float(default))).cast("double")
+    )
+
+
+def _series_mean(df: DataFrame) -> DataFrame:
+    """Per-series quantized-exact mean over non-gap slots."""
+    q = F.floor(F.col("value") * QUANT).cast("long")
+    return df.groupBy("metric").agg(
+        (F.sum(q) / F.lit(float(QUANT)) / F.count(q))
+        .cast("double")
+        .alias("__mean")
+    )
+
+
+def average_above(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``averageAbove(n)``: keep series whose mean exceeds n.
+    The per-series means are a tiny aggregate — broadcast semi-join back."""
+    keep = _series_mean(df).where(F.col("__mean") > threshold)
+    return df.join(F.broadcast(keep.select("metric")), "metric")
+
+
+def average_below(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``averageBelow(n)``: keep series whose mean is below n."""
+    keep = _series_mean(df).where(F.col("__mean") < threshold)
+    return df.join(F.broadcast(keep.select("metric")), "metric")
+
+
+def current_above(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``currentAbove(n)``: keep series whose latest non-gap
+    value exceeds n (``current_value`` = arg-max by bucket, tie-safe)."""
+    keep = current_value(df).where(F.col("current") > threshold)
+    return df.join(F.broadcast(keep.select("metric")), "metric")
+
+
+def current_below(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``currentBelow(n)``: keep series whose latest non-gap
+    value is below n."""
+    keep = current_value(df).where(F.col("current") < threshold)
+    return df.join(F.broadcast(keep.select("metric")), "metric")

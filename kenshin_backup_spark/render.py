@@ -185,7 +185,25 @@ def _registry() -> dict[str, Callable]:
         "mostDeviant": lambda d, s: sf.most_deviant(d[0], int(s[0])),
         "limit": lambda d, s: sf.limit_series(d[0], int(s[0])),
         "asPercent": lambda d, s: sf.as_percent(d[0]),
+        "minSeries": lambda d, s: sf.min_series(d[0]),
+        "maxSeries": lambda d, s: sf.max_series(d[0]),
+        "countSeries": lambda d, s: sf.count_series(d[0]),
+        "diffSeries": lambda d, s: sf.diff_series(d[0], d[1]),
+        "divideSeries": lambda d, s: sf.divide_series(d[0], d[1]),
+        "removeAboveValue": lambda d, s: sf.remove_above_value(d[0], float(s[0])),
+        "removeBelowValue": lambda d, s: sf.remove_below_value(d[0], float(s[0])),
+        "transformNull": lambda d, s: sf.transform_null(
+            d[0], float(s[0]) if s else 0.0
+        ),
+        "averageAbove": lambda d, s: sf.average_above(d[0], float(s[0])),
+        "averageBelow": lambda d, s: sf.average_below(d[0], float(s[0])),
+        "currentAbove": lambda d, s: sf.current_above(d[0], float(s[0])),
+        "currentBelow": lambda d, s: sf.current_below(d[0], float(s[0])),
     }
+
+
+#: Functions taking TWO series expressions (minuend/dividend first).
+_TWO_SERIES = frozenset({"diffSeries", "divideSeries"})
 
 
 SUPPORTED_FUNCTIONS = tuple(sorted(_registry()))
@@ -213,7 +231,10 @@ def render(target: str, fetch_fn: Callable[[str], DataFrame]) -> DataFrame:
                 scalars.append(a[1])
         if not dfs:
             raise ValueError(f"{name}: needs a series argument")
-        _need(dfs, 1, 1, name)
+        if name in _TWO_SERIES:
+            _need(dfs, 2, 2, name)
+        else:
+            _need(dfs, 1, 1, name)
         return reg[name](dfs, scalars)
 
     return ev(_Parser(_tokenize(target)).parse())

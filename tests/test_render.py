@@ -156,3 +156,25 @@ def test_engine_render_end_to_end(spark, tmp_path):
     for r in want:
         assert r.d in got
         assert abs(got[r.d] - r.s) < 1e-6
+
+
+def test_render_two_series_functions(spark):
+    fetch = _fetch_fn(spark)
+    out = render("divideSeries(cpu.load, cpu.idle)", fetch)
+    rows = {r.bucket_ts: r.value for r in out.collect()}
+    assert abs(rows[0] - 1.0 / 9.0) < 1e-12
+    diff = render("diffSeries(cpu.load, cpu.idle)", fetch)
+    drows = {r.bucket_ts: r.value for r in diff.collect()}
+    assert drows[0] == -8.0  # 1 - 9
+    with pytest.raises(ValueError, match="expected 2..2"):
+        render("divideSeries(cpu.load)", fetch)
+
+
+def test_render_filter_and_fill_functions(spark):
+    fetch = _fetch_fn(spark)
+    kept = render("averageAbove(cpu.*, 4)", fetch)
+    assert {r.metric for r in kept.collect()} == {"cpu.idle"}  # mean 29/6
+    filled = render("transformNull(removeAboveValue(mem.used, 4), 0)", fetch)
+    assert {r.value for r in filled.collect()} == {0.0}  # all 5.0 → gap → 0
+    top = render("maxSeries(cpu.*)", fetch)
+    assert {r.bucket_ts: r.value for r in top.collect()}[0] == 9.0

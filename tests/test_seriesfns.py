@@ -129,3 +129,44 @@ def test_sort_by_total_and_limit(spark):
     assert ranks == {"b": 1, "c": 2, "a": 3}
     lim = sorted(set(r["metric"] for r in S.limit_series(df, 2).collect()))
     assert lim == ["a", "b"]
+
+
+def test_min_max_count_series(spark):
+    df = _series(spark, [("a", 0, 1.0), ("b", 0, 3.0), ("a", 60, 2.0)])
+    mn = {r.bucket_ts: r.value for r in S.min_series(df).collect()}
+    mx = {r.bucket_ts: r.value for r in S.max_series(df).collect()}
+    ct = {r.bucket_ts: r.value for r in S.count_series(df).collect()}
+    assert mn == {0: 1.0, 60: 2.0}
+    assert mx == {0: 3.0, 60: 2.0}
+    assert ct == {0: 2.0, 60: 1.0}
+
+
+def test_diff_and_divide_series(spark):
+    a = _series(spark, [("a", 0, 10.0), ("a", 60, 6.0), ("a", 120, 4.0)])
+    b = _series(spark, [("b", 0, 4.0), ("b", 60, 0.0)])
+    d = {r.bucket_ts: r.value for r in S.diff_series(a, b).collect()}
+    # missing subtrahend bucket (120) counts as 0 (safeDiff)
+    assert d == {0: 6.0, 60: 6.0, 120: 4.0}
+    q = {r.bucket_ts: r.value for r in S.divide_series(a, b).collect()}
+    # divisor 0 and missing divisor → gap (safeDiv)
+    assert q == {0: 2.5, 60: None, 120: None}
+
+
+def test_remove_above_below_transform_null(spark):
+    df = _series(spark, [("m", 0, 1.0), ("m", 60, 5.0), ("m", 120, 9.0)])
+    above = {r.bucket_ts: r.value for r in S.remove_above_value(df, 5.0).collect()}
+    assert above == {0: 1.0, 60: 5.0, 120: None}
+    below = {r.bucket_ts: r.value for r in S.remove_below_value(df, 5.0).collect()}
+    assert below == {0: None, 60: 5.0, 120: 9.0}
+    filled = {r.bucket_ts: r.value
+              for r in S.transform_null(S.remove_above_value(df, 5.0), -1.0).collect()}
+    assert filled == {0: 1.0, 60: 5.0, 120: -1.0}
+
+
+def test_average_and_current_filters(spark):
+    df = _series(spark, [("hot", 0, 10.0), ("hot", 60, 20.0),
+                         ("cold", 0, 1.0), ("cold", 60, 2.0)])
+    assert {r.metric for r in S.average_above(df, 5.0).collect()} == {"hot"}
+    assert {r.metric for r in S.average_below(df, 5.0).collect()} == {"cold"}
+    assert {r.metric for r in S.current_above(df, 5.0).collect()} == {"hot"}
+    assert {r.metric for r in S.current_below(df, 5.0).collect()} == {"cold"}
