@@ -74,6 +74,7 @@ from kenshin_backup_spark.queries import (
     batch54,
     batch55,
     batch56,
+    batch57,
     llm,
     relational,
     relational2,
@@ -141,6 +142,7 @@ _MODULES = (
     batch54,
     batch55,
     batch56,
+    batch57,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
@@ -212,9 +214,9 @@ _PRIORITY = (
     "streaming_drawdown",
     "tsdb_ladder_roundtrip",
     # --- rotated in: never driver-checked, locally exact-green --------------
-    "tpch_q7_nation_volume",
     "join_interval_overlap",
     "upsert_latest_state",
+    "graphite_render_ratio",
     # --- late round-4 operators (batches 53-56) -----------------------------
     "dedup_winnowing_pairs",
     "text_bpe_pair_merges",

@@ -1,0 +1,132 @@
+"""Batch-57 query (round 4): the EXTENDED render language, driver-certified.
+
+``graphite_render_ratio`` drives the round-4 render-language additions —
+two-series ``divideSeries`` and the ``transformNull`` fill tier — through
+the full consumer stack (Engine store build → parse → evaluate) for::
+
+    transformNull(divideSeries(
+        summarize(sumSeries({purchase}), '1d', 'sum'),
+        summarize(sumSeries({click,view}), '1d', 'sum')), 0)
+
+i.e. the daily purchase-per-engagement ratio every product dashboard
+plots, with gap days surfaced as 0. The DuckDB oracle replicates the
+evaluator's exact quantization sequence (hourly QAVG → per-slot
+requantized sumSeries → daily requantized summarize → safeDiv →
+COALESCE 0) over the same day-aligned fetch grid, so a hash match
+certifies the two-series evaluator arity path, safeDiv's zero/missing
+semantics, the fill tier, and the grid coverage in one row.
+
+Scale notes: identical shape to ``graphite_render_pipeline`` — the whole
+nested target compiles into ONE Catalyst plan over the hourly ladder;
+the divide join is a per-day equi-join of two already-aggregated
+single-series frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kenshin_backup_spark.api import Engine
+from kenshin_backup_spark.functions.deterministic import EPOCH_S_SQL, QAVG_SQL
+from kenshin_backup_spark.operators.policies import Policy
+from kenshin_backup_spark.sources import load_table
+from kenshin_backup_spark.sources.tables import staged_path
+
+_ES = EPOCH_S_SQL.format(x="ts")
+_TARGET = (
+    "transformNull(divideSeries("
+    "summarize(sumSeries({purchase}), '1d', 'sum'), "
+    "summarize(sumSeries({click,view}), '1d', 'sum')), 0)"
+)
+
+
+def graphite_render_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store build → extended-render evaluation (see module docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(F.col("event_type").alias("metric"), "ts", "value")
+    eng = Engine(
+        spark,
+        staged_path(sf_dir, "render_ratio_store", tables=("events",)),
+        policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
+    )
+    eng.write(pts)
+    es = F.unix_timestamp("ts").cast("long")
+    bounds = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
+    lo = bounds.lo - bounds.lo % 86400  # day-aligned slot grid
+    out = eng.render(_TARGET, lo, bounds.hi + 1)
+    return out.select(
+        "metric",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+# The oracle mirrors the evaluator stage by stage. Requantization at each
+# combine/summarize stage (FLOOR(x*1e6) again on an already-derived double)
+# is intentional — it is exactly what _combine/summarize do, and both
+# engines run the identical IEEE ops.
+_Q = "CAST(FLOOR(({x}) * 1000000) AS BIGINT)"
+
+_RATIO_SQL = f"""
+WITH bounds AS (
+  SELECT (MIN({_ES}) - MIN({_ES}) % 86400) AS lo,
+         ((MAX({_ES}) + 1) // 3600) * 3600 AS hi
+  FROM events
+),
+grid AS (
+  SELECT UNNEST(generate_series(lo, hi, 3600)) AS h FROM bounds
+),
+hourly AS (
+  SELECT event_type AS metric, CAST(({_ES} // 3600) * 3600 AS BIGINT) AS h,
+         {QAVG_SQL.format(x="value")} AS avg_v
+  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+  GROUP BY 1, 2
+),
+num_h AS (
+  SELECT g.h,
+         CAST(SUM({_Q.format(x="p.avg_v")}) / 1000000 AS DOUBLE) AS v
+  FROM grid g
+  LEFT JOIN hourly p ON p.h = g.h AND p.metric = 'purchase'
+  GROUP BY g.h
+),
+den_h AS (
+  SELECT g.h,
+         CAST(SUM({_Q.format(x="c.avg_v")}) / 1000000 AS DOUBLE) AS v
+  FROM grid g
+  LEFT JOIN hourly c ON c.h = g.h AND c.metric IN ('click', 'view')
+  GROUP BY g.h
+),
+num_d0 AS (
+  SELECT CAST((h // 86400) * 86400 AS BIGINT) AS d,
+         CAST(SUM({_Q.format(x="v")}) / 1000000 AS DOUBLE) AS v
+  FROM num_h GROUP BY 1
+),
+den_d0 AS (
+  SELECT CAST((h // 86400) * 86400 AS BIGINT) AS d,
+         CAST(SUM({_Q.format(x="v")}) / 1000000 AS DOUBLE) AS v
+  FROM den_h GROUP BY 1
+),
+-- divide_series funnels BOTH sides through _combine once more, which
+-- requantizes the single daily row (floor(v*1e6)/1e6) — mirror it.
+num_d AS (
+  SELECT d, CAST({_Q.format(x="v")} / 1000000 AS DOUBLE) AS v FROM num_d0
+),
+den_d AS (
+  SELECT d, CAST({_Q.format(x="v")} / 1000000 AS DOUBLE) AS v FROM den_d0
+)
+SELECT 'divideSeries' AS metric, n.d AS bucket_ts,
+       CAST(COALESCE(
+         CASE WHEN dd.v IS NOT NULL AND dd.v != 0 THEN n.v / dd.v END,
+         0) AS DOUBLE) AS value
+FROM num_d n LEFT JOIN den_d dd ON dd.d = n.d
+"""
+
+
+QUERIES = {
+    "graphite_render_ratio": graphite_render_ratio,
+}
+
+ORACLE = {
+    "graphite_render_ratio": _RATIO_SQL,
+}
