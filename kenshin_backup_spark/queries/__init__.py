@@ -75,6 +75,7 @@ from kenshin_backup_spark.queries import (
     batch55,
     batch56,
     batch57,
+    batch58,
     llm,
     relational,
     relational2,
@@ -143,6 +144,7 @@ _MODULES = (
     batch55,
     batch56,
     batch57,
+    batch58,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
