@@ -76,6 +76,7 @@ from kenshin_backup_spark.queries import (
     batch56,
     batch57,
     batch58,
+    batch59,
     llm,
     relational,
     relational2,
@@ -145,6 +146,7 @@ _MODULES = (
     batch56,
     batch57,
     batch58,
+    batch59,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry

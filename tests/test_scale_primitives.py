@@ -251,3 +251,38 @@ def test_tracked_persists_cleared_when_next_query_builds(spark):
     df2 = spark.range(10).transform(cache.persist_tracked)
     qs["tpch_q1_pricing_summary"](spark, SF_SMOKE)
     assert not df2.is_cached
+
+
+def test_pca_contracts(spark):
+    """PCA algebraic contracts (the rows-only operator's evidence):
+    components orthonormal; per-component projection variance equals the
+    eigenvalue; explained-variance shares sum below 1; projections
+    reproduce numpy's reference PCA up to the canonical sign."""
+    import numpy as np
+
+    from kenshin_backup_spark.operators.linalg import pca_fit, pca_project
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: variance concentrated in two known directions
+    base = rng.normal(size=(300, 8)) * np.array([5, 3, 1, 1, 0.5, 0.5, 0.2, 0.1])
+    rows = [(i, [float(v) for v in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    comps, evals, mean, total_var = pca_fit(df, k=3)
+    C = np.array(comps)
+    assert np.allclose(C @ C.T, np.eye(3), atol=1e-8)  # orthonormal
+    assert evals[0] >= evals[1] >= evals[2] > 0
+    assert sum(evals) <= total_var + 1e-9
+
+    proj = pca_project(df, comps, mean)
+    P = np.array(
+        [r.proj for r in proj.select("proj").orderBy("vec_id").collect()]
+    )
+    # projection variance equals the eigenvalue (population convention)
+    got_var = P.var(axis=0)
+    assert np.allclose(got_var, evals, rtol=1e-6)
+    # cross-check against numpy's reference eigensolve on the exact cov
+    X = base - base.mean(axis=0)
+    ref_cov = (X.T @ X) / len(X)
+    ref_evals = np.sort(np.linalg.eigvalsh(ref_cov))[::-1][:3]
+    assert np.allclose(evals, ref_evals, rtol=1e-6)
