@@ -314,3 +314,21 @@ def test_driver_window_plans_have_no_global_anti_patterns(spark):
             continue
         plan = _optimized(df)
         assert "GlobalLimit" in plan, (name, specs)
+
+
+def test_late_round4_batch_plans_are_scale_safe(spark):
+    """Batch-53..59 contracts for queries NOT already covered by the
+    driver-window audit: no cartesian product; any unpartitioned window
+    is bounded under a GlobalLimit (top-30 merges / top-10 screens)."""
+    from kenshin_backup_spark.queries.batch56 import tsdb_counter_gauge_classify
+    from kenshin_backup_spark.queries.batch58 import dedup_method_agreement
+    from kenshin_backup_spark.queries.batch59 import emb_pca_project
+
+    for fn in (tsdb_counter_gauge_classify, dedup_method_agreement,
+               emb_pca_project):
+        df = fn(spark, SF_SMOKE)
+        text = explain_str(df)
+        assert "CartesianProduct" not in text, fn.__name__
+        specs = unpartitioned_windows(df)
+        if specs:
+            assert "GlobalLimit" in _optimized(df), (fn.__name__, specs)
