@@ -77,6 +77,7 @@ from kenshin_backup_spark.queries import (
     batch57,
     batch58,
     batch59,
+    batch60,
     llm,
     relational,
     relational2,
@@ -147,6 +148,7 @@ _MODULES = (
     batch57,
     batch58,
     batch59,
+    batch60,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
