@@ -78,6 +78,7 @@ from kenshin_backup_spark.queries import (
     batch58,
     batch59,
     batch60,
+    batch61,
     llm,
     relational,
     relational2,
@@ -149,6 +150,7 @@ _MODULES = (
     batch58,
     batch59,
     batch60,
+    batch61,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
