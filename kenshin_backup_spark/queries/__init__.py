@@ -79,6 +79,7 @@ from kenshin_backup_spark.queries import (
     batch59,
     batch60,
     batch61,
+    batch62,
     llm,
     relational,
     relational2,
@@ -151,6 +152,7 @@ _MODULES = (
     batch59,
     batch60,
     batch61,
+    batch62,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
