@@ -234,9 +234,10 @@ _PRIORITY = (
     "incremental_rollup_merge",
     "tsdb_theilsen_trend",
     "retrieval_ann_recall_report",
-    "layout_partition_skew_report",
     "events_bot_detection",
-    "tsdb_counter_gauge_classify",
+    # --- composition certs: one hash covering several operators at once -----
+    "llm_curation_funnel_v2",
+    "tsdb_anomaly_ensemble",
 )
 
 
