@@ -172,8 +172,9 @@ _MODULES = (
 #:    (winnowing dedup, BPE merges, compaction planner, incremental
 #:    rollup merge, Theil–Sen trend, ANN recall certification,
 #:    partition-skew report, bot-cadence screen, counter/gauge
-#:    classify) — cumulative unique driver-checked grows 89 → 116 if
-#:    all pass.
+#:    classify, render-ratio cert, curation-funnel + anomaly-ensemble
+#:    composition certs) — cumulative unique driver-checked grows
+#:    89 → ~112 if all pass.
 #: Families green in earlier rounds (policy/glob, scalar datetime/math/
 #: array, outer/anti/range joins, grouping sets, session windows, the
 #: lower-risk zero-norm-guard re-certs emb_cosine_topk /
