@@ -46,25 +46,39 @@ def pca_fit(
     independent of corpus size."""
     import numpy as np
 
-    x = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.col(vec_col)).alias("i", "v"),
-    ).select("id", "i", F.col("v").cast("double").alias("v"))
-    n = df.count()
-    if n < 2:
-        raise ValueError("pca_fit needs at least 2 vectors")
-    sums = (
-        x.groupBy("i").agg(F.sum("v").alias("s")).orderBy("i").collect()
+    # persisted: the exploded frame feeds three jobs (count, Σx, and both
+    # sides of the outer-product self-join) — without the cache the
+    # posexplode scan runs four times
+    x = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.col(vec_col)).alias("i", "v"),
+        )
+        .select("id", "i", F.col("v").cast("double").alias("v"))
+        .persist()
     )
-    mean = np.array([r.s for r in sums]) / n
-    d = len(mean)
-    a, b = x.alias("a"), x.alias("b")
-    prods = (
-        a.join(b, (F.col("a.id") == F.col("b.id")) & (F.col("a.i") <= F.col("b.i")))
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("sxy"))
-        .collect()
-    )
+    try:
+        n = df.count()
+        if n < 2:
+            raise ValueError("pca_fit needs at least 2 vectors")
+        sums = (
+            x.groupBy("i").agg(F.sum("v").alias("s")).orderBy("i").collect()
+        )
+        mean = np.array([r.s for r in sums]) / n
+        d = len(mean)
+        a, b = x.alias("a"), x.alias("b")
+        prods = (
+            a.join(
+                b,
+                (F.col("a.id") == F.col("b.id"))
+                & (F.col("a.i") <= F.col("b.i")),
+            )
+            .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+            .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("sxy"))
+            .collect()
+        )
+    finally:
+        x.unpersist()
     cov = np.zeros((d, d))
     for r in prods:
         c = r.sxy / n - mean[r.i] * mean[r.j]
