@@ -134,6 +134,14 @@ SHOWCASE = [
         "recompute is the mergeability proof.",
     ),
     (
+        "llm_curation_funnel_v2",
+        "Curation funnel capstone (round 4): the winnowing pair frame "
+        "collapses to a distinct drop set and broadcast semi-joins back; "
+        "quality and sampling are scan-side integer flags; the funnel is "
+        "ONE map-side-combinable aggregate — three pipeline stages, one "
+        "Catalyst plan, no second scan of the corpus.",
+    ),
+    (
         "tsdb_histogram_percentile",
         "Histogram percentile (round 4): bucket assignment is a scan-side "
         "integer expression; the shuffled state is metrics × le-buckets "
