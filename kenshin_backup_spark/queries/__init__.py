@@ -80,6 +80,7 @@ from kenshin_backup_spark.queries import (
     batch60,
     batch61,
     batch62,
+    batch63,
     llm,
     relational,
     relational2,
@@ -153,6 +154,7 @@ _MODULES = (
     batch60,
     batch61,
     batch62,
+    batch63,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
