@@ -434,3 +434,47 @@ def current_below(df: DataFrame, threshold: float) -> DataFrame:
     value is below n."""
     keep = current_value(df).where(F.col("current") < threshold)
     return df.join(F.broadcast(keep.select("metric")), "metric")
+
+
+# --- graphite 1.1 tagged metrics -------------------------------------------
+
+def tag_value(metric: Column | str, tag: str) -> Column:
+    """Value of ``tag`` in a graphite 1.1 tagged path
+    (``name;tag1=v1;tag2=v2``); empty string when absent. One regexp
+    probe per referenced tag — scan-side, no parsing UDF."""
+    m = F.col(metric) if isinstance(metric, str) else metric
+    return F.regexp_extract(m, f"(?:^|;){tag}=([^;]*)", 1)
+
+
+def series_name(metric: Column | str) -> Column:
+    """Bare series name of a tagged path (text before the first ``;``)."""
+    m = F.col(metric) if isinstance(metric, str) else metric
+    return F.split(m, ";")[0]
+
+
+def series_by_tag(df: DataFrame, *exprs: str) -> DataFrame:
+    """graphite ``seriesByTag('tag=value', 'tag2=~regex', ...)``: keep
+    series whose tags satisfy EVERY expression. Supported operators, per
+    the graphite tag spec: ``=`` exact, ``!=`` not-equal, ``=~`` regex
+    match, ``!=~`` regex non-match. Filters compile to scan-side regexp
+    probes on the metric path — pushdown-friendly, no tag-index needed
+    (at 100 TB a bucketed (tag, value) inverted table would replace the
+    scan; the predicate shape is identical)."""
+    out = df
+    for e in exprs:
+        if "!=~" in e:
+            tag, pat = e.split("!=~", 1)
+            cond = ~tag_value("metric", tag).rlike(pat)
+        elif "=~" in e:
+            tag, pat = e.split("=~", 1)
+            cond = tag_value("metric", tag).rlike(pat)
+        elif "!=" in e:
+            tag, val = e.split("!=", 1)
+            cond = tag_value("metric", tag) != val
+        elif "=" in e:
+            tag, val = e.split("=", 1)
+            cond = tag_value("metric", tag) == val
+        else:
+            raise ValueError(f"bad seriesByTag expression {e!r}")
+        out = out.where(cond)
+    return out

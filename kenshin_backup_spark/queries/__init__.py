@@ -81,6 +81,7 @@ from kenshin_backup_spark.queries import (
     batch61,
     batch62,
     batch63,
+    batch64,
     llm,
     relational,
     relational2,
@@ -155,6 +156,7 @@ _MODULES = (
     batch61,
     batch62,
     batch63,
+    batch64,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry

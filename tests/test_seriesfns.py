@@ -170,3 +170,25 @@ def test_average_and_current_filters(spark):
     assert {r.metric for r in S.average_below(df, 5.0).collect()} == {"cold"}
     assert {r.metric for r in S.current_above(df, 5.0).collect()} == {"hot"}
     assert {r.metric for r in S.current_below(df, 5.0).collect()} == {"cold"}
+
+
+def test_series_by_tag_operators(spark):
+    df = spark.createDataFrame(
+        [("cpu;dc=east;tier=t0", 0, 1.0),
+         ("cpu;dc=west;tier=t1", 0, 2.0),
+         ("cpu;dc=east;tier=t9", 0, 3.0),
+         ("mem;tier=t0", 0, 4.0)],
+        "metric string, bucket_ts long, value double")
+    got = {r.metric for r in S.series_by_tag(df, "dc=east").collect()}
+    assert got == {"cpu;dc=east;tier=t0", "cpu;dc=east;tier=t9"}
+    got = {r.metric for r in S.series_by_tag(df, "tier=~t[01]$").collect()}
+    assert got == {"cpu;dc=east;tier=t0", "cpu;dc=west;tier=t1", "mem;tier=t0"}
+    got = {r.metric for r in S.series_by_tag(df, "dc!=east").collect()}
+    # absent tag yields '' which also != 'east' (graphite semantics)
+    assert got == {"cpu;dc=west;tier=t1", "mem;tier=t0"}
+    got = {r.metric for r in S.series_by_tag(df, "tier!=~t[09]$").collect()}
+    assert got == {"cpu;dc=west;tier=t1"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        S.series_by_tag(df, "nonsense")
+    assert S.series_name(F.lit("cpu;dc=east")) is not None
