@@ -478,3 +478,27 @@ def series_by_tag(df: DataFrame, *exprs: str) -> DataFrame:
             raise ValueError(f"bad seriesByTag expression {e!r}")
         out = out.where(cond)
     return out
+
+
+def alias_by_tags(df: DataFrame, *tags: str) -> DataFrame:
+    """graphite ``aliasByTags(...)``: rename each series to the joined
+    values of the given tags (``name`` selects the bare series name)."""
+    parts = [
+        series_name("metric") if t == "name" else tag_value("metric", t)
+        for t in tags
+    ]
+    return df.withColumn("metric", F.concat_ws(".", *parts))
+
+
+def group_by_tags(df: DataFrame, func: str, *tags: str) -> DataFrame:
+    """graphite ``groupByTags(func, ...)``: aggregate series over every
+    tag NOT listed, keeping one output series per combination of the
+    listed tags (named ``name;tag=value;...``). Aggregation goes through
+    the same quantized ``_combine`` kernels as sum/avg/min/max
+    Series — per-bucket, shuffle keyed on the collapsed name."""
+    name_parts: list[Column] = [series_name("metric")]
+    for t in sorted(tags):
+        name_parts.append(F.lit(f";{t}="))
+        name_parts.append(tag_value("metric", t))
+    collapsed = df.withColumn("metric", F.concat(*name_parts))
+    return _combine(collapsed, func)

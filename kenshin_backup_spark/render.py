@@ -199,6 +199,10 @@ def _registry() -> dict[str, Callable]:
         "averageBelow": lambda d, s: sf.average_below(d[0], float(s[0])),
         "currentAbove": lambda d, s: sf.current_above(d[0], float(s[0])),
         "currentBelow": lambda d, s: sf.current_below(d[0], float(s[0])),
+        "aliasByTags": lambda d, s: sf.alias_by_tags(d[0], *[str(x) for x in s]),
+        "groupByTags": lambda d, s: sf.group_by_tags(
+            d[0], str(s[0]), *[str(x) for x in s[1:]]
+        ),
     }
 
 

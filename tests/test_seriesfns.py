@@ -192,3 +192,16 @@ def test_series_by_tag_operators(spark):
     with _pytest.raises(ValueError):
         S.series_by_tag(df, "nonsense")
     assert S.series_name(F.lit("cpu;dc=east")) is not None
+
+
+def test_alias_and_group_by_tags(spark):
+    df = spark.createDataFrame(
+        [("req;dc=east;app=a", 0, 1.0),
+         ("req;dc=east;app=b", 0, 2.0),
+         ("req;dc=west;app=a", 0, 4.0)],
+        "metric string, bucket_ts long, value double")
+    out = {r.metric: r.value
+           for r in S.group_by_tags(df, "sum", "dc").collect()}
+    assert out == {"req;dc=east": 3.0, "req;dc=west": 4.0}
+    named = {r.metric for r in S.alias_by_tags(df, "dc", "app").collect()}
+    assert named == {"east.a", "east.b", "west.a"}
