@@ -235,7 +235,7 @@ _PRIORITY = (
     # --- late round-4 operators (batches 53-56) -----------------------------
     "dedup_winnowing_pairs",
     "text_bpe_pair_merges",
-    "layout_compaction_plan",
+    "graphite_series_by_tag",
     "incremental_rollup_merge",
     "tsdb_theilsen_trend",
     "retrieval_ann_recall_report",
