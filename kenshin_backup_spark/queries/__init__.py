@@ -82,6 +82,7 @@ from kenshin_backup_spark.queries import (
     batch62,
     batch63,
     batch64,
+    batch65,
     llm,
     relational,
     relational2,
@@ -157,6 +158,7 @@ _MODULES = (
     batch62,
     batch63,
     batch64,
+    batch65,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
