@@ -83,6 +83,7 @@ from kenshin_backup_spark.queries import (
     batch63,
     batch64,
     batch65,
+    batch66,
     llm,
     relational,
     relational2,
@@ -159,6 +160,7 @@ _MODULES = (
     batch63,
     batch64,
     batch65,
+    batch66,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
