@@ -367,3 +367,42 @@ def test_winnowing_detection_guarantee(spark):
     for case in range(25):
         a, b = by_doc[case * 2], by_doc[case * 2 + 1]
         assert a & b, f"case {case}: no shared fingerprint"
+
+
+def test_theilsen_robust_to_single_outlier(spark):
+    """Theil–Sen's defining property: one corrupted point barely moves the
+    median slope, while it would wreck a mean-of-slopes estimate. Build a
+    clean slope-2 hourly grid, corrupt one point by 1000x, and run the
+    registered query's arithmetic on both frames."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kenshin_backup_spark.queries.batch54 import tsdb_theilsen_trend
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for variant in ("clean", "dirty"):
+        for i in range(24):
+            v = 10.0 + 2.0 * i
+            if variant == "dirty" and i == 12:
+                v *= 1000
+            rows.append((variant, base + dt.timedelta(hours=i), v))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.select(
+            F.monotonically_increasing_id().alias("event_id"),
+            "ts",
+            F.lit(0).cast("long").alias("user_id"),
+            "event_type",
+            "value",
+            F.lit('{"k": 0}').alias("props"),
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.metric: r.median_slope
+               for r in tsdb_theilsen_trend(spark, d).collect()}
+    assert abs(out["clean"] - 2.0) < 1e-6
+    # the corrupted series' MEDIAN slope stays within 25% of truth even
+    # though one point moved by 5 orders of magnitude
+    assert abs(out["dirty"] - 2.0) < 0.5, out
