@@ -104,12 +104,17 @@ def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint near-dup pairs (see module docstring)."""
-    docs = load_table(spark, sf_dir, "documents")
+def winnowing_pairs(
+    docs: DataFrame, *, df_cap: int = DF_CAP, min_shared: int = MIN_SHARED
+) -> DataFrame:
+    """Near-dup pairs from winnowing fingerprints. ``df_cap`` is an
+    ABSOLUTE document-frequency cap calibrated to the corpus size —
+    at production scale pass a corpus-relative value (e.g.
+    ``df_cap = int(1e-4 * n_docs)``); SCALE.md's replication experiment
+    shows why a fixed cap empties the report under 16× duplication."""
     fps = winnowing_fingerprints(docs)
     keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
-        F.col("df") <= DF_CAP
+        F.col("df") <= df_cap
     )
     posting = fps.join(keep.select("fp"), "fp")
     a = posting.alias("a")
@@ -124,9 +129,15 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
         .agg(F.count(F.lit(1)).alias("shared"))
-        .where(F.col("shared") >= MIN_SHARED)
+        .where(F.col("shared") >= min_shared)
         .select("id_a", "id_b", F.col("shared").cast("long").alias("shared"))
     )
+
+
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint near-dup pairs (see module docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_pairs(docs)
 
 
 _HASH_SQL = " + ".join(
