@@ -84,6 +84,7 @@ from kenshin_backup_spark.queries import (
     batch64,
     batch65,
     batch66,
+    batch67,
     llm,
     relational,
     relational2,
@@ -161,6 +162,7 @@ _MODULES = (
     batch64,
     batch65,
     batch66,
+    batch67,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
