@@ -199,6 +199,10 @@ def _registry() -> dict[str, Callable]:
         "averageBelow": lambda d, s: sf.average_below(d[0], float(s[0])),
         "currentAbove": lambda d, s: sf.current_above(d[0], float(s[0])),
         "currentBelow": lambda d, s: sf.current_below(d[0], float(s[0])),
+        # leaf-style call — intercepted in render()'s evaluator before
+        # this entry is ever invoked; present here so the name resolves
+        # and SUPPORTED_FUNCTIONS lists it
+        "seriesByTag": None,
         "aliasByTags": lambda d, s: sf.alias_by_tags(d[0], *[str(x) for x in s]),
         "groupByTags": lambda d, s: sf.group_by_tags(
             d[0], str(s[0]), *[str(x) for x in s[1:]]
@@ -233,6 +237,16 @@ def render(target: str, fetch_fn: Callable[[str], DataFrame]) -> DataFrame:
                 dfs.append(ev(a))
             else:
                 scalars.append(a[1])
+        if name == "seriesByTag":
+            # leaf-style call (graphite 1.1): no series argument — the
+            # tag predicates select from the whole catalog
+            if dfs or not scalars:
+                raise ValueError(
+                    "seriesByTag takes only tag-expression strings"
+                )
+            return sf.series_by_tag(
+                fetch_fn("*"), *[str(s) for s in scalars]
+            )
         if not dfs:
             raise ValueError(f"{name}: needs a series argument")
         if name in _TWO_SERIES:

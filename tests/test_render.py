@@ -178,3 +178,25 @@ def test_render_filter_and_fill_functions(spark):
     assert {r.value for r in filled.collect()} == {0.0}  # all 5.0 → gap → 0
     top = render("maxSeries(cpu.*)", fetch)
     assert {r.bucket_ts: r.value for r in top.collect()}[0] == 9.0
+
+
+def test_render_series_by_tag_leaf(spark):
+    base = spark.createDataFrame(
+        [("req;dc=east;app=a", 0, 1.0),
+         ("req;dc=east;app=b", 0, 2.0),
+         ("req;dc=west;app=a", 0, 4.0)],
+        "metric string, bucket_ts long, value double")
+
+    def fetch(glob):
+        return base  # '*' catalog
+
+    out = render("sumSeries(seriesByTag('dc=east'))", fetch)
+    assert {r.value for r in out.collect()} == {3.0}
+    out2 = render(
+        "groupByTags(seriesByTag('dc=east'), 'sum', 'app')", fetch
+    )
+    got = {r.metric: r.value for r in out2.collect()}
+    assert got == {"req;app=a": 1.0, "req;app=b": 2.0}
+    import pytest as _p
+    with _p.raises(ValueError):
+        render("seriesByTag(cpu.load)", fetch)  # df arg not allowed
