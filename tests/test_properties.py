@@ -406,3 +406,69 @@ def test_theilsen_robust_to_single_outlier(spark):
     # the corrupted series' MEDIAN slope stays within 25% of truth even
     # though one point moved by 5 orders of magnitude
     assert abs(out["dirty"] - 2.0) < 0.5, out
+
+
+def test_compaction_bins_are_contiguous_and_bounded(spark):
+    """Compaction-plan contracts on the real fixture: within each
+    partition key, bins cover a contiguous month range (no interleaving)
+    and every bin except possibly the last holds >= TARGET bytes once it
+    has a successor (the prefix-sum rule can only close a bin after
+    crossing the target)."""
+    from kenshin_backup_spark.queries.batch54 import (
+        TARGET_BYTES,
+        layout_compaction_plan,
+    )
+
+    rows = layout_compaction_plan(spark, "/root/testdata/sf0.001").collect()
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r.retflag, []).append(r)
+    for key, bins in by_key.items():
+        bins.sort(key=lambda r: r.bin)
+        ids = [r.bin for r in bins]
+        assert ids == sorted(set(ids)), key  # unique, ordered
+        # the prefix-sum rule closes a bin only after crossing the
+        # target, so bin count is bounded by total/target (+1 tail)
+        total = sum(r.bin_bytes for r in bins)
+        assert len(bins) <= total // TARGET_BYTES + 1, key
+
+
+def test_incremental_merge_equals_direct_for_any_split(spark):
+    """The (sum,count) merge is correct for ANY state/delta split, not
+    just the latest-day one the registered query uses: random day splits
+    over the fixture must all reproduce the direct rollup."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kenshin_backup_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    es = F.unix_timestamp("ts").cast("long")
+    pts = ev.select(
+        F.col("event_type").alias("metric"),
+        (es - es % 3600).alias("h"),
+        (es - es % 86400).alias("day"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vq"),
+    )
+    direct = {
+        (r.metric, r.h): (r.s, r.c)
+        for r in pts.groupBy("metric", "h")
+        .agg(F.sum("vq").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    days = sorted({r.day for r in pts.select("day").distinct().collect()})
+    rng = random.Random(3)
+    for split in rng.sample(days, min(3, len(days))):
+        part = (
+            pts.groupBy("metric", "h", (F.col("day") >= split).alias("d"))
+            .agg(F.sum("vq").alias("s"), F.count(F.lit(1)).alias("c"))
+        )
+        merged = {
+            (r.metric, r.h): (r.s, r.c)
+            for r in part.groupBy("metric", "h")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .collect()
+        }
+        assert merged == direct, split

@@ -134,6 +134,14 @@ SHOWCASE = [
         "recompute is the mergeability proof.",
     ),
     (
+        "tsdb_multires_rollup",
+        "Multi-resolution rollup (round 4): 1h/6h/1d ladder levels from "
+        "ONE parquet scan — a single Generate replicates each row to its "
+        "three granularities in-pipeline, partial aggregation runs below "
+        "the one exchange. The naive plan scans the fact table three "
+        "times; at 100 TB that is two extra passes over the lake.",
+    ),
+    (
         "llm_curation_funnel_v2",
         "Curation funnel capstone (round 4): the winnowing pair frame "
         "collapses to a distinct drop set and broadcast semi-joins back; "
