@@ -85,6 +85,7 @@ from kenshin_backup_spark.queries import (
     batch65,
     batch66,
     batch67,
+    batch68,
     llm,
     relational,
     relational2,
@@ -163,6 +164,7 @@ _MODULES = (
     batch65,
     batch66,
     batch67,
+    batch68,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry

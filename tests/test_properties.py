@@ -472,3 +472,31 @@ def test_incremental_merge_equals_direct_for_any_split(spark):
             .collect()
         }
         assert merged == direct, split
+
+
+def test_twonn_recovers_planted_dimension(spark):
+    """TwoNN estimator contract: on points spanning a planted
+    3-dimensional linear subspace of 8-D space the estimate is ~3; on
+    full-rank gaussian data it is ~8 (MLE tolerance is wide — TwoNN
+    variance at n=120 samples is real — but the two cases must separate
+    cleanly and bracket their true dimensions)."""
+    import numpy as np
+
+    from kenshin_backup_spark.queries.batch68 import twonn_intrinsic_dimension
+
+    rng = np.random.default_rng(5)
+    n = 600
+    basis = rng.normal(size=(3, 8))
+    low = rng.normal(size=(n, 3)) @ basis          # rank-3 manifold
+    full = rng.normal(size=(n, 8))                  # rank-8
+    for name, data, lo_d, hi_d in (
+        ("planted3", low, 1.8, 4.5),
+        ("fullrank8", full, 5.5, 11.0),
+    ):
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in row]) for i, row in enumerate(data)],
+            "vec_id long, embedding array<double>",
+        )
+        est = twonn_intrinsic_dimension(df).first()
+        assert lo_d < est.intrinsic_dim < hi_d, (name, est.intrinsic_dim)
+    # and the two estimates must separate
