@@ -86,6 +86,7 @@ from kenshin_backup_spark.queries import (
     batch66,
     batch67,
     batch68,
+    batch69,
     llm,
     relational,
     relational2,
@@ -165,6 +166,7 @@ _MODULES = (
     batch66,
     batch67,
     batch68,
+    batch69,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
