@@ -87,6 +87,7 @@ from kenshin_backup_spark.queries import (
     batch67,
     batch68,
     batch69,
+    batch70,
     llm,
     relational,
     relational2,
@@ -167,6 +168,7 @@ _MODULES = (
     batch67,
     batch68,
     batch69,
+    batch70,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
