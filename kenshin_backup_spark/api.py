@@ -119,7 +119,7 @@ class Engine:
 
     def fetch(
         self,
-        metric_glob: str,
+        metric_glob: str | None,
         from_ts: int,
         until_ts: int,
         *,
@@ -129,7 +129,9 @@ class Engine:
         """Reference ``fetch``: archive-routed, range-clamped, gap-filled
         values for every metric matching the glob, as one long frame
         ``(metric, bucket_ts, value, n_points)``. ``kernel`` defaults to
-        each policy's configured aggregation."""
+        each policy's configured aggregation. ``metric_glob=None`` fetches
+        the whole catalog (tagged-metric selection needs this: ``*`` is a
+        one-component glob and would drop dotted bare names)."""
         if now_ts is None:
             now_ts = until_ts
         out: DataFrame | None = None
@@ -171,7 +173,7 @@ class Engine:
         into one Catalyst plan (see :mod:`kenshin_backup_spark.render`)."""
         from kenshin_backup_spark.render import render as _render
 
-        def fetch_fn(glob: str) -> DataFrame:
+        def fetch_fn(glob: str | None) -> DataFrame:
             return self.fetch(glob, from_ts, until_ts, now_ts=now_ts).select(
                 "metric", "bucket_ts", "value"
             )
@@ -198,24 +200,36 @@ class Engine:
             ],
         }
 
-    def metrics(self, glob: str = "*") -> list[str]:
-        """Metric browse over everything written, filtered by glob."""
-        rx = glob_to_regex(glob)
-        names: set[str] = set()
+    def metrics(self, glob: str = "*", *, limit: int = 100_000) -> list[str]:
+        """Metric browse over everything written, filtered by glob.
+
+        ONE unioned job across all written policies: the ``rlike`` filter
+        sits under the distinct so Catalyst pushes it to each parquet scan,
+        partial-aggregates dedupe map-side, and the driver materializes at
+        most ``limit`` names (the graphite-finder contract returns a name
+        list, so a driver-side list is inherent — the cap bounds it; raise
+        ``limit`` or narrow the glob for bigger catalogs). Exact globs
+        short-circuit to an equality predicate."""
+        scans = []
         for p in self.policies:
             if p.name not in self._written:
                 continue
             lad = self._ladder(p)
             finest = min(a.step_seconds for a in lad.archives)
-            df = self.spark.read.parquet(lad.level_path(finest))
-            rows = (
-                df.select("metric")
-                .distinct()
-                .where(F.col("metric").rlike(rx))
-                .collect()
+            scans.append(
+                self.spark.read.parquet(lad.level_path(finest)).select("metric")
             )
-            names.update(r.metric for r in rows)
-        return sorted(names)
+        if not scans:
+            return []
+        cat = scans[0]
+        for s in scans[1:]:
+            cat = cat.unionByName(s)
+        if any(ch in glob for ch in "*?{["):
+            cat = cat.where(F.col("metric").rlike(glob_to_regex(glob)))
+        else:
+            cat = cat.where(F.col("metric") == F.lit(glob))
+        rows = cat.distinct().limit(limit).collect()
+        return sorted(r.metric for r in rows)
 
     # -- maintenance ----------------------------------------------------------
 

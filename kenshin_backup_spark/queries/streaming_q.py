@@ -330,15 +330,20 @@ def streaming_sharded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # append sink: re-running must not double rows -> clean slate each call
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(chk, ignore_errors=True)
+    # replay_each_epoch: each epoch lands twice (at-least-once replay
+    # simulation); the epoch-keyed dynamic partition overwrite makes the
+    # second application rewrite the same partitions, so the oracle hash
+    # certifies the append sink is exactly-once under replay.
     q = (
         write_sharded_sink(
-            rolled, path, chk, shard_col="event_type", n_shards=4
+            rolled, path, chk, shard_col="event_type", n_shards=4,
+            replay_each_epoch=True,
         )
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    back = spark.read.parquet(path).drop("shard", "date")
+    back = spark.read.parquet(path).drop("shard", "date", "epoch")
     wide = finalize(back)
     return wide.select(
         "event_type",

@@ -217,9 +217,14 @@ _TWO_SERIES = frozenset({"diffSeries", "divideSeries"})
 SUPPORTED_FUNCTIONS = tuple(sorted(_registry()))
 
 
-def render(target: str, fetch_fn: Callable[[str], DataFrame]) -> DataFrame:
+def render(
+    target: str, fetch_fn: Callable[[str | None], DataFrame]
+) -> DataFrame:
     """Parse and evaluate one render target; leaves resolve via
-    ``fetch_fn(glob)`` → canonical series frame."""
+    ``fetch_fn(glob)`` → canonical series frame. ``fetch_fn(None)`` must
+    return the WHOLE catalog (used by ``seriesByTag``). ``divideSeries``
+    note: a multi-series divisor is summed per bucket (documented
+    deviation — graphite-web raises; see seriesfns.divide_series)."""
     reg = _registry()
 
     def ev(node) -> DataFrame:
@@ -239,13 +244,17 @@ def render(target: str, fetch_fn: Callable[[str], DataFrame]) -> DataFrame:
                 scalars.append(a[1])
         if name == "seriesByTag":
             # leaf-style call (graphite 1.1): no series argument — the
-            # tag predicates select from the whole catalog
+            # tag predicates select from the whole catalog. The catalog
+            # resolves via the None sentinel (match everything), NOT the
+            # glob "*": globs are one-component ([^.]*) and would drop
+            # any tagged series whose bare name contains a dot
+            # (disk.used;dc=east — the normal graphite form).
             if dfs or not scalars:
                 raise ValueError(
                     "seriesByTag takes only tag-expression strings"
                 )
             return sf.series_by_tag(
-                fetch_fn("*"), *[str(s) for s in scalars]
+                fetch_fn(None), *[str(s) for s in scalars]
             )
         if not dfs:
             raise ValueError(f"{name}: needs a series argument")

@@ -167,15 +167,25 @@ def upsert_rollup_partitions(
 
 
 def write_rollup_sink(
-    streaming_df: DataFrame, path: str, checkpoint: str
+    streaming_df: DataFrame, path: str, checkpoint: str,
+    *, replay_each_epoch: bool = False,
 ):
     """Production sink (S3): foreachBatch merge-upsert into date-partitioned
     parquet in update mode — each micro-batch revises exactly the buckets it
     emitted, preserving previously flushed buckets on the same dates (see
-    :func:`upsert_rollup_partitions`)."""
+    :func:`upsert_rollup_partitions`).
+
+    ``replay_each_epoch=True`` applies every micro-batch TWICE — the
+    harness's simulation of foreachBatch's at-least-once delivery (crash
+    between write and checkpoint commit ⇒ epoch replay). The merge-upsert
+    is idempotent (same keys re-upsert to the same partials), so the sink
+    state must be identical either way; the oracle-faced queries run with
+    this on, making exactly-once-under-replay a driver-hashed claim."""
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
         upsert_rollup_partitions(batch_df, path)
+        if replay_each_epoch:
+            upsert_rollup_partitions(batch_df, path)
 
     return (
         streaming_df.writeStream.foreachBatch(_write)
@@ -245,6 +255,7 @@ def write_sharded_sink(
     *,
     shard_col: str = "metric",
     n_shards: int = 8,
+    replay_each_epoch: bool = False,
 ):
     """T6 sharded append sink: watermark-CLOSED windows (append mode) land
     in ``shard=<k>/date=<d>/`` parquet directories. Sharding is computed
@@ -254,19 +265,58 @@ def write_sharded_sink(
     Append mode means every bucket is written exactly once, when the
     watermark closes it — no upsert/merge machinery needed (contrast
     :func:`write_rollup_sink`, the update-mode path for open buckets).
+
+    Exactly-once under replay: foreachBatch is at-least-once, so a crash
+    between the parquet write and the checkpoint commit replays the epoch.
+    A plain ``mode("append")`` would then double those buckets; instead
+    each epoch lands via :func:`append_sharded_partitions` — an
+    epoch-keyed dynamic partition overwrite — so a replayed epoch
+    rewrites exactly its own ``(shard, date, epoch)`` partitions with
+    identical content (idempotent), never touching other epochs' buckets.
     """
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.withColumn("shard", shard_key(shard_col, n_shards))
-            .withColumn("date", F.to_date(F.timestamp_seconds(F.col("bucket_ts"))))
-            .write.mode("append")
-            .partitionBy("shard", "date")
-            .parquet(path)
+        append_sharded_partitions(
+            batch_df, path, epoch_id, shard_col=shard_col, n_shards=n_shards
         )
+        if replay_each_epoch:
+            append_sharded_partitions(
+                batch_df, path, epoch_id, shard_col=shard_col, n_shards=n_shards
+            )
 
     return (
         streaming_df.writeStream.foreachBatch(_write)
         .outputMode("append")
         .option("checkpointLocation", checkpoint)
+    )
+
+
+def append_sharded_partitions(
+    batch_df: DataFrame,
+    path: str,
+    epoch_id: int,
+    *,
+    shard_col: str = "metric",
+    n_shards: int = 8,
+) -> None:
+    """One epoch of the sharded append sink, written idempotently.
+
+    The epoch id is a partition column, and the write is a DYNAMIC
+    partition overwrite: the only partitions replaced are the
+    ``(shard, date, epoch)`` combos present in this batch — i.e. this
+    epoch's own output. Replaying the same epoch (at-least-once
+    foreachBatch) overwrites those partitions with the same rows instead
+    of appending duplicates; earlier epochs' partitions are never listed
+    in the batch, so dynamic mode leaves them untouched. This is the
+    plain-parquet rendering of what a table format's idempotent
+    commit-by-epoch does natively. Readers drop the bookkeeping columns
+    (``shard``/``date``/``epoch``)."""
+    (
+        batch_df.withColumn("shard", shard_key(shard_col, n_shards))
+        .withColumn("date", F.to_date(F.timestamp_seconds(F.col("bucket_ts"))))
+        .withColumn("epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .partitionBy("shard", "date", "epoch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
     )
