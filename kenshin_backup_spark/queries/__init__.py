@@ -172,89 +172,89 @@ _MODULES = (
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
-#: entries, so this ordering is evidence policy. Round-4 re-curation
-#: (all three tiers exact-green in the stricter local parity suite):
-#: 1. one driver-green r3 anchor per SURVEY §2 family (18 slots);
-#: 2. the round-4 NEW operators (policy-driven rollup, EWMA terminal
-#:    fold, document chunking, BM25 retrieval, series auto/cross-
-#:    correlation, deterministic corpus split, whisper/pickle byte
-#:    round-trips, histogram percentile, ladder round-trip) and every
-#:    query whose PLAN or BEHAVIOR changed this round — the
-#:    unpartitioned-window sweep (seasonal anomalies, q11/q15, Zipf,
-#:    Pareto, RFM, ntile quartiles, SLO burn, seriesfns rankings), the
-#:    zero-norm cosine guards, and the stateful chunk-ordering fix — so
-#:    the driver certifies the new plans (24 slots);
-#: 3. never-driver-checked rotations and the LATE round-4 operators
-#:    (winnowing dedup, BPE merges, compaction planner, incremental
-#:    rollup merge, Theil–Sen trend, ANN recall certification,
-#:    partition-skew report, bot-cadence screen, counter/gauge
-#:    classify, render-ratio cert, curation-funnel + anomaly-ensemble
-#:    composition certs) — cumulative unique driver-checked grows
-#:    89 → ~112 if all pass.
-#: Families green in earlier rounds (policy/glob, scalar datetime/math/
-#: array, outer/anti/range joins, grouping sets, session windows, the
-#: lower-risk zero-norm-guard re-certs emb_cosine_topk /
-#: hybrid_search_rrf, and the bounded-window sweeps sort_by_maxima /
-#: deviant_rank / ntile_quartiles) rotate out but keep local
-#: oracle-parity coverage, which re-verified all of them exact this
-#: session.
+#: entries, so this ordering is evidence policy. Round-5 re-curation
+#: executes VERDICT r4 item #1 — burn down the never-driver-checked
+#: backlog (154/273 after r4) instead of growing the registry:
+#: 1. queries whose BEHAVIOR changed this round and must re-certify
+#:    (q11 de-vacuation: SF-relative share threshold now yields ~935
+#:    rows at sf0.01; both streaming sinks now replay every epoch to
+#:    drive the exactly-once claim through the oracle hash; seriesByTag
+#:    'name'-tag routing) plus the flagship anchor (5+1 slots);
+#: 2. tsdb_xff_guard + tsdb_rollup_cascade_1d — last driver-faced in r2,
+#:    named by the verdict as stale family evidence (2 slots);
+#: 3. 43 NEVER-driver-checked rotations spanning every family with
+#:    backlog: TPC-H q7/q8/q12/q13/q14/q16/q18/q20/q22, six scalar
+#:    families, five exotic aggregates, window frame specs, six tsdb
+#:    series transforms, graphite aspercent/divideSeries/tag-catalog,
+#:    three streaming paths, session windows, three non-parquet source
+#:    round-trips, LLM packing/sampling, PII masking, embedding stats,
+#:    and the (rows-only, pca_fit guard changed) PCA projection.
+#: If all pass, cumulative unique driver-green grows 112 → ~155 and
+#: cumulative driver-checked 119 → 162 of 273 (target was ≥140).
+#: Every r4-green row that rotates out keeps exact-cell parity coverage
+#: in tests/test_oracle_parity.py, re-run green this session.
 _PRIORITY = (
-    # --- family anchors (driver-green r3) -----------------------------------
+    # --- changed this round: driver must re-certify -------------------------
     "tsdb_rollup_1h",
-    "tsdb_fetch_gapfill",
-    "tpch_q1_pricing_summary",
-    "asof_purchase_last_click",
-    "window_topk_parts_per_brand",
-    "llm_decontamination",
-    "dedup_exact_fingerprint",
-    "dedup_ngram_jaccard_capped",
-    "dedup_minhash_portable",
-    "dedup_connected_components",
-    "emb_ann_topk_srp",
-    "dedup_embedding_cosine_bucketed",
-    "text_quality_scores",
-    "multimodal_decode_features",
-    "graphite_summarize_top",
-    "streaming_rollup_1h",
-    "streaming_update_sink_rollup",
-    "streaming_purchase_click_join",
-    # --- new this round ------------------------------------------------------
-    "tsdb_policy_driven_rollup",
-    "streaming_ewma_final",
-    "llm_document_chunking",
-    "retrieval_bm25_topk",
-    "tsdb_autocorrelation",
-    "tsdb_cross_correlation",
-    "llm_train_test_split",
-    "source_whisper_roundtrip",
-    "source_pickle_batches",
-    "tsdb_histogram_percentile",
-    "graphite_render_pipeline",
-    # --- changed this round: driver must re-certify the new plans -----------
-    "events_seasonal_residual_anomalies",
     "tpch_q11_important_parts",
-    "tpch_q15_top_supplier",
-    "text_zipf_topwords",
-    "orders_pareto_curve",
-    "customer_rfm_scores",
-    "tsdb_slo_burn_rate",
-    "streaming_drawdown",
-    "tsdb_ladder_roundtrip",
-    # --- rotated in: never driver-checked, locally exact-green --------------
-    "join_interval_overlap",
-    "upsert_latest_state",
-    "graphite_render_ratio",
-    # --- late round-4 operators (batches 53-56) -----------------------------
-    "dedup_winnowing_pairs",
-    "text_bpe_pair_merges",
+    "streaming_update_sink_rollup",
+    "streaming_sharded_rollup",
     "graphite_series_by_tag",
-    "incremental_rollup_merge",
-    "tsdb_theilsen_trend",
-    "retrieval_ann_recall_report",
-    "events_bot_detection",
-    # --- composition certs: one hash covering several operators at once -----
-    "llm_curation_funnel_v2",
-    "tsdb_anomaly_ensemble",
+    # --- stale since r2 (verdict-named) --------------------------------------
+    "tsdb_xff_guard",
+    "tsdb_rollup_cascade_1d",
+    # --- never driver-checked: TPC-H family ----------------------------------
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q12_ship_lag",
+    "tpch_q13_order_count_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q16_supplier_relation",
+    "tpch_q18_large_orders",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q22_cohort",
+    # --- never driver-checked: scalar families -------------------------------
+    "scalar_levenshtein_names",
+    "scalar_date_arithmetic",
+    "scalar_string_family2",
+    "scalar_null_conditionals",
+    "scalar_regexp_extract_all",
+    "scalar_math_family2",
+    # --- never driver-checked: aggregate families ----------------------------
+    "agg_covar_corr_quantized",
+    "agg_boolean_bitwise",
+    "agg_string_concat_sorted",
+    "agg_mode_priority",
+    "agg_value_histogram",
+    # --- never driver-checked: window frames ---------------------------------
+    "window_cume_dist",
+    "window_range_price_band",
+    # --- never driver-checked: tsdb series transforms ------------------------
+    "tsdb_period_over_period",
+    "tsdb_sort_by_maxima",
+    "tsdb_wide_series_grid",
+    "tsdb_integral_persecond",
+    "tsdb_hopping_window",
+    "tsdb_rate_irate",
+    # --- never driver-checked: graphite consumer surface ---------------------
+    "graphite_aspercent",
+    "graphite_divide_series",
+    "graphite_tag_catalog",
+    # --- never driver-checked: streaming paths -------------------------------
+    "streaming_enrich_bands",
+    "streaming_dedup_slots",
+    "streaming_hopping_rollup",
+    "batch_session_windows",
+    # --- never driver-checked: non-parquet sources ---------------------------
+    "source_text_lineproto",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    # --- never driver-checked: LLM-pipeline / text / embeddings --------------
+    "llm_sequence_packing",
+    "llm_stratified_sample",
+    "text_pii_mask",
+    "emb_dimension_stats",
+    "emb_pca_project",
 )
 
 
