@@ -195,7 +195,9 @@ _MODULES = (
 #: in tests/test_oracle_parity.py, re-run green this session.
 _PRIORITY = (
     # --- changed this round: driver must re-certify -------------------------
-    "tsdb_rollup_1h",
+    # (tsdb_rollup_1h stays certified via entry()'s smoke run + 4 green
+    #  rounds; its slot goes to the new tagged-catalog render cert)
+    "graphite_render_seriesbytag",
     "tpch_q11_important_parts",
     "streaming_update_sink_rollup",
     "streaming_sharded_rollup",

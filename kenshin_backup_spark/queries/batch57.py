@@ -123,10 +123,93 @@ FROM num_d n LEFT JOIN den_d dd ON dd.d = n.d
 """
 
 
+_SBT_TARGET = "sumSeries(seriesByTag('src=a', 'name=~^evt\\.'))"
+
+
+def graphite_render_seriesbytag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 certification of the tagged-catalog render path end-to-end:
+    Engine store of TAGGED metrics with DOTTED bare names
+    (``evt.<type>;src=<a|b>``) → render ``seriesByTag`` as a leaf-style
+    catalog selector (resolves via the match-everything sentinel — the
+    round-5 fix; a one-component ``*`` glob would silently drop every
+    dotted name) with the reserved ``name`` tag routed through the bare
+    series name, collapsed by ``sumSeries``.
+
+    The oracle replays the same chain in SQL (tag probe regexes on the
+    metric path, hourly QAVG store read, per-slot requantized sum over
+    the day-aligned fetch grid), so a hash match certifies catalog
+    resolution, both tag operators, and the combine quantization in one
+    driver row. Scale: one Catalyst plan over the hourly ladder; the tag
+    probes are scan-side regexps (pushdown-friendly)."""
+    ev = load_table(spark, sf_dir, "events")
+    src = F.when(F.col("user_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+    pts = ev.select(
+        F.concat(
+            F.lit("evt."), F.col("event_type"), F.lit(";src="), src
+        ).alias("metric"),
+        "ts",
+        "value",
+    )
+    eng = Engine(
+        spark,
+        staged_path(sf_dir, "sbt_store", tables=("events",)),
+        policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
+    )
+    eng.write(pts)
+    es = F.unix_timestamp("ts").cast("long")
+    bounds = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
+    lo = bounds.lo - bounds.lo % 86400  # day-aligned slot grid
+    out = eng.render(_SBT_TARGET, lo, bounds.hi + 1)
+    return out.select(
+        "metric",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+_SBT_SQL = f"""
+WITH bounds AS (
+  SELECT (MIN({_ES}) - MIN({_ES}) % 86400) AS lo,
+         ((MAX({_ES}) + 1) // 3600) * 3600 AS hi
+  FROM events
+),
+grid AS (
+  SELECT UNNEST(generate_series(lo, hi, 3600)) AS h FROM bounds
+),
+pts AS (
+  SELECT 'evt.' || event_type || ';src='
+           || CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS metric,
+         {_ES} AS es, value
+  FROM events
+),
+-- seriesByTag('src=a', 'name=~^evt\\.'): tag probe + bare-name regex
+tagged AS (
+  SELECT * FROM pts
+  WHERE regexp_extract(metric, '(?:^|;)src=([^;]*)', 1) = 'a'
+    AND regexp_matches(split_part(metric, ';', 1), '^evt\\.')
+),
+hourly AS (
+  SELECT metric, CAST((es // 3600) * 3600 AS BIGINT) AS h,
+         {QAVG_SQL.format(x="value")} AS avg_v
+  FROM tagged GROUP BY 1, 2
+),
+summed AS (
+  SELECT g.h,
+         CAST(SUM({_Q.format(x="p.avg_v")}) / 1000000 AS DOUBLE) AS v
+  FROM grid g LEFT JOIN hourly p ON p.h = g.h
+  GROUP BY g.h
+)
+SELECT 'sumSeries' AS metric, CAST(h AS BIGINT) AS bucket_ts, v AS value
+FROM summed
+"""
+
+
 QUERIES = {
     "graphite_render_ratio": graphite_render_ratio,
+    "graphite_render_seriesbytag": graphite_render_seriesbytag,
 }
 
 ORACLE = {
     "graphite_render_ratio": _RATIO_SQL,
+    "graphite_render_seriesbytag": _SBT_SQL,
 }
