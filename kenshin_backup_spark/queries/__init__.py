@@ -247,9 +247,11 @@ _PRIORITY = (
     "streaming_dedup_slots",
     "streaming_hopping_rollup",
     "batch_session_windows",
-    # --- never driver-checked: non-parquet sources ---------------------------
+    # --- never driver-checked: non-parquet sources (+ the NEW round-5
+    #     byte-level Avro OCF codec, which must certify on arrival;
+    #     source_json_roundtrip yields its slot, stays parity-green) ---------
     "source_text_lineproto",
-    "source_json_roundtrip",
+    "source_avro_roundtrip",
     "source_orc_roundtrip",
     # --- never driver-checked: LLM-pipeline / text / embeddings --------------
     "llm_sequence_packing",

@@ -148,12 +148,78 @@ FROM events GROUP BY 1, 2
 """
 
 
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw points → hand-written Avro Object Container Files → parallel
+    ``binaryFile``+``mapInPandas`` decode → hourly rollup (round-5: the
+    Avro FORMAT half of the Kafka/Avro production transport, implemented
+    from the published OCF spec like the r4 whisper/pickle codecs; the
+    broker transport itself stays environment-gated). The aggregate runs
+    AFTER decode, so the oracle checks the codec's raw f64/varint
+    fidelity. No independent Avro implementation exists in this container
+    (no fastavro/avro/duckdb-avro), so cross-engine validation is the
+    same semantic-fidelity standard as the whisper row; the byte layout
+    is additionally pinned structurally in tests/test_whisper_pickle.py."""
+    from kenshin_backup_spark.sources.avro_codec import (
+        encode_container,
+        read_avro_points,
+        write_avro_files,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.col("event_type").alias("metric"),
+        F.unix_timestamp("ts").cast("long").alias("ts"),
+        "value",
+    )
+    stage = staged_path(sf_dir, "avro_rt", tables=("events",))
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one container file per metric = many files = the segment-dump
+        # layout the parallel reader targets; deterministic row order so
+        # the staged bytes are reproducible under the fingerprint key
+        metric = pdf["metric"].iloc[0]
+        pdf = pdf.sort_values(["ts", "value"])
+        payload = encode_container(
+            zip(pdf["metric"], pdf["ts"], pdf["value"]), block_size=1000
+        )
+        write_avro_files(stage, metric, payload)
+        return pd.DataFrame({"metric": [metric], "n_points": [len(pdf)]})
+
+    raw.groupBy("metric").applyInPandas(
+        _write, "metric string, n_points long"
+    ).count()
+
+    decoded = read_avro_points(spark, f"{stage}/*.avro")
+    bucket = ((F.col("ts") / _STEP).cast("long") * _STEP).alias("bucket_ts")
+    return decoded.groupBy("metric", bucket).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.sum(F.floor(F.col("value") * 1000000).cast("long")) / F.lit(1e6))
+        .cast("double")
+        .alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_AVRO_SQL = f"""
+SELECT event_type AS metric,
+       CAST(({_ES} // {_STEP}) * {_STEP} AS BIGINT) AS bucket_ts,
+       COUNT(*) AS n_points,
+       {QSUM_SQL.format(x="value")} AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "source_whisper_roundtrip": source_whisper_roundtrip,
     "source_pickle_batches": source_pickle_batches,
+    "source_avro_roundtrip": source_avro_roundtrip,
 }
 
 ORACLE = {
     "source_whisper_roundtrip": _WSP_SQL,
     "source_pickle_batches": _PICKLE_SQL,
+    "source_avro_roundtrip": _AVRO_SQL,
 }

@@ -128,3 +128,85 @@ def test_read_whisper_spark(spark, tmp_path):
     assert len(out) == 8
     assert out[("cpu", 3600)] == 0.0
     assert out[("mem", 7200 + 3 * 3600)] == 3.0
+
+
+# --- Avro OCF codec (round 5) ----------------------------------------------
+
+
+def test_avro_round_trip_exact():
+    from kenshin_backup_spark.sources.avro_codec import (
+        decode_container,
+        encode_container,
+    )
+
+    rows = [("evt.click;dc=east", 1_000 + i, i * 0.125) for i in range(2_500)]
+    rows += [("neg", -5, -1e300), ("big", 2**40, 6.02e23), ("zero", 0, -0.0)]
+    enc = encode_container(rows, block_size=700)
+    back = list(decode_container(enc))
+    assert back == [(m, int(t), float(v)) for m, t, v in rows]
+
+
+def test_avro_header_layout():
+    """Structural pin of the OCF spec parts: magic, metadata map with
+    schema+codec, 16-byte sync marker repeated after each block."""
+    from kenshin_backup_spark.sources.avro_codec import (
+        AVRO_MAGIC,
+        encode_container,
+    )
+
+    enc = encode_container([("m", 1, 1.0)], block_size=10)
+    assert enc[:4] == AVRO_MAGIC
+    assert b"avro.schema" in enc and b"avro.codec" in enc and b"null" in enc
+    assert b'"name":"MetricPoint"' in enc
+    # one data block => the 16-byte sync marker appears exactly twice
+    # (end of header, end of block)
+    marker = enc[-16:]
+    assert enc.count(marker) == 2
+
+
+def test_avro_empty_and_block_boundary():
+    from kenshin_backup_spark.sources.avro_codec import (
+        decode_container,
+        encode_container,
+    )
+
+    assert list(decode_container(encode_container([]))) == []
+    # exactly one full block
+    rows = [("m", i, float(i)) for i in range(1000)]
+    assert len(list(decode_container(encode_container(rows, block_size=1000)))) == 1000
+
+
+def test_avro_corruption_raises():
+    from kenshin_backup_spark.sources.avro_codec import (
+        decode_container,
+        encode_container,
+    )
+
+    enc = encode_container([("m", i, float(i)) for i in range(50)])
+    with pytest.raises(ValueError):
+        list(decode_container(enc[:-8]))  # truncated final block
+    with pytest.raises(ValueError):
+        list(decode_container(b"Nope" + enc[4:]))  # bad magic
+    with pytest.raises(ValueError):
+        list(decode_container(enc.replace(b"null", b"flat")))  # codec
+    corrupt = bytearray(enc)
+    corrupt[-1] ^= 0xFF  # flip a sync-marker byte
+    with pytest.raises(ValueError):
+        list(decode_container(bytes(corrupt)))
+
+
+def test_read_avro_points_spark(spark, tmp_path):
+    from kenshin_backup_spark.sources.avro_codec import (
+        encode_container,
+        read_avro_points,
+        write_avro_files,
+    )
+
+    rows_a = [("a", i, float(i)) for i in range(10)]
+    rows_b = [("b", i, 2.0 * i) for i in range(7)]
+    write_avro_files(str(tmp_path), "a", encode_container(rows_a))
+    write_avro_files(str(tmp_path), "b", encode_container(rows_b))
+    got = sorted(
+        map(tuple, read_avro_points(spark, str(tmp_path) + "/*.avro").collect())
+    )
+    assert got == sorted(rows_a + rows_b)
