@@ -221,7 +221,9 @@ _PRIORITY = (
     "scalar_string_family2",
     "scalar_null_conditionals",
     "scalar_regexp_extract_all",
-    "scalar_math_family2",
+    # (scalar_math_family2 yields its slot to the NEW streaming Avro
+    #  ingest leg below; stays parity-green locally, rotates r6)
+    "streaming_avro_ingest_rollup",
     # --- never driver-checked: aggregate families ----------------------------
     "agg_covar_corr_quantized",
     "agg_boolean_bitwise",

@@ -212,14 +212,108 @@ FROM events GROUP BY 1, 2
 """
 
 
+def streaming_avro_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka-archive replay shape end-to-end: per-metric Avro OCF
+    segment files → STREAMING ``binaryFile`` ingest with
+    ``maxFilesPerTrigger=2`` backpressure (several micro-batches; files
+    arrive whole-metric, i.e. massively out of event-time order across
+    batches, so the watermark horizon spans the corpus like the
+    update-sink query) → micro-batch decode in ``mapInPandas`` → 1h
+    tumbling rollup, complete mode → finalize. Oracle = the direct batch
+    rollup, so one hash certifies the streaming transport, the codec
+    under micro-batch replay order, and the rollup math together."""
+    from kenshin_backup_spark.sources.avro_codec import (
+        encode_container,
+        read_avro_stream,
+        write_avro_files,
+    )
+    from kenshin_backup_spark.streaming.ingest import (
+        run_stream_to_memory,
+        streaming_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.col("event_type").alias("metric"),
+        F.unix_timestamp("ts").cast("long").alias("ts"),
+        "value",
+    )
+    stage = staged_path(sf_dir, "avro_stream", tables=("events",))
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        metric = pdf["metric"].iloc[0]
+        pdf = pdf.sort_values(["ts", "value"])
+        write_avro_files(
+            stage,
+            metric,
+            encode_container(zip(pdf["metric"], pdf["ts"], pdf["value"])),
+        )
+        return pd.DataFrame({"metric": [metric], "n_points": [len(pdf)]})
+
+    raw.groupBy("metric").applyInPandas(
+        _write, "metric string, n_points long"
+    ).count()
+
+    stream = read_avro_stream(spark, stage, max_files_per_trigger=2)
+    rolled = streaming_rollup(
+        stream, key_col="metric", step_seconds=_STEP, watermark="3650 days"
+    )
+    out = run_stream_to_memory(spark, rolled, output_mode="complete")
+    from kenshin_backup_spark.operators.rollup import finalize
+
+    wide = finalize(out)
+    return wide.select(
+        "metric",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        F.col("cnt").cast("long").alias("n_points"),
+        "sum_value",
+        "avg_value",
+        "min_value",
+        "max_value",
+        "last_value",
+    )
+
+
+_AVRO_STREAM_SQL = f"""
+WITH e AS (
+  SELECT event_type AS metric, value,
+         CAST({_ES} AS BIGINT) AS es,
+         CAST(({_ES} // {_STEP}) * {_STEP} AS BIGINT) AS bucket_ts
+  FROM events
+),
+agg AS (
+  SELECT metric, bucket_ts,
+         COUNT(value) AS n_points,
+         {QSUM_SQL.format(x="value")} AS sum_value,
+         {QAVG_SQL.format(x="value")} AS avg_value,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value
+  FROM e GROUP BY 1, 2
+),
+lastv AS (
+  SELECT metric, bucket_ts, value AS last_value FROM (
+    SELECT metric, bucket_ts, value,
+           ROW_NUMBER() OVER (PARTITION BY metric, bucket_ts
+                              ORDER BY es DESC, value DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+)
+SELECT a.metric, a.bucket_ts, a.n_points, a.sum_value, a.avg_value,
+       a.min_value, a.max_value, l.last_value
+FROM agg a JOIN lastv l USING (metric, bucket_ts)
+"""
+
+
 QUERIES = {
     "source_whisper_roundtrip": source_whisper_roundtrip,
     "source_pickle_batches": source_pickle_batches,
     "source_avro_roundtrip": source_avro_roundtrip,
+    "streaming_avro_ingest_rollup": streaming_avro_ingest_rollup,
 }
 
 ORACLE = {
     "source_whisper_roundtrip": _WSP_SQL,
     "source_pickle_batches": _PICKLE_SQL,
     "source_avro_roundtrip": _AVRO_SQL,
+    "streaming_avro_ingest_rollup": _AVRO_STREAM_SQL,
 }

@@ -208,6 +208,57 @@ def write_avro_files(stage_dir: str, name: str, payload: bytes) -> str:
     return path
 
 
+def read_avro_stream(
+    spark: SparkSession,
+    src_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING OCF ingest: file-queue transport over ``.avro`` segment
+    files (the standard Kafka-archive replay shape — each closed broker
+    segment lands as one container file; consumers tail the directory).
+    ``binaryFile`` file-stream source → per-file decode in
+    ``mapInPandas`` → typed ``(metric, ts timestamp, value)`` rows ready
+    for ``streaming_rollup``. ``maxFilesPerTrigger`` is the T5
+    source-side backpressure bound, exactly as in
+    ``streaming.ingest.bounded_file_stream``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    reader = spark.readStream.format("binaryFile").schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(src_dir).select("content")
+
+    def _decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            for content in pdf["content"]:
+                rows = list(decode_container(bytes(content)))
+                if rows:
+                    m, t, v = zip(*rows)
+                    yield pd.DataFrame({"metric": m, "ts": t, "value": v})
+
+    decoded = files.mapInPandas(_decode, "metric string, ts long, value double")
+    return decoded.select(
+        "metric", F.timestamp_seconds("ts").alias("ts"), "value"
+    )
+
+
 def read_avro_points(spark: SparkSession, path_glob: str) -> DataFrame:
     """Parallel OCF reader: ``binaryFile`` scan → per-file decode inside
     ``mapInPandas`` (Arrow-batched). Column-pruned to the content only;

@@ -210,3 +210,31 @@ def test_read_avro_points_spark(spark, tmp_path):
         map(tuple, read_avro_points(spark, str(tmp_path) + "/*.avro").collect())
     )
     assert got == sorted(rows_a + rows_b)
+
+
+def test_read_avro_stream_micro_batches(spark, tmp_path):
+    """Streaming OCF ingest: several segment files drained under a
+    maxFilesPerTrigger bound must surface every decoded row exactly once."""
+    from kenshin_backup_spark.sources.avro_codec import (
+        encode_container,
+        read_avro_stream,
+        write_avro_files,
+    )
+    from kenshin_backup_spark.streaming.ingest import run_stream_to_memory
+
+    import pyspark.sql.functions as F
+
+    expect = []
+    for m in ("a", "b", "c"):
+        rows = [(m, 3600 * i, float(i)) for i in range(4)]
+        expect += rows
+        write_avro_files(str(tmp_path), m, encode_container(rows))
+    stream = read_avro_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    out = run_stream_to_memory(
+        spark,
+        stream.select(
+            "metric", F.unix_timestamp("ts").cast("long").alias("ts"), "value"
+        ),
+        output_mode="append",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(expect)
