@@ -141,7 +141,10 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 - report, don't die
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 break
-        if reps:
+        # errors and timings stay mutually exclusive (the round-2 contract:
+        # errors-presence ⇒ no timing) — a rep-1 failure discards rep 0's
+        # time rather than reporting a half-measured query in both fields
+        if reps and name not in errors:
             timings[name] = min(reps)
             cold[name] = reps[0]
 

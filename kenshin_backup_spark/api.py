@@ -31,8 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kenshin_backup_spark.functions.deterministic import glob_to_regex
-from kenshin_backup_spark.operators.fetch import Archive
+from kenshin_backup_spark.operators.fetch import Archive, metric_filter
 from kenshin_backup_spark.operators.ladder import (
     Ladder,
     build_ladder,
@@ -224,10 +223,7 @@ class Engine:
         cat = scans[0]
         for s in scans[1:]:
             cat = cat.unionByName(s)
-        if any(ch in glob for ch in "*?{["):
-            cat = cat.where(F.col("metric").rlike(glob_to_regex(glob)))
-        else:
-            cat = cat.where(F.col("metric") == F.lit(glob))
+        cat = metric_filter(cat, "metric", glob)
         rows = cat.distinct().limit(limit).collect()
         return sorted(r.metric for r in rows)
 

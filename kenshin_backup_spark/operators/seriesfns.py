@@ -469,21 +469,27 @@ def series_by_tag(df: DataFrame, *exprs: str) -> DataFrame:
 
     The reserved ``name`` tag addresses the bare series name (text before
     the first ``;``), per the graphite tag spec — the same convention
-    :func:`alias_by_tags` already implements."""
+    :func:`alias_by_tags` already implements. Regex operators are
+    anchored at the START of the tag value (graphite evaluates them with
+    ``re.match``), so ``type=~click`` matches ``click`` and ``clicks``
+    but not ``misclick`` — a bare ``rlike`` would substring-search."""
 
     def probe(tag: str) -> Column:
         if tag == "name":
             return series_name("metric")
         return tag_value("metric", tag)
 
+    def anchored(pat: str) -> str:
+        return "^(?:" + pat + ")"
+
     out = df
     for e in exprs:
         if "!=~" in e:
             tag, pat = e.split("!=~", 1)
-            cond = ~probe(tag).rlike(pat)
+            cond = ~probe(tag).rlike(anchored(pat))
         elif "=~" in e:
             tag, pat = e.split("=~", 1)
-            cond = probe(tag).rlike(pat)
+            cond = probe(tag).rlike(anchored(pat))
         elif "!=" in e:
             tag, val = e.split("!=", 1)
             cond = probe(tag) != val

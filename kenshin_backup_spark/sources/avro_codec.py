@@ -173,6 +173,8 @@ def decode_container(content: bytes) -> Iterator[tuple[str, int, float]]:
         ("metric", "string"), ("ts", "long"), ("value", "double")
     ]:
         raise ValueError(f"avro: unexpected schema {schema!r}")
+    if pos + 16 > len(content):
+        raise ValueError("avro: truncated header sync marker")
     sync = content[pos : pos + 16]
     pos += 16
     while pos < len(content):
@@ -206,6 +208,18 @@ def write_avro_files(stage_dir: str, name: str, payload: bytes) -> str:
         f.write(payload)
     os.replace(tmp, path)
     return path
+
+
+def _decode_pdfs(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Shared mapInPandas body of the batch and streaming readers: one
+    decoded frame per container file (content column in, typed rows out).
+    Single definition so a decoder fix can never reach only one path."""
+    for pdf in pdfs:
+        for content in pdf["content"]:
+            rows = list(decode_container(bytes(content)))
+            if rows:
+                m, t, v = zip(*rows)
+                yield pd.DataFrame({"metric": m, "ts": t, "value": v})
 
 
 def read_avro_stream(
@@ -244,16 +258,9 @@ def read_avro_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(src_dir).select("content")
-
-    def _decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in pdfs:
-            for content in pdf["content"]:
-                rows = list(decode_container(bytes(content)))
-                if rows:
-                    m, t, v = zip(*rows)
-                    yield pd.DataFrame({"metric": m, "ts": t, "value": v})
-
-    decoded = files.mapInPandas(_decode, "metric string, ts long, value double")
+    decoded = files.mapInPandas(
+        _decode_pdfs, "metric string, ts long, value double"
+    )
     return decoded.select(
         "metric", F.timestamp_seconds("ts").alias("ts"), "value"
     )
@@ -264,15 +271,6 @@ def read_avro_points(spark: SparkSession, path_glob: str) -> DataFrame:
     ``mapInPandas`` (Arrow-batched). Column-pruned to the content only;
     files are the unit of parallelism — no driver-side byte handling."""
     files = spark.read.format("binaryFile").load(path_glob).select("content")
-
-    def _decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in pdfs:
-            for content in pdf["content"]:
-                rows = list(decode_container(bytes(content)))
-                if rows:
-                    m, t, v = zip(*rows)
-                    yield pd.DataFrame(
-                        {"metric": m, "ts": t, "value": v}
-                    )
-
-    return files.mapInPandas(_decode, "metric string, ts long, value double")
+    return files.mapInPandas(
+        _decode_pdfs, "metric string, ts long, value double"
+    )

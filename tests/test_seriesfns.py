@@ -205,3 +205,20 @@ def test_alias_and_group_by_tags(spark):
     assert out == {"req;dc=east": 3.0, "req;dc=west": 4.0}
     named = {r.metric for r in S.alias_by_tags(df, "dc", "app").collect()}
     assert named == {"east.a", "east.b", "west.a"}
+
+
+def test_series_by_tag_regex_anchored_at_start(spark):
+    """graphite evaluates tag regexes with re.match (start-anchored):
+    type=~click matches 'click'/'clicks' but NOT 'misclick'."""
+    from kenshin_backup_spark.operators.seriesfns import series_by_tag
+
+    rows = [
+        ("cpu;type=click", 0, 1.0),
+        ("cpu;type=clicks", 0, 1.0),
+        ("cpu;type=misclick", 0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "metric string, bucket_ts long, value double")
+    got = {r.metric for r in series_by_tag(df, "type=~click").collect()}
+    assert got == {"cpu;type=click", "cpu;type=clicks"}
+    neg = {r.metric for r in series_by_tag(df, "type!=~click").collect()}
+    assert neg == {"cpu;type=misclick"}

@@ -238,3 +238,16 @@ def test_read_avro_stream_micro_batches(spark, tmp_path):
         output_mode="append",
     )
     assert sorted(map(tuple, out.collect())) == sorted(expect)
+
+
+def test_avro_truncated_header_sync_raises():
+    """A file cut at/inside the header sync marker must raise, not decode
+    as an empty container (fails-closed contract)."""
+    from kenshin_backup_spark.sources.avro_codec import (
+        decode_container,
+        encode_container,
+    )
+
+    enc = encode_container([])
+    with pytest.raises(ValueError, match="sync"):
+        list(decode_container(enc[:-6]))
