@@ -182,15 +182,17 @@ _MODULES = (
 #:    'name'-tag routing) plus the flagship anchor (5+1 slots);
 #: 2. tsdb_xff_guard + tsdb_rollup_cascade_1d — last driver-faced in r2,
 #:    named by the verdict as stale family evidence (2 slots);
-#: 3. 43 NEVER-driver-checked rotations spanning every family with
+#: 3. 44 NEVER-driver-checked rotations (41 backlog + the 3 NEW round-5
+#:    certs: render-level seriesByTag, Avro OCF round-trip, streaming
+#:    Avro ingest) spanning every family with
 #:    backlog: TPC-H q7/q8/q12/q13/q14/q16/q18/q20/q22, six scalar
 #:    families, five exotic aggregates, window frame specs, six tsdb
 #:    series transforms, graphite aspercent/divideSeries/tag-catalog,
 #:    three streaming paths, session windows, three non-parquet source
 #:    round-trips, LLM packing/sampling, PII masking, embedding stats,
 #:    and the (rows-only, pca_fit guard changed) PCA projection.
-#: If all pass, cumulative unique driver-green grows 112 → ~155 and
-#: cumulative driver-checked 119 → 162 of 273 (target was ≥140).
+#: If all pass, cumulative unique driver-green grows 112 → ~156 and
+#: cumulative driver-checked 119 → 163 of 276 (target was ≥140).
 #: Every r4-green row that rotates out keeps exact-cell parity coverage
 #: in tests/test_oracle_parity.py, re-run green this session.
 _PRIORITY = (
