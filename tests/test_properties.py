@@ -500,3 +500,54 @@ def test_twonn_recovers_planted_dimension(spark):
         est = twonn_intrinsic_dimension(df).first()
         assert lo_d < est.intrinsic_dim < hi_d, (name, est.intrinsic_dim)
     # and the two estimates must separate
+
+
+# --- Avro OCF codec properties (round 5) ------------------------------------
+
+_AVRO_METRIC = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x10FFFF,
+                           blacklist_categories=("Cs",)),
+    min_size=0, max_size=40,
+)
+_AVRO_ROW = st.tuples(
+    _AVRO_METRIC,
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False, width=64),
+)
+
+
+@given(st.lists(_AVRO_ROW, max_size=300), st.integers(1, 50))
+@settings(max_examples=200, deadline=None)
+def test_avro_round_trip_any_rows_any_block_size(rows, block_size):
+    """encode∘decode is the identity for ANY unicode metric name, any
+    64-bit ts (full zigzag range), any finite double, at any blocking."""
+    from kenshin_backup_spark.sources.avro_codec import (
+        decode_container,
+        encode_container,
+    )
+
+    enc = encode_container(rows, block_size=block_size)
+    assert list(decode_container(enc)) == [
+        (m, int(t), float(v)) for m, t, v in rows
+    ]
+
+
+@given(st.lists(_AVRO_ROW, min_size=1, max_size=50), st.integers(1, 10**6))
+@settings(max_examples=100, deadline=None)
+def test_avro_any_truncation_raises_or_is_header_only(rows, cut):
+    """Cutting the byte stream anywhere must either raise ValueError or
+    (only when the cut lands exactly on a block boundary) yield a clean
+    prefix of whole blocks — never garbage rows, never a silent tail."""
+    from kenshin_backup_spark.sources.avro_codec import (
+        decode_container,
+        encode_container,
+    )
+
+    enc = encode_container(rows, block_size=7)
+    cut = cut % len(enc)
+    try:
+        got = list(decode_container(enc[:cut]))
+    except ValueError:
+        return
+    want = [(m, int(t), float(v)) for m, t, v in rows]
+    assert got == want[: len(got)]
