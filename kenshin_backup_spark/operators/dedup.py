@@ -617,12 +617,18 @@ def connected_components_star(
         small_self = mins2.select("src", F.col("mn").alias("dst"))
         # localCheckpoint (not persist): each round must TRUNCATE lineage,
         # or the logical plan doubles per round and Catalyst planning time
-        # grows exponentially with iteration count.
+        # grows exponentially with iteration count. LAZY (eager=False):
+        # the signature probe right below is always this frame's first
+        # action, so it materializes the checkpoint as part of the probe
+        # job — one job per round instead of two (measured −15% loop
+        # latency at sf0.1; see SCALE.md round-5). Probing every round
+        # stays optimal: batching 2 star-rounds per probe measured SLOWER
+        # (the wasted post-fixpoint iteration costs more than a probe).
         new_e = (
             small_nb.union(small_self)
             .where(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # bit_xor: order-independent and overflow-free (ANSI mode forbids a
         # wrapping SUM of 64-bit hashes)
