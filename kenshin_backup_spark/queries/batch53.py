@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kenshin_backup_spark.cache import persist_tracked
 from kenshin_backup_spark.operators.dedup import normalize_text
 from kenshin_backup_spark.sources import load_table
 
@@ -112,11 +113,16 @@ def winnowing_pairs(
     at production scale pass a corpus-relative value (e.g.
     ``df_cap = int(1e-4 * n_docs)``); SCALE.md's replication experiment
     shows why a fixed cap empties the report under 16× duplication."""
-    fps = winnowing_fingerprints(docs)
+    # Same persist discipline as ngram_jaccard_pairs: the fingerprint
+    # frame feeds THREE consumers (df count + both sides of the self-join)
+    # and the char-position explode/window pipeline above it is the
+    # expensive part — unpersisted it computes 3× (measured −23% warm,
+    # −45% cold at sf0.1 from persisting fps + posting; see SCALE.md).
+    fps = winnowing_fingerprints(docs).transform(persist_tracked)
     keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= df_cap
     )
-    posting = fps.join(keep.select("fp"), "fp")
+    posting = fps.join(keep.select("fp"), "fp").transform(persist_tracked)
     a = posting.alias("a")
     b = posting.alias("b")
     return (
