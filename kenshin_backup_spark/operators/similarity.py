@@ -115,6 +115,9 @@ def cosine_near_pairs(
         # zero-norm guard: cosine with a zero vector is NaN, and NaN
         # comparison/ordering semantics differ across engines
         .where(F.col("n2") > 0)
+        # persist: quantization + self-dot feed both sides of the pair
+        # join (house persist rule; baseline op, but the rule still holds)
+        .transform(persist_tracked)
     )
     a = base.alias("a")
     b = base.alias("b")

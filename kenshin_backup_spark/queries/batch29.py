@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from kenshin_backup_spark.cache import persist_tracked
 from kenshin_backup_spark.operators.dedup import normalize_text
 from kenshin_backup_spark.operators.scalepat import global_topk
 from kenshin_backup_spark.sources import load_table
@@ -169,7 +170,9 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, user) table is tiny after dedup; the pair join is an equi-join
     on user_id (never a cross join over users)."""
     ev = load_table(spark, sf_dir, "events")
-    tu = ev.select("event_type", "user_id").distinct()
+    # persist: the distinct (a full shuffle of events) feeds THREE
+    # consumers — sizes + both sides of the pair join (house persist rule)
+    tu = ev.select("event_type", "user_id").distinct().transform(persist_tracked)
     sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("sz"))
     a, b = tu.alias("a"), tu.alias("b")
     common = (

@@ -209,6 +209,9 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("ship_end", F.lit("1970-01-01").cast("date")).alias("e"),
         )
     )
+    # persist: the agg+join frame feeds both sides of the interval pair
+    # join (house persist rule — without it the groupBy runs twice)
+    win = win.transform(persist_tracked)
     a = win.alias("a")
     b = win.alias("b")
     pairs = a.join(

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kenshin_backup_spark.cache import persist_tracked
 from kenshin_backup_spark.functions.deterministic import (
     EPOCH_S_SQL,
     QAVG_SQL,
@@ -169,6 +170,9 @@ def tsdb_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.withColumn("rn", F.row_number().over(w_recent))
         .where(F.col("rn") <= TS_N)
         .select("metric", (F.col("h") / 3600).cast("long").alias("idx"), "v")
+        # persist: grid agg + rank window feed both sides of the slope
+        # pair join (house persist rule)
+        .transform(persist_tracked)
     )
     a, b = recent.alias("a"), recent.alias("b")
     slopes = a.join(
