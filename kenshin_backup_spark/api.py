@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kenshin_backup_spark.functions.deterministic import glob_to_regex
 from kenshin_backup_spark.operators.fetch import Archive, metric_filter
 from kenshin_backup_spark.operators.ladder import (
     Ladder,
@@ -226,6 +227,59 @@ class Engine:
         cat = metric_filter(cat, "metric", glob)
         rows = cat.distinct().limit(limit).collect()
         return sorted(r.metric for r in rows)
+
+    def find(
+        self, query: str = "*", *, limit: int = 100_000
+    ) -> list[tuple[str, bool, bool]]:
+        """graphite ``/metrics/find`` tree browse: expand ``query`` ONE
+        level and return ``(node_path, is_leaf, expandable)`` per distinct
+        node — the finder contract graphite-web's tree UI actually calls
+        (``metrics()`` is the flat-name variant). A node is a leaf when a
+        metric with exactly the query's component count matches, and
+        expandable when deeper metrics continue under it; both can be
+        true (``cpu`` the metric and ``cpu.load`` coexisting).
+
+        One job: the prefix regex is pushed into every written ladder's
+        scan (same unioned-scan shape as :meth:`metrics`), the node path
+        derives scan-side from the first N name components, and the two
+        flags are a boolean aggregate per node. Driver materialization is
+        ``limit``-capped like :meth:`metrics`."""
+        depth = len(query.split("."))
+        # full-name glob regex is ^...$; prefix form = same body, with the
+        # tail anchored to "end of name OR a deeper component"
+        body = glob_to_regex(query)[1:-1]
+        prefix_rx = f"^(?:{body})(?:$|\\.)"
+        scans = []
+        for p in self.policies:
+            if p.name not in self._written:
+                continue
+            lad = self._ladder(p)
+            finest = min(a.step_seconds for a in lad.archives)
+            scans.append(
+                self.spark.read.parquet(lad.level_path(finest)).select("metric")
+            )
+        if not scans:
+            return []
+        cat = scans[0]
+        for s in scans[1:]:
+            cat = cat.unionByName(s)
+        parts = F.split(F.col("metric"), r"\.")
+        nodes = (
+            cat.where(F.col("metric").rlike(prefix_rx))
+            .select(
+                F.concat_ws(".", F.slice(parts, 1, depth)).alias("node"),
+                (F.size(parts) == depth).alias("leaf"),
+                (F.size(parts) > depth).alias("expandable"),
+            )
+            .groupBy("node")
+            .agg(
+                F.max("leaf").alias("leaf"),
+                F.max("expandable").alias("expandable"),
+            )
+            .limit(limit)
+            .collect()
+        )
+        return sorted((r.node, bool(r.leaf), bool(r.expandable)) for r in nodes)
 
     # -- maintenance ----------------------------------------------------------
 

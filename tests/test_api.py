@@ -115,3 +115,47 @@ def test_engine_expire_drops_old_partitions(spark, tmp_path):
     # far-future "now": every finest-level partition is beyond retention
     dropped = eng.expire(now_ts=hi + 10 * 365 * 86400)
     assert dropped["clicks"][600], "expected expired partitions"
+
+
+def test_engine_find_tree_browse(spark, tmp_path):
+    """graphite /metrics/find contract: one-level expansion with
+    leaf/expandable flags, including a node that is BOTH (a metric and a
+    namespace), across both policy ladders in one scan."""
+    eng = Engine(
+        spark,
+        str(tmp_path / "store"),
+        policies=[
+            Policy(name="clicks", pattern=r"^click", steps=(600,), agg="sum"),
+            Policy(name="default", pattern=".*", steps=(3600,), agg="average"),
+        ],
+    )
+    rows = [
+        ("click", 7200.0, 1.0),              # leaf at depth 1 AND namespace
+        ("click.mobile", 7200.0, 1.0),
+        ("click.web.eu", 7200.0, 1.0),
+        ("servers.web01.cpu", 7200.0, 0.5),
+        ("servers.web02.cpu", 7200.0, 0.7),
+        ("view", 7200.0, 2.0),
+    ]
+    pts = spark.createDataFrame(
+        rows, "metric string, es double, value double"
+    ).select("metric", F.timestamp_seconds("es").alias("ts"), "value")
+    eng.write(pts)
+
+    # top level: click is leaf AND expandable; servers only expandable
+    assert eng.find("*") == [
+        ("click", True, True),
+        ("servers", False, True),
+        ("view", True, False),
+    ]
+    # one level down under click: mobile leaf, web branch
+    assert eng.find("click.*") == [
+        ("click.mobile", True, False),
+        ("click.web", False, True),
+    ]
+    # glob inside a component + exact tail
+    assert eng.find("servers.web0?.cpu") == [
+        ("servers.web01.cpu", True, False),
+        ("servers.web02.cpu", True, False),
+    ]
+    assert eng.find("nope.*") == []
