@@ -111,9 +111,30 @@ def integral(df: DataFrame) -> DataFrame:
 
 
 def moving_average(df: DataFrame, window_points: int) -> DataFrame:
-    """graphite ``movingAverage(n)`` (quantized-exact)."""
+    """graphite ``movingAverage(n)`` (quantized-exact), point-count form:
+    trailing inclusive window of n points per series."""
     q = F.floor(F.col("value") * QUANT).cast("long")
     w = _w().rowsBetween(-(window_points - 1), 0)
+    return df.withColumn(
+        "value",
+        (F.sum(q).over(w) / (F.lit(float(QUANT)) * F.count(q).over(w))).cast("double"),
+    )
+
+
+def moving_average_time(df: DataFrame, window_seconds: int) -> DataFrame:
+    """graphite ``movingAverage(series, '2h')``, interval form: trailing
+    inclusive TIME window. graphite converts the interval to points via
+    the series step; a RANGE frame over ``bucket_ts`` expresses the same
+    thing without needing the step (on a regular grid with
+    step | window, buckets in ``(t - window, t]`` are exactly
+    window/step points) — and is better-defined than the point form when
+    slots are missing."""
+    q = F.floor(F.col("value") * QUANT).cast("long")
+    w = (
+        W.partitionBy("metric")
+        .orderBy(F.col("bucket_ts").cast("long"))
+        .rangeBetween(-(int(window_seconds) - 1), 0)
+    )
     return df.withColumn(
         "value",
         (F.sum(q).over(w) / (F.lit(float(QUANT)) * F.count(q).over(w))).cast("double"),
@@ -304,11 +325,17 @@ def as_percent(df: DataFrame) -> DataFrame:
     bucket — the same key the rollup that produced the frame already
     grouped on, so the exchange is reusable; no per-metric skew (every
     bucket has ≤ |metrics| rows).
+
+    Returns the CANONICAL series frame — ``value`` becomes the percent
+    share (graphite replaces the series values), so asPercent composes
+    under any downstream function. (Until round 5 this kept the raw
+    value and added a ``pct`` column, which silently broke composition —
+    found by the render fuzz test.)
     """
     q = F.floor(F.col("value") * 1_000_000).cast("long")
     w = W.partitionBy("bucket_ts")
     out = df.withColumn("__q", q).withColumn(
-        "pct",
+        "value",
         F.when(
             F.sum("__q").over(w) != 0,
             (F.col("__q").cast("double") / F.sum("__q").over(w).cast("double")) * 100.0,

@@ -34,11 +34,12 @@ def graphite_aspercent(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = finalize(
         rollup_partials(ev, key_cols=["metric"], step_seconds=3600), agg="sum"
     ).select("metric", "bucket_ts", "value")
+    # as_percent returns the canonical frame (value = percent share,
+    # round-5 composability fix) — alias it to the pct output column
     return as_percent(hourly).select(
         "metric",
         F.col("bucket_ts").cast("long").alias("bucket_ts"),
-        F.col("value").cast("double").alias("value"),
-        F.col("pct").cast("double").alias("pct"),
+        F.col("value").cast("double").alias("pct"),
     )
 
 
@@ -57,7 +58,7 @@ WITH hourly AS (
          CAST(FLOOR((CAST(q0 AS DOUBLE) / 1000000) * 1000000) AS BIGINT) AS q
   FROM hourly
 )
-SELECT metric, bucket_ts, value,
+SELECT metric, bucket_ts,
        CASE WHEN SUM(q) OVER (PARTITION BY bucket_ts) <> 0
             THEN CAST(q AS DOUBLE) / CAST(SUM(q) OVER (PARTITION BY bucket_ts) AS DOUBLE) * 100.0
        END AS pct

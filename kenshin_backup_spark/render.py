@@ -167,7 +167,13 @@ def _registry() -> dict[str, Callable]:
         "nonNegativeDerivative": lambda d, s: sf.non_negative_derivative(d[0]),
         "perSecond": lambda d, s: sf.per_second(d[0]),
         "integral": lambda d, s: sf.integral(d[0]),
-        "movingAverage": lambda d, s: sf.moving_average(d[0], int(s[0])),
+        # graphite accepts a point count OR a quoted interval ('2h') —
+        # strings route to the RANGE-frame time variant (fuzz-found gap)
+        "movingAverage": lambda d, s: (
+            sf.moving_average_time(d[0], parse_interval(s[0]))
+            if isinstance(s[0], str)
+            else sf.moving_average(d[0], int(s[0]))
+        ),
         "summarize": lambda d, s: sf.summarize(
             d[0], parse_interval(s[0]), str(s[1]) if len(s) > 1 else "sum"
         ),

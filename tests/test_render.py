@@ -200,3 +200,55 @@ def test_render_series_by_tag_leaf(spark):
     import pytest as _p
     with _p.raises(ValueError):
         render("seriesByTag(cpu.load)", fetch)  # df arg not allowed
+
+
+def test_render_fuzz_random_compositions(spark):
+    """Parser/evaluator fuzz: 40 deterministic random nested targets over
+    the single- and two-series template set must all parse, evaluate, and
+    produce the canonical (metric, bucket_ts, value) frame with sane
+    types. Guards arity handling, scalar coercion, and quoting across the
+    whole registry grammar — not just the handwritten cases above."""
+    import random
+
+    templates = [
+        "scale({X}, 2.5)",
+        "offset({X}, -1)",
+        "absolute({X})",
+        "derivative({X})",
+        "integral({X})",
+        "keepLastValue({X}, 2)",
+        "movingAverage({X}, '2h')",
+        "summarize({X}, '2h', 'max')",
+        "timeShift({X}, '1h')",
+        "alias({X}, 'a b')",
+        "transformNull({X}, 0)",
+        "removeAboveValue({X}, 3)",
+        "removeBelowValue({X}, 1)",
+        "sumSeries({X})",
+        "averageSeries({X})",
+        "minSeries({X})",
+        "maxSeries({X})",
+        "countSeries({X})",
+        "exclude({X}, 'idle')",
+        "grep({X}, 'cpu')",
+        "limit({X}, 2)",
+        "sortByTotal({X})",
+        "asPercent({X})",
+        "diffSeries({X}, {X})",
+        "divideSeries({X}, {X})",
+        "averageAbove({X}, 0)",
+        "currentBelow({X}, 100)",
+    ]
+    rng = random.Random(20260814)
+    fetch = _fetch_fn(spark)
+    for _ in range(40):
+        target = rng.choice(("cpu.*", "{cpu,mem}.*", "mem.used"))
+        for _ in range(rng.randint(1, 4)):
+            target = rng.choice(templates).replace("{X}", target)
+        df = render(target, fetch)
+        assert set(df.columns) == {"metric", "bucket_ts", "value"}, target
+        rows = df.collect()
+        for r in rows:
+            assert isinstance(r.metric, str), target
+            assert isinstance(r.bucket_ts, int), target
+            assert r.value is None or isinstance(r.value, float), target

@@ -76,7 +76,7 @@ def test_as_percent_shares_and_zero_total(spark):
         [("a", 0, 1.0), ("b", 0, 3.0),       # bucket 0 total 4
          ("a", 3600, 0.0), ("b", 3600, 0.0)],  # bucket 3600 total 0 → NULL pct
     )
-    out = {(r["metric"], r["bucket_ts"]): r["pct"] for r in S.as_percent(df).collect()}
+    out = {(r["metric"], r["bucket_ts"]): r["value"] for r in S.as_percent(df).collect()}
     assert out[("a", 0)] == 25.0
     assert out[("b", 0)] == 75.0
     assert out[("a", 3600)] is None and out[("b", 3600)] is None
