@@ -307,9 +307,47 @@ def sort_by_total(df: DataFrame) -> DataFrame:
     )
 
 
+def _with_series_order(df: DataFrame, key, key_desc: bool = True) -> DataFrame:
+    """Attach ``__series_order`` (1-based series rank by the aggregate
+    ``key``, ties → metric asc) to every row of the canonical frame.
+    This is how graphite's ORDERING composes through a DataFrame, which
+    has no row order: sortBy* attaches the order, and order-sensitive
+    consumers (``limit``) honor it. The per-series key frame is tiny
+    (one row per series) → broadcast back."""
+    keys = df.groupBy("metric").agg(key.alias("__k"))
+    ranked = with_global_prefix(
+        keys,
+        [F.desc("__k") if key_desc else F.asc("__k"), F.asc("metric")],
+        row_number_col="__series_order",
+    )
+    return df.join(
+        F.broadcast(ranked.select("metric", "__series_order")), "metric"
+    )
+
+
+def sort_by_maxima_series(df: DataFrame) -> DataFrame:
+    """graphite ``sortByMaxima()`` in CANONICAL form: the same rows with
+    ``__series_order`` = rank by series max (the render-language variant;
+    :func:`sort_by_maxima` returns the explicit ranking table)."""
+    return _with_series_order(df, F.max("value"))
+
+
+def sort_by_total_series(df: DataFrame) -> DataFrame:
+    """graphite ``sortByTotal()`` in CANONICAL form (quantized-exact
+    totals; see :func:`sort_by_total` for the ranking-table variant)."""
+    q = F.floor(F.col("value") * QUANT).cast("long")
+    total = (F.sum(q) / F.lit(float(QUANT))).cast("double")
+    return _with_series_order(df, total)
+
+
 def limit_series(df: DataFrame, n: int) -> DataFrame:
-    """graphite ``limit(n)``: keep the first n series by name order (the
-    deterministic stand-in for graphite's wildcard-expansion order)."""
+    """graphite ``limit(n)``: keep the first n series. Honors an upstream
+    ``sortBy*`` ordering when present (``__series_order`` — so
+    ``limit(sortByTotal(x), 3)`` is top-3 by total, the graphite idiom);
+    otherwise falls back to name order, the deterministic stand-in for
+    graphite's wildcard-expansion order."""
+    if "__series_order" in df.columns:
+        return df.where(F.col("__series_order") <= n)
     names = df.select("metric").distinct()
     keep = global_topk(names, [F.asc("metric")], n)
     return df.join(F.broadcast(keep.select("metric")), "metric")

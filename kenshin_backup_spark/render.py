@@ -178,8 +178,11 @@ def _registry() -> dict[str, Callable]:
             d[0], parse_interval(s[0]), str(s[1]) if len(s) > 1 else "sum"
         ),
         "highestCurrent": lambda d, s: sf.highest_current(d[0], int(s[0])),
-        "sortByMaxima": lambda d, s: sf.sort_by_maxima(d[0]),
-        "sortByTotal": lambda d, s: sf.sort_by_total(d[0]),
+        # canonical-frame variants: ordering rides along as
+        # __series_order so limit() composes (top-N-by-total idiom);
+        # the bare ranking tables stay available as operator functions
+        "sortByMaxima": lambda d, s: sf.sort_by_maxima_series(d[0]),
+        "sortByTotal": lambda d, s: sf.sort_by_total_series(d[0]),
         "aliasByNode": lambda d, s: sf.alias_by_node(d[0], *[int(x) for x in s]),
         "groupByNode": lambda d, s: sf.group_by_node(
             d[0], int(s[0]), str(s[1]) if len(s) > 1 else "sum"
@@ -270,4 +273,8 @@ def render(
             _need(dfs, 1, 1, name)
         return reg[name](dfs, scalars)
 
-    return ev(_Parser(_tokenize(target)).parse())
+    out = ev(_Parser(_tokenize(target)).parse())
+    # internal bookkeeping columns (e.g. sortBy*'s __series_order) exist
+    # for downstream composition only — never in the final result
+    internal = [c for c in out.columns if c.startswith("__")]
+    return out.drop(*internal) if internal else out

@@ -238,6 +238,18 @@ def test_render_fuzz_random_compositions(spark):
         "divideSeries({X}, {X})",
         "averageAbove({X}, 0)",
         "currentBelow({X}, 100)",
+        "highestCurrent({X}, 2)",
+        "mostDeviant({X}, 2)",
+        "sortByMaxima({X})",
+        "aliasByNode({X}, 0)",
+        "groupByNode({X}, 0, 'sum')",
+        "keepLastValue({X})",
+        "nonNegativeDerivative({X})",
+        "perSecond({X})",
+        "movingAverage({X}, 3)",
+        "summarize({X}, '2h')",
+        "aliasByTags({X}, 'name')",
+        "groupByTags({X}, 'sum', 'dc')",
     ]
     rng = random.Random(20260814)
     fetch = _fetch_fn(spark)
@@ -252,3 +264,25 @@ def test_render_fuzz_random_compositions(spark):
             assert isinstance(r.metric, str), target
             assert isinstance(r.bucket_ts, int), target
             assert r.value is None or isinstance(r.value, float), target
+
+
+def test_render_limit_composes_with_sort_order(spark):
+    """graphite's top-N idiom: limit(sortByTotal(x), 1) keeps the series
+    with the LARGEST total (order-aware), not the first by name; without
+    a sort upstream, limit falls back to name order. The internal
+    __series_order column never reaches the final result."""
+    fetch = _fetch_fn(spark)
+    top = render("limit(sortByTotal(cpu.*), 1)", fetch)
+    assert set(top.columns) == {"metric", "bucket_ts", "value"}
+    names = {r.metric for r in top.select("metric").distinct().collect()}
+    # cpu.idle total 29 > cpu.load total 23 → idle wins despite name order
+    assert names == {"cpu.idle"}
+    byname = render("limit(cpu.*, 1)", fetch)
+    assert {r.metric for r in byname.select("metric").distinct().collect()} == {
+        "cpu.idle"
+    }
+    maxima = render("limit(sortByMaxima(cpu.*), 1)", fetch)
+    # cpu.load max 8 > cpu.idle max 9? idle max is 9 → idle first
+    assert {r.metric for r in maxima.select("metric").distinct().collect()} == {
+        "cpu.idle"
+    }
