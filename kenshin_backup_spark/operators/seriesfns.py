@@ -143,13 +143,22 @@ def moving_average_time(df: DataFrame, window_seconds: int) -> DataFrame:
 
 def summarize(df: DataFrame, interval_seconds: int, func: str = "sum") -> DataFrame:
     """graphite ``summarize()``: re-bucket into a coarser interval with
-    sum/max/min/last/count. (``avg`` requires partial state — use the
-    rollup cascade for averages; graphite-web has the same avg-of-avg trap.)
+    sum/avg/max/min/last/count.
+
+    ``avg`` is the mean of the FRAME's present slot values in the coarse
+    bucket — exactly what graphite-web computes over the rendered points.
+    Caveat (graphite shares it): if the frame's values are themselves
+    averages from a finer rollup, this is an avg-of-avgs; an exact
+    re-average over raw data needs the (sum,count)-carrying rollup
+    cascade (`operators/rollup.cascade`), which is the engine's storage
+    path for that.
     """
     bucket = (F.col("bucket_ts") - (F.col("bucket_ts") % interval_seconds)).cast("long")
     q = F.floor(F.col("value") * QUANT).cast("long")
     aggs = {
         "sum": (F.sum(q) / F.lit(float(QUANT))).cast("double"),
+        # sequential divisions match _combine's oracle-mirrorable order
+        "avg": (F.sum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
         "max": F.max("value"),
         "min": F.min("value"),
         "count": F.count("value").cast("double"),

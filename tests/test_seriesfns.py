@@ -222,3 +222,19 @@ def test_series_by_tag_regex_anchored_at_start(spark):
     assert got == {"cpu;type=click", "cpu;type=clicks"}
     neg = {r.metric for r in series_by_tag(df, "type!=~click").collect()}
     assert neg == {"cpu;type=misclick"}
+
+
+def test_summarize_avg_means_present_slots(spark):
+    """summarize(.., 'avg') = mean of PRESENT slot values per coarse
+    bucket (graphite's rendered-points average; gaps excluded from the
+    denominator)."""
+    df = _series(
+        spark,
+        [("m", 0, 1.0), ("m", 3600, 2.0),       # bucket 0: avg 1.5
+         ("m", 7200, None), ("m", 10800, 9.0)],  # bucket 7200: avg 9 (gap out)
+    )
+    out = {
+        r["bucket_ts"]: r["value"]
+        for r in S.summarize(df, 7200, "avg").collect()
+    }
+    assert out == {0: 1.5, 7200: 9.0}
