@@ -516,6 +516,183 @@ def current_below(df: DataFrame, threshold: float) -> DataFrame:
     return df.join(F.broadcast(keep.select("metric")), "metric")
 
 
+# --- round-5 catalog widening ----------------------------------------------
+
+
+def invert(df: DataFrame) -> DataFrame:
+    """graphite ``invert()``: 1/value; zero becomes a gap (safeDiv)."""
+    return df.withColumn(
+        "value",
+        F.when(F.col("value") != 0.0, (F.lit(1.0) / F.col("value")).cast("double")),
+    )
+
+
+def square_root(df: DataFrame) -> DataFrame:
+    """graphite ``squareRoot()``; negatives become gaps (graphite yields
+    None). sqrt is IEEE correctly-rounded — oracle-safe."""
+    return df.withColumn(
+        "value",
+        F.when(F.col("value") >= 0.0, F.sqrt("value")).cast("double"),
+    )
+
+
+def pow_series(df: DataFrame, factor: float) -> DataFrame:
+    """graphite ``pow(n)``. libm pow is NOT cross-engine bit-stable for
+    fractional exponents — engine surface only, never in oracle queries."""
+    return df.withColumn("value", F.pow("value", F.lit(float(factor))).cast("double"))
+
+
+def offset_to_zero(df: DataFrame) -> DataFrame:
+    """graphite ``offsetToZero()``: subtract each series' minimum (align
+    baselines). Per-series min is a tiny aggregate — broadcast back."""
+    mins = df.groupBy("metric").agg(F.min("value").alias("__mn"))
+    return (
+        df.join(F.broadcast(mins), "metric")
+        .withColumn("value", (F.col("value") - F.col("__mn")).cast("double"))
+        .drop("__mn")
+    )
+
+
+def range_of_series(df: DataFrame, name: str = "rangeOfSeries") -> DataFrame:
+    """graphite ``rangeOfSeries()``: per-bucket max−min across series."""
+    return (
+        df.withColumn("metric", F.lit(name))
+        .groupBy("metric", "bucket_ts")
+        .agg((F.max("value") - F.min("value")).cast("double").alias("value"))
+    )
+
+
+def stddev_series(df: DataFrame, name: str = "stddevSeries") -> DataFrame:
+    """graphite ``stddevSeries()``: per-bucket population stdev across
+    series, from exact integer moments (Σq, Σq² on quantized longs) —
+    order-insensitive, so partial aggregation is safe."""
+    q = F.floor(F.col("value") * _STDEV_QUANT).cast("long")
+    g = (
+        df.withColumn("metric", F.lit(name))
+        .withColumn("__q", q)
+        .groupBy("metric", "bucket_ts")
+        .agg(
+            F.count("__q").alias("n"),
+            F.sum("__q").alias("s1"),
+            F.sum(F.col("__q") * F.col("__q")).alias("s2"),
+        )
+    )
+    var = (
+        F.col("s2").cast("double") / F.col("n")
+        - (F.col("s1").cast("double") / F.col("n")) ** 2
+    ) / F.lit(float(_STDEV_QUANT) ** 2)
+    return g.select(
+        "metric",
+        "bucket_ts",
+        F.when(F.col("n") > 0, F.sqrt(F.greatest(var, F.lit(0.0))))
+        .cast("double")
+        .alias("value"),
+    )
+
+
+def multiply_series(df: DataFrame, name: str = "multiplySeries") -> DataFrame:
+    """graphite ``multiplySeries()``: per-bucket product across series.
+    Float products are order-sensitive, so the per-bucket values are
+    gathered and SORTED (value, then original metric) before a single
+    left-to-right fold — deterministic across partitionings. Per-bucket
+    fan-in is ≤ |series in the selection|, so the collected array is
+    bounded by the glob, not the data volume."""
+    rows = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("value").isNotNull(),
+                F.struct(F.col("value").alias("v"), F.col("metric").alias("m")),
+            )
+        )
+    )
+    return (
+        df.withColumn("metric", F.lit(name))
+        .groupBy("metric", "bucket_ts")
+        .agg(rows.alias("__rows"))
+        .select(
+            "metric",
+            "bucket_ts",
+            F.when(
+                F.size("__rows") > 0,
+                F.aggregate(
+                    "__rows",
+                    F.lit(1.0).cast("double"),
+                    lambda acc, r: acc * r["v"],
+                ),
+            )
+            .cast("double")
+            .alias("value"),
+        )
+    )
+
+
+def lowest_current(df: DataFrame, n: int) -> DataFrame:
+    """graphite ``lowestCurrent(n)``: the n series with the smallest
+    latest value."""
+    cur = current_value(df)
+    top = global_topk(cur, [F.asc("current"), F.asc("metric")], n)
+    return df.join(F.broadcast(top.select("metric")), "metric")
+
+
+def highest_average(df: DataFrame, n: int) -> DataFrame:
+    """graphite ``highestAverage(n)`` (quantized-exact means)."""
+    means = _series_mean(df)
+    top = global_topk(means, [F.desc("__mean"), F.asc("metric")], n)
+    return df.join(F.broadcast(top.select("metric")), "metric")
+
+
+def lowest_average(df: DataFrame, n: int) -> DataFrame:
+    """graphite ``lowestAverage(n)`` (quantized-exact means)."""
+    means = _series_mean(df)
+    top = global_topk(means, [F.asc("__mean"), F.asc("metric")], n)
+    return df.join(F.broadcast(top.select("metric")), "metric")
+
+
+def minimum_above(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``minimumAbove(n)``: keep series whose minimum exceeds n."""
+    keep = df.groupBy("metric").agg(F.min("value").alias("__m")).where(
+        F.col("__m") > threshold
+    )
+    return df.join(F.broadcast(keep.select("metric")), "metric")
+
+
+def maximum_below(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``maximumBelow(n)``: keep series whose maximum stays
+    below n."""
+    keep = df.groupBy("metric").agg(F.max("value").alias("__m")).where(
+        F.col("__m") < threshold
+    )
+    return df.join(F.broadcast(keep.select("metric")), "metric")
+
+
+def n_percentile(df: DataFrame, p: float) -> DataFrame:
+    """graphite ``nPercentile(p)``: replace each series with its p-th
+    percentile as a flat line. graphite picks the ceil-rank element of
+    the sorted values (no interpolation) — mirrored exactly via a sorted
+    per-series array + element_at, deterministic in both engines."""
+    vals = F.array_sort(
+        F.collect_list(F.when(F.col("value").isNotNull(), F.col("value")))
+    )
+    idx = F.greatest(
+        F.lit(1), F.ceil(F.size("__vals") * F.lit(float(p) / 100.0)).cast("int")
+    )
+    per = (
+        df.groupBy("metric")
+        .agg(vals.alias("__vals"))
+        .select(
+            "metric",
+            F.when(
+                F.size("__vals") > 0, F.element_at("__vals", idx)
+            ).alias("__pv"),
+        )
+    )
+    return (
+        df.join(F.broadcast(per), "metric")
+        .withColumn("value", F.col("__pv").cast("double"))
+        .drop("__pv")
+    )
+
+
 # --- graphite 1.1 tagged metrics -------------------------------------------
 
 def tag_value(metric: Column | str, tag: str) -> Column:

@@ -204,6 +204,20 @@ def _registry() -> dict[str, Callable]:
         "transformNull": lambda d, s: sf.transform_null(
             d[0], float(s[0]) if s else 0.0
         ),
+        # round-5 catalog widening
+        "invert": lambda d, s: sf.invert(d[0]),
+        "squareRoot": lambda d, s: sf.square_root(d[0]),
+        "pow": lambda d, s: sf.pow_series(d[0], float(s[0])),
+        "offsetToZero": lambda d, s: sf.offset_to_zero(d[0]),
+        "rangeOfSeries": lambda d, s: sf.range_of_series(d[0]),
+        "stddevSeries": lambda d, s: sf.stddev_series(d[0]),
+        "multiplySeries": lambda d, s: sf.multiply_series(d[0]),
+        "lowestCurrent": lambda d, s: sf.lowest_current(d[0], int(s[0])),
+        "highestAverage": lambda d, s: sf.highest_average(d[0], int(s[0])),
+        "lowestAverage": lambda d, s: sf.lowest_average(d[0], int(s[0])),
+        "minimumAbove": lambda d, s: sf.minimum_above(d[0], float(s[0])),
+        "maximumBelow": lambda d, s: sf.maximum_below(d[0], float(s[0])),
+        "nPercentile": lambda d, s: sf.n_percentile(d[0], float(s[0])),
         "averageAbove": lambda d, s: sf.average_above(d[0], float(s[0])),
         "averageBelow": lambda d, s: sf.average_below(d[0], float(s[0])),
         "currentAbove": lambda d, s: sf.current_above(d[0], float(s[0])),

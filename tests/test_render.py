@@ -250,6 +250,18 @@ def test_render_fuzz_random_compositions(spark):
         "summarize({X}, '2h')",
         "aliasByTags({X}, 'name')",
         "groupByTags({X}, 'sum', 'dc')",
+        "invert({X})",
+        "squareRoot({X})",
+        "pow({X}, 2)",
+        "offsetToZero({X})",
+        "rangeOfSeries({X})",
+        "stddevSeries({X})",
+        "multiplySeries({X})",
+        "lowestCurrent({X}, 2)",
+        "highestAverage({X}, 2)",
+        "minimumAbove({X}, -100)",
+        "maximumBelow({X}, 100)",
+        "nPercentile({X}, 75)",
     ]
     rng = random.Random(20260814)
     fetch = _fetch_fn(spark)

@@ -238,3 +238,44 @@ def test_summarize_avg_means_present_slots(spark):
         for r in S.summarize(df, 7200, "avg").collect()
     }
     assert out == {0: 1.5, 7200: 9.0}
+
+
+def test_round5_catalog_functions(spark):
+    """invert/squareRoot/offsetToZero/rangeOfSeries/stddevSeries/
+    multiplySeries/nPercentile/filter twins — exact semantics on a tiny
+    hand-checked frame."""
+    df = _series(
+        spark,
+        [("a", 0, 4.0), ("a", 3600, 0.0), ("a", 7200, 16.0),
+         ("b", 0, 2.0), ("b", 3600, 8.0), ("b", 7200, 4.0)],
+    )
+    inv = {(r["metric"], r["bucket_ts"]): r["value"] for r in S.invert(df).collect()}
+    assert inv[("a", 0)] == 0.25 and inv[("a", 3600)] is None
+
+    sq = {(r["metric"], r["bucket_ts"]): r["value"] for r in S.square_root(df).collect()}
+    assert sq[("a", 7200)] == 4.0
+
+    otz = {(r["metric"], r["bucket_ts"]): r["value"] for r in S.offset_to_zero(df).collect()}
+    assert otz[("a", 0)] == 4.0 and otz[("b", 0)] == 0.0  # mins 0 and 2
+
+    rng = {r["bucket_ts"]: r["value"] for r in S.range_of_series(df).collect()}
+    assert rng == {0: 2.0, 3600: 8.0, 7200: 12.0}
+
+    sd = {r["bucket_ts"]: r["value"] for r in S.stddev_series(df).collect()}
+    assert sd[0] == 1.0  # {4,2}: pop stdev 1
+    assert sd[3600] == 4.0  # {0,8}
+
+    mul = {r["bucket_ts"]: r["value"] for r in S.multiply_series(df).collect()}
+    assert mul == {0: 8.0, 3600: 0.0, 7200: 64.0}
+
+    # nPercentile(50) over a={0,4,16} → ceil(3*0.5)=2nd sorted element = 4
+    npc = {(r["metric"], r["bucket_ts"]): r["value"] for r in S.n_percentile(df, 50).collect()}
+    assert npc[("a", 0)] == 4.0 and npc[("a", 7200)] == 4.0
+    assert npc[("b", 0)] == 4.0  # b={2,4,8} → 2nd = 4
+
+    # filter twins
+    assert {r.metric for r in S.lowest_current(df, 1).collect()} == {"b"}  # current a=16 b=4
+    assert {r.metric for r in S.highest_average(df, 1).collect()} == {"a"}  # means 20/3 vs 14/3
+    assert {r.metric for r in S.lowest_average(df, 1).collect()} == {"b"}
+    assert {r.metric for r in S.minimum_above(df, 1).collect()} == {"b"}  # min a=0 b=2
+    assert {r.metric for r in S.maximum_below(df, 10).collect()} == {"b"}  # max a=16 b=8
