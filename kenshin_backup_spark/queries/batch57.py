@@ -204,12 +204,98 @@ FROM summed
 """
 
 
+_BAND_T1 = "rangeOfSeries(summarize({click,view,purchase}, '1d', 'avg'))"
+_BAND_T2 = "squareRoot(invert(summarize({click}, '1d', 'sum')))"
+
+
+def graphite_render_bandmath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 catalog-widening certification: the new render functions
+    driven end-to-end through the Engine store and hand-mirrored in SQL —
+    ``rangeOfSeries`` over daily ``summarize(..,'avg')`` (the new avg
+    kernel), and ``squareRoot(invert(..))`` over a daily sum. Two targets
+    union into one frame so a single driver hash covers four new
+    functions plus the per-stage requantization chain."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(F.col("event_type").alias("metric"), "ts", "value")
+    eng = Engine(
+        spark,
+        staged_path(sf_dir, "bandmath_store", tables=("events",)),
+        policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
+    )
+    eng.write(pts)
+    es = F.unix_timestamp("ts").cast("long")
+    bounds = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
+    lo = bounds.lo - bounds.lo % 86400
+    out = eng.render(_BAND_T1, lo, bounds.hi + 1).unionByName(
+        eng.render(_BAND_T2, lo, bounds.hi + 1)
+    )
+    return out.select(
+        "metric",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+_BAND_SQL = f"""
+WITH bounds AS (
+  SELECT (MIN({_ES}) - MIN({_ES}) % 86400) AS lo,
+         ((MAX({_ES}) + 1) // 3600) * 3600 AS hi
+  FROM events
+),
+grid AS (
+  SELECT UNNEST(generate_series(lo, hi, 3600)) AS h FROM bounds
+),
+dgrid AS (
+  SELECT DISTINCT CAST((h // 86400) * 86400 AS BIGINT) AS d FROM grid
+),
+hourly AS (
+  SELECT event_type AS metric, CAST(({_ES} // 3600) * 3600 AS BIGINT) AS h,
+         {QAVG_SQL.format(x="value")} AS avg_v
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+  GROUP BY 1, 2
+),
+-- summarize requantizes the hourly DOUBLE per stage (floor(x*1e6))
+hq AS (
+  SELECT metric, h, {_Q.format(x="avg_v")} AS q FROM hourly
+),
+daily_avg AS (
+  SELECT metric, CAST((h // 86400) * 86400 AS BIGINT) AS d,
+         CAST(SUM(q) / 1000000 / COUNT(q) AS DOUBLE) AS v
+  FROM hq GROUP BY 1, 2
+),
+t1 AS (
+  SELECT 'rangeOfSeries' AS metric, g.d AS bucket_ts,
+         CAST(MAX(x.v) - MIN(x.v) AS DOUBLE) AS value
+  FROM dgrid g LEFT JOIN daily_avg x ON x.d = g.d
+  GROUP BY g.d
+),
+daily_sum AS (
+  SELECT CAST((h // 86400) * 86400 AS BIGINT) AS d,
+         CAST(SUM(q) / 1000000 AS DOUBLE) AS v
+  FROM hq WHERE metric = 'click' GROUP BY 1
+),
+t2 AS (
+  SELECT 'click' AS metric, g.d AS bucket_ts,
+         CASE WHEN iv >= 0 THEN SQRT(iv) END AS value
+  FROM (
+    SELECT g.d, CASE WHEN s.v <> 0 THEN CAST(1.0 AS DOUBLE) / s.v END AS iv
+    FROM dgrid g LEFT JOIN daily_sum s ON s.d = g.d
+  ) g
+)
+SELECT metric, bucket_ts, CAST(value AS DOUBLE) AS value FROM t1
+UNION ALL
+SELECT metric, bucket_ts, CAST(value AS DOUBLE) AS value FROM t2
+"""
+
+
 QUERIES = {
     "graphite_render_ratio": graphite_render_ratio,
     "graphite_render_seriesbytag": graphite_render_seriesbytag,
+    "graphite_render_bandmath": graphite_render_bandmath,
 }
 
 ORACLE = {
     "graphite_render_ratio": _RATIO_SQL,
     "graphite_render_seriesbytag": _SBT_SQL,
+    "graphite_render_bandmath": _BAND_SQL,
 }
