@@ -670,26 +670,70 @@ def n_percentile(df: DataFrame, p: float) -> DataFrame:
     percentile as a flat line. graphite picks the ceil-rank element of
     the sorted values (no interpolation) — mirrored exactly via a sorted
     per-series array + element_at, deterministic in both engines."""
+    per = _percentile_per_series(df, p)
+    return (
+        df.join(F.broadcast(per), "metric")
+        .withColumn("value", F.col("__pv").cast("double"))
+        .drop("__pv")
+    )
+
+
+def _percentile_per_series(df: DataFrame, p: float) -> DataFrame:
+    """(metric, __pv) — graphite's ceil-rank percentile element per
+    series (shared by nPercentile / removeAbove- / removeBelowPercentile)."""
     vals = F.array_sort(
         F.collect_list(F.when(F.col("value").isNotNull(), F.col("value")))
     )
     idx = F.greatest(
         F.lit(1), F.ceil(F.size("__vals") * F.lit(float(p) / 100.0)).cast("int")
     )
-    per = (
+    return (
         df.groupBy("metric")
         .agg(vals.alias("__vals"))
         .select(
             "metric",
-            F.when(
-                F.size("__vals") > 0, F.element_at("__vals", idx)
-            ).alias("__pv"),
+            F.when(F.size("__vals") > 0, F.element_at("__vals", idx)).alias(
+                "__pv"
+            ),
         )
     )
+
+
+def remove_above_percentile(df: DataFrame, p: float) -> DataFrame:
+    """graphite ``removeAbovePercentile(p)``: values above the series'
+    p-th percentile become gaps."""
+    per = _percentile_per_series(df, p)
     return (
         df.join(F.broadcast(per), "metric")
-        .withColumn("value", F.col("__pv").cast("double"))
+        .withColumn(
+            "value", F.when(F.col("value") <= F.col("__pv"), F.col("value"))
+        )
         .drop("__pv")
+    )
+
+
+def remove_below_percentile(df: DataFrame, p: float) -> DataFrame:
+    """graphite ``removeBelowPercentile(p)``: values below the series'
+    p-th percentile become gaps."""
+    per = _percentile_per_series(df, p)
+    return (
+        df.join(F.broadcast(per), "metric")
+        .withColumn(
+            "value", F.when(F.col("value") >= F.col("__pv"), F.col("value"))
+        )
+        .drop("__pv")
+    )
+
+
+def time_slice(df: DataFrame, start_ts: int, end_ts: int) -> DataFrame:
+    """graphite ``timeSlice(start, end)``: values outside [start, end]
+    become gaps (the series and its grid rows stay)."""
+    return df.withColumn(
+        "value",
+        F.when(
+            F.col("bucket_ts").between(int(start_ts), int(end_ts)),
+            F.col("value"),
+        ),
     )
 
 

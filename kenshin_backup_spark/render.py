@@ -218,6 +218,15 @@ def _registry() -> dict[str, Callable]:
         "minimumAbove": lambda d, s: sf.minimum_above(d[0], float(s[0])),
         "maximumBelow": lambda d, s: sf.maximum_below(d[0], float(s[0])),
         "nPercentile": lambda d, s: sf.n_percentile(d[0], float(s[0])),
+        "removeAbovePercentile": lambda d, s: sf.remove_above_percentile(
+            d[0], float(s[0])
+        ),
+        "removeBelowPercentile": lambda d, s: sf.remove_below_percentile(
+            d[0], float(s[0])
+        ),
+        "timeSlice": lambda d, s: sf.time_slice(
+            d[0], parse_interval(s[0]), parse_interval(s[1])
+        ),
         "averageAbove": lambda d, s: sf.average_above(d[0], float(s[0])),
         "averageBelow": lambda d, s: sf.average_below(d[0], float(s[0])),
         "currentAbove": lambda d, s: sf.current_above(d[0], float(s[0])),

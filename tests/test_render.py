@@ -262,6 +262,9 @@ def test_render_fuzz_random_compositions(spark):
         "minimumAbove({X}, -100)",
         "maximumBelow({X}, 100)",
         "nPercentile({X}, 75)",
+        "removeAbovePercentile({X}, 90)",
+        "removeBelowPercentile({X}, 10)",
+        "timeSlice({X}, 0, '2h')",
     ]
     rng = random.Random(20260814)
     fetch = _fetch_fn(spark)

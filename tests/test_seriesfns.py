@@ -279,3 +279,20 @@ def test_round5_catalog_functions(spark):
     assert {r.metric for r in S.lowest_average(df, 1).collect()} == {"b"}
     assert {r.metric for r in S.minimum_above(df, 1).collect()} == {"b"}  # min a=0 b=2
     assert {r.metric for r in S.maximum_below(df, 10).collect()} == {"b"}  # max a=16 b=8
+
+
+def test_percentile_clips_and_timeslice(spark):
+    df = _series(
+        spark,
+        [("a", 0, 1.0), ("a", 3600, 2.0), ("a", 7200, 3.0), ("a", 10800, 4.0)],
+    )
+    # p50 over {1,2,3,4} → ceil(4*0.5)=2nd = 2.0
+    above = {r["bucket_ts"]: r["value"]
+             for r in S.remove_above_percentile(df, 50).collect()}
+    assert above == {0: 1.0, 3600: 2.0, 7200: None, 10800: None}
+    below = {r["bucket_ts"]: r["value"]
+             for r in S.remove_below_percentile(df, 50).collect()}
+    assert below == {0: None, 3600: 2.0, 7200: 3.0, 10800: 4.0}
+    sliced = {r["bucket_ts"]: r["value"]
+              for r in S.time_slice(df, 3600, 7200).collect()}
+    assert sliced == {0: None, 3600: 2.0, 7200: 3.0, 10800: None}
