@@ -150,16 +150,25 @@ def main() -> None:
 
     sf_match = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else None
+    # The driver keeps only the LAST ~2000 chars of stdout and parses the
+    # final JSON line. Round 5's record grew past that window (the
+    # min-of-2 queries_cold dict doubled it → BENCH_r05 "parsed": null),
+    # so auxiliary fields print as SEPARATE earlier lines and the record
+    # line itself stays comfortably under ~1900 chars.
+    aux = {"queries_cold": cold}
+    if errors:
+        aux["errors"] = errors
+    print(json.dumps({"bench_aux": aux}))
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "queries_cold": cold,
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
+        # keep the presence signal in the record, details in bench_aux
+        out["error_queries"] = sorted(errors)
     # Self-reported regression gate: any query >1.5× its best committed
     # round is flagged here instead of waiting for a cross-round diff.
     best = _best_prior()
@@ -170,7 +179,12 @@ def main() -> None:
     }
     if regressed:
         out["regressed"] = regressed
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1900:  # hard guard: never outgrow the driver's window
+        slim = dict(out)
+        slim.pop("regressed", None)
+        line = json.dumps(slim)
+    print(line)
     spark.stop()
 
 

@@ -112,32 +112,46 @@ def integral(df: DataFrame) -> DataFrame:
 
 def moving_average(df: DataFrame, window_points: int) -> DataFrame:
     """graphite ``movingAverage(n)`` (quantized-exact), point-count form:
-    trailing inclusive window of n points per series."""
+    the mean of the n points STRICTLY BEFORE each point — graphite's
+    movingWindow slices ``series[i-n:i]``, excluding the current point
+    (round-6 fix; the trailing-inclusive frame previously here rendered
+    every value one slot early relative to graphite). Interior gaps are
+    averaged over the non-gap slots (safeAvg). The first n slots of each
+    series have no full preceding window — graphite omits those points
+    (it fetches preview data instead); on the canonical grid they
+    surface as NULL gaps."""
     q = F.floor(F.col("value") * QUANT).cast("long")
-    w = _w().rowsBetween(-(window_points - 1), 0)
+    w = _w().rowsBetween(-int(window_points), -1)
+    avg = (
+        F.sum(q).over(w) / (F.lit(float(QUANT)) * F.count(q).over(w))
+    ).cast("double")
     return df.withColumn(
-        "value",
-        (F.sum(q).over(w) / (F.lit(float(QUANT)) * F.count(q).over(w))).cast("double"),
+        "value", F.when(F.row_number().over(_w()) > int(window_points), avg)
     )
 
 
 def moving_average_time(df: DataFrame, window_seconds: int) -> DataFrame:
-    """graphite ``movingAverage(series, '2h')``, interval form: trailing
-    inclusive TIME window. graphite converts the interval to points via
-    the series step; a RANGE frame over ``bucket_ts`` expresses the same
-    thing without needing the step (on a regular grid with
-    step | window, buckets in ``(t - window, t]`` are exactly
-    window/step points) — and is better-defined than the point form when
-    slots are missing."""
+    """graphite ``movingAverage(series, '2h')``, interval form: the mean
+    over the TIME window strictly before each point (slots in
+    ``[t - window, t - 1]`` — on a regular grid with step | window,
+    exactly window/step preceding points, matching the point form's
+    ``series[i-n:i]`` slice; round-6 fix, previously inclusive of the
+    current point). Slots earlier than ``first_slot + window`` have no
+    full window and stay NULL, mirroring graphite's omitted leading
+    points."""
     q = F.floor(F.col("value") * QUANT).cast("long")
     w = (
         W.partitionBy("metric")
         .orderBy(F.col("bucket_ts").cast("long"))
-        .rangeBetween(-(int(window_seconds) - 1), 0)
+        .rangeBetween(-int(window_seconds), -1)
     )
+    first = F.min("bucket_ts").over(W.partitionBy("metric"))
+    avg = (
+        F.sum(q).over(w) / (F.lit(float(QUANT)) * F.count(q).over(w))
+    ).cast("double")
     return df.withColumn(
         "value",
-        (F.sum(q).over(w) / (F.lit(float(QUANT)) * F.count(q).over(w))).cast("double"),
+        F.when(F.col("bucket_ts") >= first + int(window_seconds), avg),
     )
 
 
@@ -275,13 +289,18 @@ def series_stdev(df: DataFrame) -> DataFrame:
 
     Computed from integer Σq and Σq² (associative, partial-agg safe), then
     ONE double expression: sqrt((n·Σq² − (Σq)²)) / (n·1e3) — deterministic
-    across engines, unlike streaming-order ``stddev_pop``.
+    across engines, unlike streaming-order ``stddev_pop``. The squared
+    term is summed in DECIMAL(38,0) (q² ≤ 8.5e37 always fits; an int64
+    Σq² would overflow — and error under ANSI — once |value| exceeds
+    ~3e6, i.e. q² > 2^63). DuckDB oracles mirror this for free: its
+    SUM(BIGINT) is already HUGEINT.
     """
     q = F.floor(F.col("value") * _STDEV_QUANT).cast("long")
+    qd = q.cast("decimal(19,0)")
     agg = df.groupBy("metric").agg(
         F.count(q).alias("n"),
         F.sum(q).alias("s1"),
-        F.sum(q * q).alias("s2"),
+        F.sum(qd * qd).alias("s2"),
     )
     var_num = F.greatest(
         F.col("n").cast("double") * F.col("s2").cast("double")
@@ -322,7 +341,9 @@ def _with_series_order(df: DataFrame, key, key_desc: bool = True) -> DataFrame:
     This is how graphite's ORDERING composes through a DataFrame, which
     has no row order: sortBy* attaches the order, and order-sensitive
     consumers (``limit``) honor it. The per-series key frame is tiny
-    (one row per series) → broadcast back."""
+    (one row per series) → broadcast back. A pre-existing order (stacked
+    sortBy* calls) is replaced, as in graphite."""
+    df = df.drop("__series_order")
     keys = df.groupBy("metric").agg(key.alias("__k"))
     ranked = with_global_prefix(
         keys,
@@ -356,7 +377,15 @@ def limit_series(df: DataFrame, n: int) -> DataFrame:
     otherwise falls back to name order, the deterministic stand-in for
     graphite's wildcard-expansion order."""
     if "__series_order" in df.columns:
-        return df.where(F.col("__series_order") <= n)
+        # Re-rank over the SURVIVING series rather than filtering the
+        # stale rank directly: a series-dropping function between
+        # sortBy* and limit (exclude, averageAbove, …) leaves rank gaps,
+        # and graphite's limit takes the first n of the REMAINING list
+        # (round-6 fix). The distinct frame is one row per series —
+        # TakeOrdered + broadcast back, same shape as the name path.
+        surv = df.select("metric", "__series_order").distinct()
+        keep = global_topk(surv, [F.asc("__series_order"), F.asc("metric")], n)
+        return df.join(F.broadcast(keep.select("metric")), "metric")
     names = df.select("metric").distinct()
     keep = global_topk(names, [F.asc("metric")], n)
     return df.join(F.broadcast(keep.select("metric")), "metric")
@@ -565,16 +594,21 @@ def range_of_series(df: DataFrame, name: str = "rangeOfSeries") -> DataFrame:
 def stddev_series(df: DataFrame, name: str = "stddevSeries") -> DataFrame:
     """graphite ``stddevSeries()``: per-bucket population stdev across
     series, from exact integer moments (Σq, Σq² on quantized longs) —
-    order-insensitive, so partial aggregation is safe."""
+    order-insensitive, so partial aggregation is safe. Σq² accumulates in
+    DECIMAL(38,0) so values up to ~9e15 in magnitude stay exact (an int64
+    q² overflows — erroring under ANSI — beyond |value| ≈ 3e6); DuckDB's
+    SUM(BIGINT) is HUGEINT, so oracles need no change."""
     q = F.floor(F.col("value") * _STDEV_QUANT).cast("long")
+    qd = q.cast("decimal(19,0)")
     g = (
         df.withColumn("metric", F.lit(name))
         .withColumn("__q", q)
+        .withColumn("__qd", qd)
         .groupBy("metric", "bucket_ts")
         .agg(
             F.count("__q").alias("n"),
             F.sum("__q").alias("s1"),
-            F.sum(F.col("__q") * F.col("__q")).alias("s2"),
+            F.sum(F.col("__qd") * F.col("__qd")).alias("s2"),
         )
     )
     var = (
@@ -591,12 +625,22 @@ def stddev_series(df: DataFrame, name: str = "stddevSeries") -> DataFrame:
 
 
 def multiply_series(df: DataFrame, name: str = "multiplySeries") -> DataFrame:
-    """graphite ``multiplySeries()``: per-bucket product across series.
+    """graphite ``multiplySeries()``: per-bucket product across series;
+    a bucket where ANY constituent series has a gap (or no row at all)
+    yields NULL, matching graphite's safeMul (round-6 fix — previously
+    the partial product over the present values leaked through). The
+    constituent count is the frame's distinct-series count, attached as
+    a broadcast 1-row scalar (no driver collect).
+
     Float products are order-sensitive, so the per-bucket values are
     gathered and SORTED (value, then original metric) before a single
-    left-to-right fold — deterministic across partitionings. Per-bucket
-    fan-in is ≤ |series in the selection|, so the collected array is
-    bounded by the glob, not the data volume."""
+    left-to-right fold — deterministic across partitionings.
+
+    Bounded-collect contract: per-bucket fan-in is ≤ |series matched by
+    the selection glob| — the collected array is bounded by the glob's
+    series count, never by the data volume (render frames are
+    time-bounded per series as well)."""
+    n_series = df.agg(F.count_distinct("metric").alias("__n_series"))
     rows = F.array_sort(
         F.collect_list(
             F.when(
@@ -609,11 +653,12 @@ def multiply_series(df: DataFrame, name: str = "multiplySeries") -> DataFrame:
         df.withColumn("metric", F.lit(name))
         .groupBy("metric", "bucket_ts")
         .agg(rows.alias("__rows"))
+        .crossJoin(F.broadcast(n_series))
         .select(
             "metric",
             "bucket_ts",
             F.when(
-                F.size("__rows") > 0,
+                F.size("__rows") == F.col("__n_series"),
                 F.aggregate(
                     "__rows",
                     F.lit(1.0).cast("double"),
@@ -667,9 +712,9 @@ def maximum_below(df: DataFrame, threshold: float) -> DataFrame:
 
 def n_percentile(df: DataFrame, p: float) -> DataFrame:
     """graphite ``nPercentile(p)``: replace each series with its p-th
-    percentile as a flat line. graphite picks the ceil-rank element of
-    the sorted values (no interpolation) — mirrored exactly via a sorted
-    per-series array + element_at, deterministic in both engines."""
+    percentile as a flat line, using graphite-web's ``_getPercentile``
+    rank (NIST method, no interpolation) — see
+    :func:`_percentile_per_series`."""
     per = _percentile_per_series(df, p)
     return (
         df.join(F.broadcast(per), "metric")
@@ -679,24 +724,39 @@ def n_percentile(df: DataFrame, p: float) -> DataFrame:
 
 
 def _percentile_per_series(df: DataFrame, p: float) -> DataFrame:
-    """(metric, __pv) — graphite's ceil-rank percentile element per
-    series (shared by nPercentile / removeAbove- / removeBelowPercentile)."""
+    """(metric, __pv) — graphite-web's ``_getPercentile`` element per
+    series (shared by nPercentile / removeAbove- / removeBelowPercentile):
+    NIST rank ``fr = (p/100)·(n+1)``, ``rank = int(fr) + ceil(frac)``
+    (= ``ceil(fr)``), clamped to ``[1, n]`` — no interpolation. Round-6
+    fix: the previous ``ceil(n·p/100)`` rank diverged from graphite for
+    even-length series (p50 over {1,2,3,4} is 3 in graphite, not 2).
+    Both engines evaluate the identical IEEE double ``ceil`` — the new
+    render composite's oracle mirrors it verbatim.
+
+    Bounded-collect contract: the per-series sorted array holds at most
+    the render window's point count (slots of ONE series between
+    from/until — time-bounded), never the corpus row count."""
     vals = F.array_sort(
         F.collect_list(F.when(F.col("value").isNotNull(), F.col("value")))
-    )
-    idx = F.greatest(
-        F.lit(1), F.ceil(F.size("__vals") * F.lit(float(p) / 100.0)).cast("int")
     )
     return (
         df.groupBy("metric")
         .agg(vals.alias("__vals"))
         .select(
             "metric",
-            F.when(F.size("__vals") > 0, F.element_at("__vals", idx)).alias(
-                "__pv"
-            ),
+            F.when(
+                F.size("__vals") > 0,
+                F.element_at("__vals", _nist_rank(F.size("__vals"), p)),
+            ).alias("__pv"),
         )
     )
+
+
+def _nist_rank(n: Column, p: float) -> Column:
+    """graphite ``_getPercentile``'s 1-based pick index as a Column:
+    ``clamp(ceil((p/100)·(n+1)), 1, n)`` for a sorted array of size n."""
+    fr = (n + F.lit(1)).cast("double") * F.lit(float(p) / 100.0)
+    return F.greatest(F.lit(1), F.least(n, F.ceil(fr).cast("int")))
 
 
 def remove_above_percentile(df: DataFrame, p: float) -> DataFrame:
@@ -734,6 +794,201 @@ def time_slice(df: DataFrame, start_ts: int, end_ts: int) -> DataFrame:
             F.col("bucket_ts").between(int(start_ts), int(end_ts)),
             F.col("value"),
         ),
+    )
+
+
+# --- round-6 catalog widening: rolling family + cross-series percentile ----
+
+
+def _moving_frame(
+    df: DataFrame,
+    window_points: int | None,
+    window_seconds: int | None,
+) -> tuple[W, Column]:
+    """Shared graphite movingWindow frame: (window_spec, enough_history)
+    for the STRICTLY-BEFORE window (``series[i-n:i]``, excluding the
+    current point) in point-count or time-interval form. Points without a
+    full preceding window stay NULL (graphite omits them; it fetches
+    preview data instead)."""
+    if (window_points is None) == (window_seconds is None):
+        raise ValueError("exactly one of window_points/window_seconds")
+    if window_points is not None:
+        w = _w().rowsBetween(-int(window_points), -1)
+        ok = F.row_number().over(_w()) > int(window_points)
+    else:
+        w = (
+            W.partitionBy("metric")
+            .orderBy(F.col("bucket_ts").cast("long"))
+            .rangeBetween(-int(window_seconds), -1)
+        )
+        first = F.min("bucket_ts").over(W.partitionBy("metric"))
+        ok = F.col("bucket_ts") >= first + int(window_seconds)
+    return w, ok
+
+
+def moving_sum(
+    df: DataFrame,
+    window_points: int | None = None,
+    window_seconds: int | None = None,
+) -> DataFrame:
+    """graphite ``movingSum()`` (quantized-exact safeSum over the
+    strictly-before window; all-gap windows stay NULL)."""
+    q = F.floor(F.col("value") * QUANT).cast("long")
+    w, ok = _moving_frame(df, window_points, window_seconds)
+    val = (F.sum(q).over(w) / F.lit(float(QUANT))).cast("double")
+    return df.withColumn("value", F.when(ok, val))
+
+
+def moving_min(
+    df: DataFrame,
+    window_points: int | None = None,
+    window_seconds: int | None = None,
+) -> DataFrame:
+    """graphite ``movingMin()`` (exact — min needs no quantization)."""
+    w, ok = _moving_frame(df, window_points, window_seconds)
+    return df.withColumn("value", F.when(ok, F.min("value").over(w)))
+
+
+def moving_max(
+    df: DataFrame,
+    window_points: int | None = None,
+    window_seconds: int | None = None,
+) -> DataFrame:
+    """graphite ``movingMax()`` (exact)."""
+    w, ok = _moving_frame(df, window_points, window_seconds)
+    return df.withColumn("value", F.when(ok, F.max("value").over(w)))
+
+
+def moving_median(
+    df: DataFrame,
+    window_points: int | None = None,
+    window_seconds: int | None = None,
+) -> DataFrame:
+    """graphite ``movingMedian()``: safeMedian over the strictly-before
+    window — sorted non-gap values; odd count → middle element, even →
+    mean of the two middles ((a+b)/2, one identical IEEE op in any
+    engine).
+
+    Bounded-collect contract: the per-point sorted array holds at most
+    ``window_points`` values (or window_seconds/step in the interval
+    form) — bounded by the WINDOW ARGUMENT, never the series length."""
+    w, ok = _moving_frame(df, window_points, window_seconds)
+    arr = F.array_sort(
+        F.collect_list(
+            F.when(F.col("value").isNotNull(), F.col("value"))
+        ).over(w)
+    )
+    out = df.withColumn("__arr", F.when(ok, arr))
+    n = F.size("__arr")
+    med = (
+        F.when(n <= 0, F.lit(None).cast("double"))
+        .when(
+            n % 2 == 1,
+            F.element_at("__arr", ((n + 1) / 2).cast("int")),
+        )
+        .otherwise(
+            (
+                F.element_at("__arr", (n / 2).cast("int"))
+                + F.element_at("__arr", (n / 2 + 1).cast("int"))
+            )
+            / 2.0
+        )
+    )
+    return out.withColumn("value", med.cast("double")).drop("__arr")
+
+
+def percentile_of_series(
+    df: DataFrame, p: float, name: str = "percentileOfSeries"
+) -> DataFrame:
+    """graphite ``percentileOfSeries(seriesList, p)``: ONE output series
+    whose value at each bucket is the p-th percentile ACROSS the input
+    series at that bucket, using graphite-web's ``_getPercentile`` NIST
+    rank (:func:`_nist_rank` — no interpolation), gaps excluded.
+
+    Bounded-collect contract: per-bucket fan-in is ≤ |series matched by
+    the selection glob| — the sorted array is bounded by the glob's
+    series count, never by the data volume."""
+    vals = F.array_sort(
+        F.collect_list(F.when(F.col("value").isNotNull(), F.col("value")))
+    )
+    g = (
+        df.withColumn("metric", F.lit(name))
+        .groupBy("metric", "bucket_ts")
+        .agg(vals.alias("__vals"))
+    )
+    n = F.size("__vals")
+    return g.select(
+        "metric",
+        "bucket_ts",
+        F.when(n > 0, F.element_at("__vals", _nist_rank(n, p)))
+        .cast("double")
+        .alias("value"),
+    )
+
+
+def weighted_average(
+    avg_df: DataFrame, weight_df: DataFrame, *nodes: int
+) -> DataFrame:
+    """graphite ``weightedAverage(seriesListAvg, seriesListWeight,
+    *nodes)``: pair the two lists by the selected name nodes, then per
+    bucket emit Σ(avg·weight) / Σ(weight) over the matched pairs —
+    NULL when the weight sum is 0 or absent (safeDiv). Products and
+    weights are quantized to BIGINTs before summing (associative,
+    partial-agg safe); the final value is ONE double division of the two
+    exact integer sums, oracle-mirrorable as
+    ``CAST(Σqp AS DOUBLE)/CAST(Σqw AS DOUBLE)``.
+
+    Pairing note: matching happens per (node-key, bucket) equi-join of
+    the two canonical frames — on the engine's uniform fetch grids this
+    equals graphite's series-level pairing; a bucket present in only one
+    frame drops out of both sums. Deviation: a node key shared by
+    SEVERAL series on one side pairs every combination (graphite-web's
+    dict keeps only the last series per key) — select globs whose node
+    keys are unique per side for graphite-identical output.
+
+    Scale: both sides aggregate per (key, bucket) — an equi-join keyed
+    the same way as the rollup that produced them; no theta join."""
+    def keyed(frame: DataFrame, col: str) -> DataFrame:
+        key = F.concat_ws(".", *[_node(n) for n in nodes])
+        return frame.select(
+            key.alias("__k"), "bucket_ts", F.col("value").alias(col)
+        )
+
+    j = keyed(avg_df, "__a").join(
+        keyed(weight_df, "__w"), ["__k", "bucket_ts"], "inner"
+    )
+    qp = F.when(
+        F.col("__a").isNotNull() & F.col("__w").isNotNull(),
+        F.floor(F.col("__a") * F.col("__w") * QUANT).cast("long"),
+    )
+    qw = F.when(
+        F.col("__w").isNotNull(), F.floor(F.col("__w") * QUANT).cast("long")
+    )
+    g = j.groupBy("bucket_ts").agg(
+        F.sum(qp).alias("__sp"), F.sum(qw).alias("__sw")
+    )
+    return g.select(
+        F.lit("weightedAverage").alias("metric"),
+        "bucket_ts",
+        F.when(
+            F.col("__sw").isNotNull() & (F.col("__sw") != 0),
+            F.col("__sp").cast("double") / F.col("__sw").cast("double"),
+        )
+        .cast("double")
+        .alias("value"),
+    )
+
+
+def sort_by_name_series(df: DataFrame) -> DataFrame:
+    """graphite ``sortByName()`` in CANONICAL form: attach
+    ``__series_order`` = rank by metric name ascending (composes with
+    ``limit`` like the other sortBy* functions)."""
+    keys = df.drop("__series_order").select("metric").distinct()
+    ranked = with_global_prefix(
+        keys, [F.asc("metric")], row_number_col="__series_order"
+    )
+    return df.drop("__series_order").join(
+        F.broadcast(ranked.select("metric", "__series_order")), "metric"
     )
 
 

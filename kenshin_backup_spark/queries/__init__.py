@@ -88,6 +88,7 @@ from kenshin_backup_spark.queries import (
     batch68,
     batch69,
     batch70,
+    batch71,
     llm,
     relational,
     relational2,
@@ -169,100 +170,93 @@ _MODULES = (
     batch68,
     batch69,
     batch70,
+    batch71,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
-#: entries, so this ordering is evidence policy. Round-5 re-curation
-#: executes VERDICT r4 item #1 — burn down the never-driver-checked
-#: backlog (154/273 after r4) instead of growing the registry:
-#: 1. queries whose BEHAVIOR changed this round and must re-certify
-#:    (q11 de-vacuation: SF-relative share threshold now yields ~935
-#:    rows at sf0.01; both streaming sinks now replay every epoch to
-#:    drive the exactly-once claim through the oracle hash; seriesByTag
-#:    'name'-tag routing) plus the flagship anchor (5+1 slots);
-#: 2. tsdb_xff_guard + tsdb_rollup_cascade_1d — last driver-faced in r2,
-#:    named by the verdict as stale family evidence (2 slots);
-#: 3. 44 NEVER-driver-checked rotations (41 backlog + the 3 NEW round-5
-#:    certs: render-level seriesByTag, Avro OCF round-trip, streaming
-#:    Avro ingest) spanning every family with
-#:    backlog: TPC-H q7/q8/q12/q13/q14/q16/q18/q20/q22, six scalar
-#:    families, five exotic aggregates, window frame specs, six tsdb
-#:    series transforms, graphite aspercent/divideSeries/tag-catalog,
-#:    three streaming paths, session windows, three non-parquet source
-#:    round-trips, LLM packing/sampling, PII masking, embedding stats,
-#:    and the (rows-only, pca_fit guard changed) PCA projection.
-#: If all pass, cumulative unique driver-green grows 112 → ~156 and
-#: cumulative driver-checked 119 → 163 of 276 (target was ≥140).
-#: Every r4-green row that rotates out keeps exact-cell parity coverage
-#: in tests/test_oracle_parity.py, re-run green this session.
+#: entries, so this ordering is evidence policy. Round-6 re-curation
+#: executes VERDICT r5 item #1 — continue the never-driver-checked
+#: burn-down (114/277 after r5; backlog written in COVERAGE.md's r6
+#: queue) with every slot spent on a HASHABLE query (r5's lesson:
+#: no-oracle queries get `err: no_oracle`, zero credit):
+#: 1. `graphite_render_bandmath` first (new r5 render-math code, never
+#:    driver-seen — verdict-named) and `graphite_render_rollstats` (NEW
+#:    round-6 cert: movingMedian + percentileOfSeries with the NIST-rank
+#:    percentile fix and the strictly-before rolling window, the only
+#:    registry addition this round);
+#: 2. the two r5 slot-yields (scalar_math_family2, source_json_roundtrip);
+#: 3. 46 never-checked rotations per COVERAGE.md's queue: TSDB analytics
+#:    14 (holt_linear_forecast is rows-only → excluded from the window),
+#:    maintenance/layout 5, graphite render tier 4, dedup/emb/LLM 12,
+#:    text 5, events/behavioral 6.
+#: If all pass, cumulative unique driver-checked grows 163 → 213/278 and
+#: the never-checked backlog 114 → ~65 (events_audience_overlap and
+#: orders_yoy_growth overflow to the r7 remainder).
+#: Every previously-green row that rotates out keeps exact-cell parity
+#: coverage in tests/test_oracle_parity.py. The round-6 seriesfns ADVICE
+#: fixes (NIST percentile, safeMul, limit re-rank, decimal Σq²,
+#: strictly-before movingAverage) change NO registered query's output —
+#: re-verified this session by a 58-query scoped sim over every
+#: render/seriesfns-adjacent registered query (all exact-match).
 _PRIORITY = (
-    # --- changed this round: driver must re-certify -------------------------
-    # (tsdb_rollup_1h stays certified via entry()'s smoke run + 4 green
-    #  rounds; its slot goes to the new tagged-catalog render cert)
-    "graphite_render_seriesbytag",
-    "tpch_q11_important_parts",
-    "streaming_update_sink_rollup",
-    "streaming_sharded_rollup",
-    "graphite_series_by_tag",
-    # --- stale since r2 (verdict-named) --------------------------------------
-    "tsdb_xff_guard",
-    "tsdb_rollup_cascade_1d",
-    # --- never driver-checked: TPC-H family ----------------------------------
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q12_ship_lag",
-    "tpch_q13_order_count_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q16_supplier_relation",
-    "tpch_q18_large_orders",
-    "tpch_q20_dominant_suppliers",
-    "tpch_q22_cohort",
-    # --- never driver-checked: scalar families -------------------------------
-    "scalar_levenshtein_names",
-    "scalar_date_arithmetic",
-    "scalar_string_family2",
-    "scalar_null_conditionals",
-    "scalar_regexp_extract_all",
-    # (scalar_math_family2 yields its slot to the NEW streaming Avro
-    #  ingest leg below; stays parity-green locally, rotates r6)
-    "streaming_avro_ingest_rollup",
-    # --- never driver-checked: aggregate families ----------------------------
-    "agg_covar_corr_quantized",
-    "agg_boolean_bitwise",
-    "agg_string_concat_sorted",
-    "agg_mode_priority",
-    "agg_value_histogram",
-    # --- never driver-checked: window frames ---------------------------------
-    "window_cume_dist",
-    "window_range_price_band",
-    # --- never driver-checked: tsdb series transforms ------------------------
-    "tsdb_period_over_period",
-    "tsdb_sort_by_maxima",
-    "tsdb_wide_series_grid",
-    "tsdb_integral_persecond",
-    "tsdb_hopping_window",
-    "tsdb_rate_irate",
-    # --- never driver-checked: graphite consumer surface ---------------------
-    "graphite_aspercent",
-    "graphite_divide_series",
-    "graphite_tag_catalog",
-    # --- never driver-checked: streaming paths -------------------------------
-    "streaming_enrich_bands",
-    "streaming_dedup_slots",
-    "streaming_hopping_rollup",
-    "batch_session_windows",
-    # --- never driver-checked: non-parquet sources (+ the NEW round-5
-    #     byte-level Avro OCF codec, which must certify on arrival;
-    #     source_json_roundtrip yields its slot, stays parity-green) ---------
-    "source_text_lineproto",
-    "source_avro_roundtrip",
-    "source_orc_roundtrip",
-    # --- never driver-checked: LLM-pipeline / text / embeddings --------------
-    "llm_sequence_packing",
-    "llm_stratified_sample",
-    "text_pii_mask",
-    "emb_dimension_stats",
-    "emb_pca_project",
+    # --- verdict-named firsts + the one new round-6 cert ---------------------
+    "graphite_render_bandmath",
+    "graphite_render_rollstats",
+    # --- r5 slot-yields ------------------------------------------------------
+    "scalar_math_family2",
+    "source_json_roundtrip",
+    # --- never driver-checked: TSDB analytics --------------------------------
+    "tsdb_anomaly_zscore",
+    "tsdb_bollinger_bands",
+    "tsdb_tukey_outliers",
+    "tsdb_gap_islands",
+    "tsdb_gap_ratio",
+    "tsdb_changepoint_cusum",
+    "tsdb_capacity_forecast_linreg",
+    "tsdb_seasonal_profile",
+    "tsdb_heatmap_buckets",
+    "tsdb_moving_median",
+    "tsdb_downsample_maxdev",
+    "tsdb_counter_rate_wrap",
+    "tsdb_multires_rollup",
+    "tsdb_dominant_period",
+    # --- never driver-checked: maintenance / layout --------------------------
+    "tsdb_ladder_coarse_fetch",
+    "tsdb_rollup_salted_1h",
+    "layout_zorder_key",
+    "layout_compaction_plan",
+    "layout_partition_skew_report",
+    # --- never driver-checked: graphite render tier --------------------------
+    "graphite_transform_chain",
+    "graphite_minmax_band",
+    "graphite_moving_minmax",
+    "graphite_npercentile_clip",
+    # --- never driver-checked: dedup / embeddings / LLM ----------------------
+    "dedup_sentence_exact",
+    "dedup_ngram_containment",
+    "dedup_cross_source_report",
+    "dedup_lsh_precision_report",
+    "dedup_method_agreement",
+    "emb_centroid_by_label",
+    "emb_int8_quantize_stats",
+    "emb_norm_outliers",
+    "hybrid_search_rrf",
+    "llm_corpus_mix_report",
+    "llm_quality_weighted_sample",
+    "text_gopher_quality_gate",
+    # --- never driver-checked: text analysis ---------------------------------
+    "text_readability_scores",
+    "text_repetition_signals",
+    "text_word_rarity",
+    "text_tfidf_keywords",
+    "text_langid_f1",
+    # --- never driver-checked: events / behavioral ---------------------------
+    "events_inter_arrival",
+    "events_dau_mau_stickiness",
+    "events_top_paths",
+    "events_attribution_linear",
+    "events_ab_assignment_balance",
+    "cohort_retention_weekly",
 )
 
 

@@ -174,6 +174,18 @@ def _registry() -> dict[str, Callable]:
             if isinstance(s[0], str)
             else sf.moving_average(d[0], int(s[0]))
         ),
+        # round-6: the rest of the rolling family, same dual dispatch
+        "movingSum": lambda d, s: _moving(sf.moving_sum, d[0], s[0]),
+        "movingMin": lambda d, s: _moving(sf.moving_min, d[0], s[0]),
+        "movingMax": lambda d, s: _moving(sf.moving_max, d[0], s[0]),
+        "movingMedian": lambda d, s: _moving(sf.moving_median, d[0], s[0]),
+        "percentileOfSeries": lambda d, s: sf.percentile_of_series(
+            d[0], float(s[0])
+        ),
+        "weightedAverage": lambda d, s: sf.weighted_average(
+            d[0], d[1], *[int(x) for x in s]
+        ),
+        "sortByName": lambda d, s: sf.sort_by_name_series(d[0]),
         "summarize": lambda d, s: sf.summarize(
             d[0], parse_interval(s[0]), str(s[1]) if len(s) > 1 else "sum"
         ),
@@ -242,8 +254,17 @@ def _registry() -> dict[str, Callable]:
     }
 
 
+def _moving(fn, df, window):
+    """Dual dispatch shared by the rolling family: a quoted interval
+    ('2h') routes to the RANGE-frame time variant, a bare number to the
+    point-count variant (graphite accepts both)."""
+    if isinstance(window, str):
+        return fn(df, window_seconds=parse_interval(window))
+    return fn(df, window_points=int(window))
+
+
 #: Functions taking TWO series expressions (minuend/dividend first).
-_TWO_SERIES = frozenset({"diffSeries", "divideSeries"})
+_TWO_SERIES = frozenset({"diffSeries", "divideSeries", "weightedAverage"})
 
 
 SUPPORTED_FUNCTIONS = tuple(sorted(_registry()))

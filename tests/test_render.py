@@ -84,6 +84,37 @@ def test_render_matches_direct_composition(spark):
         map(tuple, want3.collect())
     )
 
+    # round-6 rolling family: dual dispatch (count vs interval) and the
+    # cross-series percentile / name sort / weighted average
+    got4 = render("movingMedian(cpu.*, 2)", fetch)
+    want4 = sf.moving_median(fetch("cpu.*"), 2)
+    assert sorted(map(tuple, got4.collect())) == sorted(
+        map(tuple, want4.collect())
+    )
+    got5 = render("movingSum(cpu.*, '2h')", fetch)
+    want5 = sf.moving_sum(fetch("cpu.*"), window_seconds=7200)
+    assert sorted(map(tuple, got5.collect())) == sorted(
+        map(tuple, want5.collect())
+    )
+    got6 = render("percentileOfSeries(cpu.*, 50)", fetch)
+    want6 = sf.percentile_of_series(fetch("cpu.*"), 50)
+    assert sorted(map(tuple, got6.collect())) == sorted(
+        map(tuple, want6.collect())
+    )
+    got7 = render("limit(sortByName(cpu.*), 1)", fetch)
+    assert {r.metric for r in got7.select("metric").distinct().collect()} == {
+        "cpu.idle"
+    }
+    # node-0 keys match ("cpu" on both sides) → paired series
+    got8 = render("weightedAverage(cpu.load, cpu.idle, 0)", fetch)
+    rows8 = {r.bucket_ts: r.value for r in got8.collect()}
+    assert set(got8.columns) == {"metric", "bucket_ts", "value"}
+    # bucket 0: product 1*9=9, weight 9 → 1.0 (avg=cpu.load, weight=cpu.idle)
+    assert rows8[0] == 1.0
+    assert {r.metric for r in got8.select("metric").distinct().collect()} == {
+        "weightedAverage"
+    }
+
 
 def test_render_brace_glob_and_alias(spark):
     fetch = _fetch_fn(spark)
@@ -265,6 +296,15 @@ def test_render_fuzz_random_compositions(spark):
         "removeAbovePercentile({X}, 90)",
         "removeBelowPercentile({X}, 10)",
         "timeSlice({X}, 0, '2h')",
+        # round-6 additions
+        "movingSum({X}, 2)",
+        "movingMin({X}, '2h')",
+        "movingMax({X}, 2)",
+        "movingMedian({X}, 3)",
+        "movingMedian({X}, '2h')",
+        "percentileOfSeries({X}, 50)",
+        "sortByName({X})",
+        "weightedAverage({X}, {X}, 0)",
     ]
     rng = random.Random(20260814)
     fetch = _fetch_fn(spark)

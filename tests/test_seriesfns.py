@@ -35,8 +35,13 @@ def test_integral_and_moving_average(spark):
     df = _series(spark, [("m", 0, 1.0), ("m", 60, 2.0), ("m", 120, 3.0)])
     i = {r["bucket_ts"]: r["value"] for r in S.integral(df).collect()}
     assert i == {0: 1.0, 60: 3.0, 120: 6.0}
+    # graphite movingWindow: series[i-n:i], current point EXCLUDED; points
+    # without a full preceding window are gaps (round-6 ADVICE fix)
     ma = {r["bucket_ts"]: r["value"] for r in S.moving_average(df, 2).collect()}
-    assert ma == {0: 1.0, 60: 1.5, 120: 2.5}
+    assert ma == {0: None, 60: None, 120: 1.5}
+    mat = {r["bucket_ts"]: r["value"]
+           for r in S.moving_average_time(df, 120).collect()}
+    assert mat == {0: None, 60: None, 120: 1.5}
 
 
 def test_keep_last_value(spark):
@@ -268,7 +273,7 @@ def test_round5_catalog_functions(spark):
     mul = {r["bucket_ts"]: r["value"] for r in S.multiply_series(df).collect()}
     assert mul == {0: 8.0, 3600: 0.0, 7200: 64.0}
 
-    # nPercentile(50) over a={0,4,16} → ceil(3*0.5)=2nd sorted element = 4
+    # nPercentile(50), NIST rank ceil(0.5*(3+1))=2 → 2nd sorted element = 4
     npc = {(r["metric"], r["bucket_ts"]): r["value"] for r in S.n_percentile(df, 50).collect()}
     assert npc[("a", 0)] == 4.0 and npc[("a", 7200)] == 4.0
     assert npc[("b", 0)] == 4.0  # b={2,4,8} → 2nd = 4
@@ -286,13 +291,125 @@ def test_percentile_clips_and_timeslice(spark):
         spark,
         [("a", 0, 1.0), ("a", 3600, 2.0), ("a", 7200, 3.0), ("a", 10800, 4.0)],
     )
-    # p50 over {1,2,3,4} → ceil(4*0.5)=2nd = 2.0
+    # graphite _getPercentile: fr = 0.5*(4+1) = 2.5 → rank ceil(2.5) = 3
+    # → p50 over {1,2,3,4} is 3.0 (the NIST even-length case the round-6
+    # ADVICE fix corrects; the old ceil(n*p/100) rank gave 2.0)
     above = {r["bucket_ts"]: r["value"]
              for r in S.remove_above_percentile(df, 50).collect()}
-    assert above == {0: 1.0, 3600: 2.0, 7200: None, 10800: None}
+    assert above == {0: 1.0, 3600: 2.0, 7200: 3.0, 10800: None}
     below = {r["bucket_ts"]: r["value"]
              for r in S.remove_below_percentile(df, 50).collect()}
-    assert below == {0: None, 3600: 2.0, 7200: 3.0, 10800: 4.0}
+    assert below == {0: None, 3600: None, 7200: 3.0, 10800: 4.0}
     sliced = {r["bucket_ts"]: r["value"]
               for r in S.time_slice(df, 3600, 7200).collect()}
     assert sliced == {0: None, 3600: 2.0, 7200: 3.0, 10800: None}
+
+
+def test_multiply_series_safemul_gap(spark):
+    """safeMul: a bucket where ANY constituent series has a gap (or no
+    row at all) is NULL — the round-6 ADVICE fix (partial products no
+    longer leak through)."""
+    df = _series(
+        spark,
+        [("a", 0, 2.0), ("a", 3600, None),
+         ("b", 0, 3.0), ("b", 3600, 5.0), ("b", 7200, 4.0)],
+    )
+    mul = {r["bucket_ts"]: r["value"] for r in S.multiply_series(df).collect()}
+    assert mul[0] == 6.0
+    assert mul[3600] is None      # a has a gap slot
+    assert mul[7200] is None      # a has no row at all
+
+
+def test_limit_reranks_surviving_series(spark):
+    """limit(n) after a series-dropping function takes the first n of the
+    REMAINING list (graphite), not the survivors of the stale rank."""
+    df = _series(spark, [
+        ("a", 0, 10.0), ("b", 0, 8.0), ("c", 0, 5.0),
+    ])
+    ordered = S.sort_by_total_series(df)          # a=1, b=2, c=3
+    survivors = S.exclude(ordered, "^a$")         # ranks now 2, 3
+    lim = sorted(set(r["metric"] for r in S.limit_series(survivors, 2).collect()))
+    assert lim == ["b", "c"]                      # stale-rank filter gave only b
+
+
+def test_moving_family_strictly_before(spark):
+    df = _series(spark, [
+        ("m", 0, 1.0), ("m", 60, 5.0), ("m", 120, 3.0),
+        ("m", 180, None), ("m", 240, 2.0),
+    ])
+    mn = {r["bucket_ts"]: r["value"] for r in S.moving_min(df, 2).collect()}
+    assert mn == {0: None, 60: None, 120: 1.0, 180: 3.0, 240: 3.0}
+    mx = {r["bucket_ts"]: r["value"] for r in S.moving_max(df, 2).collect()}
+    assert mx == {0: None, 60: None, 120: 5.0, 180: 5.0, 240: 3.0}
+    ms = {r["bucket_ts"]: r["value"] for r in S.moving_sum(df, 2).collect()}
+    assert ms == {0: None, 60: None, 120: 6.0, 180: 8.0, 240: 3.0}
+    # median window 3: ts180 → sorted [1,3,5] → 3; ts240 → [3,5] → 4.0
+    md = {r["bucket_ts"]: r["value"] for r in S.moving_median(df, 3).collect()}
+    assert md == {0: None, 60: None, 120: None, 180: 3.0, 240: 4.0}
+    # time form matches the point form on a regular grid
+    ms_t = {r["bucket_ts"]: r["value"]
+            for r in S.moving_sum(df, window_seconds=120).collect()}
+    assert ms_t == ms
+
+
+def test_percentile_of_series(spark):
+    df = _series(spark, [
+        ("a", 0, 1.0), ("b", 0, 2.0), ("c", 0, 3.0), ("d", 0, 4.0),
+        ("a", 3600, 7.0),
+    ])
+    p50 = {r["bucket_ts"]: r["value"]
+           for r in S.percentile_of_series(df, 50).collect()}
+    # NIST rank over {1,2,3,4}: ceil(0.5*5) = 3 → 3.0
+    assert p50 == {0: 3.0, 3600: 7.0}
+    p95 = {r["bucket_ts"]: r["value"]
+           for r in S.percentile_of_series(df, 95).collect()}
+    assert p95[0] == 4.0  # rank ceil(4.75)=5 clamped to 4
+    assert p95[3600] == 7.0
+
+
+def test_weighted_average(spark):
+    avg = _series(spark, [
+        ("s1.x", 0, 10.0), ("s2.x", 0, 20.0),
+        ("s1.x", 60, None), ("s2.x", 60, 30.0),
+        ("s1.x", 120, 5.0),
+    ])
+    wgt = _series(spark, [
+        ("s1.w", 0, 1.0), ("s2.w", 0, 3.0),
+        ("s1.w", 60, 2.0), ("s2.w", 60, 0.0),
+        ("s1.w", 120, None),
+    ])
+    out = {r["bucket_ts"]: r["value"]
+           for r in S.weighted_average(avg, wgt, 0).collect()}
+    assert out[0] == 17.5     # (10*1 + 20*3) / (1+3)
+    assert out[60] == 0.0     # products: s2 30*0=0; weights 2+0
+    assert out[120] is None   # weight sum NULL → safeDiv gap
+    names = {r["metric"] for r in S.weighted_average(avg, wgt, 0).collect()}
+    assert names == {"weightedAverage"}
+
+
+def test_sort_by_name_and_stacked_sort(spark):
+    df = _series(spark, [("b", 0, 9.0), ("a", 0, 1.0), ("c", 0, 5.0)])
+    lim = sorted(set(
+        r["metric"]
+        for r in S.limit_series(S.sort_by_name_series(df), 2).collect()
+    ))
+    assert lim == ["a", "b"]
+    # stacking sortBy* replaces the previous order (no column collision)
+    restacked = S.sort_by_name_series(S.sort_by_total_series(df))
+    orders = {r["metric"]: r["__series_order"]
+              for r in restacked.select("metric", "__series_order")
+              .distinct().collect()}
+    assert orders == {"a": 1, "b": 2, "c": 3}
+
+
+def test_stdev_large_values_no_overflow(spark):
+    """|value| ~4e6 squares past int64 at the 1e3 quantization — the
+    DECIMAL(38,0) second moment keeps the round-6 fix exact (ANSI mode
+    errored here before)."""
+    df = _series(spark, [("m", 0, 0.0), ("m", 60, 4.0e6),
+                         ("n", 0, 0.0), ("n", 60, 0.0)])
+    sd = {r["metric"]: r["stdev"] for r in S.series_stdev(df).collect()}
+    assert sd["m"] == 2.0e6 and sd["n"] == 0.0
+    sds = {r["bucket_ts"]: r["value"] for r in S.stddev_series(
+        _series(spark, [("a", 0, 0.0), ("b", 0, 4.0e6)])).collect()}
+    assert sds[0] == 2.0e6
