@@ -156,6 +156,17 @@ SHOWCASE = [
         "integer counts (mergeable by addition across shards/windows); "
         "windows partition on the metric key.",
     ),
+    (
+        "graphite_render_rollstats",
+        "Render-language composite (round 6): the whole nested target "
+        "(store fetch → gap-filled grid → daily summarize → "
+        "movingMedian / percentileOfSeries) compiles into ONE Catalyst "
+        "plan over the hourly ladder — graphite-web re-walks Python "
+        "lists per function. The two collect_list sites are bounded by "
+        "the WINDOW ARGUMENT (3 points) and the GLOB's series count "
+        "(3 series), never the data volume; the rolling window "
+        "partitions by metric.",
+    ),
 ]
 
 FOOTER = """
