@@ -992,6 +992,157 @@ def sort_by_name_series(df: DataFrame) -> DataFrame:
     )
 
 
+# --- round-6 catalog widening, wave 2 --------------------------------------
+
+
+def _series_step() -> Column:
+    """Per-series grid step, estimated as the minimum positive
+    ``bucket_ts`` diff (the canonical frame carries no step metadata;
+    graphite reads it from the fetched series header). NULL for
+    single-point series — consumers surface that as a gap."""
+    step = F.col("bucket_ts") - F.lag("bucket_ts").over(_w())
+    return F.min(step).over(W.partitionBy("metric"))
+
+
+def alias_sub(df: DataFrame, search: str, replace: str) -> DataFrame:
+    """graphite ``aliasSub(search, replace)``: regex substitution on the
+    series name. Backreference syntax is Spark's ``$1`` (graphite-web
+    uses Python's ``\\1`` — documented deviation; the capture semantics
+    are identical)."""
+    return df.withColumn(
+        "metric", F.regexp_replace("metric", search, replace)
+    )
+
+
+def scale_to_seconds(df: DataFrame, seconds: int) -> DataFrame:
+    """graphite ``scaleToSeconds(seconds)``: multiply each value by
+    seconds/step, converting a per-step quantity to a per-``seconds``
+    rate. Step is the estimated per-series grid step."""
+    factor = F.lit(float(seconds)) / _series_step().cast("double")
+    return df.withColumn("value", (F.col("value") * factor).cast("double"))
+
+
+def remove_empty_series(df: DataFrame) -> DataFrame:
+    """graphite ``removeEmptySeries()``: drop series whose window holds
+    no non-gap value (tiny per-series aggregate → broadcast semi join)."""
+    keep = (
+        df.groupBy("metric")
+        .agg(F.count("value").alias("__n"))
+        .where(F.col("__n") > 0)
+    )
+    return df.join(F.broadcast(keep.select("metric")), "metric")
+
+
+def is_non_null(df: DataFrame) -> DataFrame:
+    """graphite ``isNonNull()``: 1 where the slot has a value, else 0."""
+    return df.withColumn(
+        "value",
+        F.when(F.col("value").isNotNull(), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .cast("double"),
+    )
+
+
+def changed(df: DataFrame) -> DataFrame:
+    """graphite ``changed()``: 1 where the value differs from the
+    previous slot's value (both non-gap), else 0."""
+    prev = F.lag("value").over(_w())
+    return df.withColumn(
+        "value",
+        F.when(
+            F.col("value").isNotNull()
+            & prev.isNotNull()
+            & (F.col("value") != prev),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("double"),
+    )
+
+
+def delay(df: DataFrame, steps: int) -> DataFrame:
+    """graphite ``delay(steps)``: shift values ``steps`` grid slots
+    forward in time (negative steps pull future values back)."""
+    shifted = (
+        F.lag("value", int(steps)).over(_w())
+        if steps >= 0
+        else F.lead("value", -int(steps)).over(_w())
+    )
+    return df.withColumn("value", shifted.cast("double"))
+
+
+def hitcount(df: DataFrame, interval_seconds: int) -> DataFrame:
+    """graphite ``hitcount(intervalString)``: re-bucket into the coarser
+    interval summing value·step — converts a per-second rate back into
+    event counts. value·step is one IEEE multiply, quantized before the
+    associative sum (oracle-mirrorable)."""
+    per_slot = F.col("value") * _series_step().cast("double")
+    q = F.floor(per_slot * QUANT).cast("long")
+    bucket = (
+        F.col("bucket_ts") - (F.col("bucket_ts") % int(interval_seconds))
+    ).cast("long")
+    return (
+        df.withColumn("__q", q)
+        .groupBy("metric", bucket.alias("bucket_ts"))
+        .agg((F.sum("__q") / F.lit(float(QUANT))).cast("double").alias("value"))
+    )
+
+
+def integral_by_interval(df: DataFrame, interval_seconds: int) -> DataFrame:
+    """graphite ``integralByInterval(intervalString)``: running total
+    that RESETS at each interval boundary — the window partitions on
+    (metric, interval bucket), so no partition outgrows the interval's
+    slot count."""
+    q = F.floor(F.col("value") * QUANT).cast("long")
+    bucket = F.col("bucket_ts") - (F.col("bucket_ts") % int(interval_seconds))
+    w = (
+        W.partitionBy("metric", bucket)
+        .orderBy("bucket_ts")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return df.withColumn(
+        "value", (F.sum(q).over(w) / F.lit(float(QUANT))).cast("double")
+    )
+
+
+def average_outside_percentile(df: DataFrame, n: float) -> DataFrame:
+    """graphite ``averageOutsidePercentile(n)``: keep series whose mean
+    falls OUTSIDE the (100−n, n) percentile band of all series means
+    (n < 50 mirrors to 100−n, as in graphite-web). Percentiles use the
+    same ``_getPercentile`` NIST rank over the sorted means; the means
+    frame is one row per series → the band computes in a 1-row aggregate
+    broadcast back (no driver collect)."""
+    n = float(n)
+    if n < 50.0:
+        n = 100.0 - n
+    means = _series_mean(df)
+    arr = F.array_sort(F.collect_list("__mean"))
+    band = means.agg(arr.alias("__arr")).select(
+        F.element_at("__arr", _nist_rank(F.size("__arr"), 100.0 - n)).alias(
+            "__lo"
+        ),
+        F.element_at("__arr", _nist_rank(F.size("__arr"), n)).alias("__hi"),
+    )
+    keep = (
+        means.crossJoin(F.broadcast(band))
+        .where(
+            (F.col("__mean") <= F.col("__lo"))
+            | (F.col("__mean") >= F.col("__hi"))
+        )
+        .select("metric")
+    )
+    return df.join(F.broadcast(keep), "metric")
+
+
+def group_series(dfs: list[DataFrame]) -> DataFrame:
+    """graphite ``group(...)``: the plain union of every argument's
+    series (lets one target mix selections)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 # --- graphite 1.1 tagged metrics -------------------------------------------
 
 def tag_value(metric: Column | str, tag: str) -> Column:

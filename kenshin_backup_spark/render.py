@@ -186,6 +186,21 @@ def _registry() -> dict[str, Callable]:
             d[0], d[1], *[int(x) for x in s]
         ),
         "sortByName": lambda d, s: sf.sort_by_name_series(d[0]),
+        # round-6 wave 2
+        "aliasSub": lambda d, s: sf.alias_sub(d[0], str(s[0]), str(s[1])),
+        "scaleToSeconds": lambda d, s: sf.scale_to_seconds(d[0], int(s[0])),
+        "removeEmptySeries": lambda d, s: sf.remove_empty_series(d[0]),
+        "isNonNull": lambda d, s: sf.is_non_null(d[0]),
+        "changed": lambda d, s: sf.changed(d[0]),
+        "delay": lambda d, s: sf.delay(d[0], int(s[0])),
+        "hitcount": lambda d, s: sf.hitcount(d[0], parse_interval(s[0])),
+        "integralByInterval": lambda d, s: sf.integral_by_interval(
+            d[0], parse_interval(s[0])
+        ),
+        "averageOutsidePercentile": lambda d, s: sf.average_outside_percentile(
+            d[0], float(s[0])
+        ),
+        "group": lambda d, s: sf.group_series(d),
         "summarize": lambda d, s: sf.summarize(
             d[0], parse_interval(s[0]), str(s[1]) if len(s) > 1 else "sum"
         ),
@@ -266,6 +281,9 @@ def _moving(fn, df, window):
 #: Functions taking TWO series expressions (minuend/dividend first).
 _TWO_SERIES = frozenset({"diffSeries", "divideSeries", "weightedAverage"})
 
+#: Functions taking ANY number of series expressions (≥ 1).
+_MULTI_SERIES = frozenset({"group"})
+
 
 SUPPORTED_FUNCTIONS = tuple(sorted(_registry()))
 
@@ -313,6 +331,8 @@ def render(
             raise ValueError(f"{name}: needs a series argument")
         if name in _TWO_SERIES:
             _need(dfs, 2, 2, name)
+        elif name in _MULTI_SERIES:
+            _need(dfs, 1, len(dfs), name)
         else:
             _need(dfs, 1, 1, name)
         return reg[name](dfs, scalars)

@@ -305,6 +305,17 @@ def test_render_fuzz_random_compositions(spark):
         "percentileOfSeries({X}, 50)",
         "sortByName({X})",
         "weightedAverage({X}, {X}, 0)",
+        # round-6 wave 2
+        "aliasSub({X}, 'cpu', 'core')",
+        "scaleToSeconds({X}, 60)",
+        "removeEmptySeries({X})",
+        "isNonNull({X})",
+        "changed({X})",
+        "delay({X}, 1)",
+        "hitcount({X}, '2h')",
+        "integralByInterval({X}, '2h')",
+        "averageOutsidePercentile({X}, 75)",
+        "group({X}, {X})",
     ]
     rng = random.Random(20260814)
     fetch = _fetch_fn(spark)
@@ -341,3 +352,23 @@ def test_render_limit_composes_with_sort_order(spark):
     assert {r.metric for r in maxima.select("metric").distinct().collect()} == {
         "cpu.idle"
     }
+
+
+def test_render_wave2_functions(spark):
+    fetch = _fetch_fn(spark)
+    g = render("group(cpu.load, mem.used)", fetch)
+    assert {r.metric for r in g.select("metric").distinct().collect()} == {
+        "cpu.load", "mem.used"
+    }
+    hc = render("hitcount(mem.used, '2h')", fetch)
+    # mem.used = 5.0 at 6 hourly slots, step 3600 → v*step = 18000/slot,
+    # two slots per 2 h bucket → 36000
+    rows = {r.bucket_ts: r.value for r in hc.collect()}
+    assert rows[0] == 36000.0
+    sub = render("aliasSub(cpu.*, '^cpu', 'core')", fetch)
+    assert {r.metric for r in sub.select("metric").distinct().collect()} == {
+        "core.load", "core.idle"
+    }
+    ii = render("integralByInterval(mem.used, '2h')", fetch)
+    vals = {r.bucket_ts: r.value for r in ii.collect()}
+    assert vals[0] == 5.0 and vals[3600] == 10.0 and vals[7200] == 5.0

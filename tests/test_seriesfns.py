@@ -413,3 +413,72 @@ def test_stdev_large_values_no_overflow(spark):
     sds = {r["bucket_ts"]: r["value"] for r in S.stddev_series(
         _series(spark, [("a", 0, 0.0), ("b", 0, 4.0e6)])).collect()}
     assert sds[0] == 2.0e6
+
+
+def test_wave2_transform_functions(spark):
+    df = _series(spark, [
+        ("web.cpu", 0, 2.0), ("web.cpu", 60, 2.0),
+        ("web.cpu", 120, 5.0), ("web.cpu", 180, None),
+        ("db.mem", 0, None), ("db.mem", 60, None),
+    ])
+    al = set(r.metric for r in S.alias_sub(df, "^web", "w").collect())
+    assert al == {"w.cpu", "db.mem"}
+
+    sc = {(r.metric, r.bucket_ts): r.value
+          for r in S.scale_to_seconds(df, 120).collect()}
+    assert sc[("web.cpu", 0)] == 4.0 and sc[("web.cpu", 120)] == 10.0
+    assert sc[("db.mem", 0)] is None
+
+    kept = set(r.metric for r in S.remove_empty_series(df).collect())
+    assert kept == {"web.cpu"}
+
+    nn = {(r.metric, r.bucket_ts): r.value for r in S.is_non_null(df).collect()}
+    assert nn[("web.cpu", 120)] == 1.0 and nn[("web.cpu", 180)] == 0.0
+    assert nn[("db.mem", 0)] == 0.0
+
+    ch = {r.bucket_ts: r.value
+          for r in S.changed(df).collect() if r.metric == "web.cpu"}
+    assert ch == {0: 0.0, 60: 0.0, 120: 1.0, 180: 0.0}
+
+    dl = {r.bucket_ts: r.value
+          for r in S.delay(df, 1).collect() if r.metric == "web.cpu"}
+    assert dl == {0: None, 60: 2.0, 120: 2.0, 180: 5.0}
+    lead = {r.bucket_ts: r.value
+            for r in S.delay(df, -1).collect() if r.metric == "web.cpu"}
+    assert lead == {0: 2.0, 60: 5.0, 120: None, 180: None}
+
+
+def test_wave2_hitcount_and_integral_by_interval(spark):
+    df = _series(spark, [
+        ("m", 0, 2.0), ("m", 60, 2.0), ("m", 120, 5.0), ("m", 180, None),
+    ])
+    # step 60 → per-slot hits v*60: 120, 120, 300, gap
+    hc = {r.bucket_ts: r.value for r in S.hitcount(df, 120).collect()}
+    assert hc == {0: 240.0, 120: 300.0}
+    # running total resets at each 120 s boundary; the gap slot carries
+    # the interval's running value (graphite appends `current` at gaps)
+    ii = {r.bucket_ts: r.value
+          for r in S.integral_by_interval(df, 120).collect()}
+    assert ii == {0: 2.0, 60: 4.0, 120: 5.0, 180: 5.0}
+
+
+def test_wave2_average_outside_percentile_and_group(spark):
+    df = _series(spark, [
+        ("a", 0, 10.0), ("b", 0, 20.0), ("c", 0, 30.0),
+        ("d", 0, 40.0), ("e", 0, 50.0),
+    ])
+    # means 10..50; n=80 → band (p20, p80) = (20, 50) via NIST ranks
+    # ceil(0.2*6)=2 → 20 and ceil(0.8*6)=5 → 50; keep avg<=20 or >=50
+    kept = sorted(set(
+        r.metric for r in S.average_outside_percentile(df, 80).collect()
+    ))
+    assert kept == ["a", "b", "e"]
+    # n<50 mirrors (graphite): n=20 ≡ n=80
+    kept2 = sorted(set(
+        r.metric for r in S.average_outside_percentile(df, 20).collect()
+    ))
+    assert kept2 == kept
+
+    g = S.group_series([df.where(F.col("metric") == "a"),
+                        df.where(F.col("metric") == "e")])
+    assert sorted(set(r.metric for r in g.collect())) == ["a", "e"]
