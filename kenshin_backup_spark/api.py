@@ -180,6 +180,38 @@ class Engine:
 
         return _render(target, fetch_fn)
 
+    def render_many(
+        self,
+        targets: list[str] | tuple[str, ...],
+        from_ts: int,
+        until_ts: int,
+        *,
+        now_ts: int | None = None,
+    ) -> DataFrame:
+        """Evaluate SEVERAL render targets in one call — the shape of a
+        real graphite render request (``&target=a&target=b...``); every
+        dashboard panel sends one. Returns the union of the canonical
+        frames with a ``target`` column carrying each row's source
+        expression (graphite keys the response JSON the same way — two
+        targets can legitimately emit the same series name, so the
+        column is the disambiguator, mirroring graphite's per-target
+        response entries).
+
+        Scale: each target is an independent lazy plan; the union is
+        plan-level, so Spark schedules all panels' scans/aggregations in
+        one job with shared staging — no per-target driver round-trips."""
+        if not targets:
+            raise ValueError("render_many: need at least one target")
+        from pyspark.sql import functions as F
+
+        out: DataFrame | None = None
+        for t in targets:
+            part = self.render(t, from_ts, until_ts, now_ts=now_ts).select(
+                F.lit(t).alias("target"), "metric", "bucket_ts", "value"
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
     # -- header / catalog -----------------------------------------------------
 
     def info(self, metric: str) -> dict:

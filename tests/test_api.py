@@ -184,3 +184,42 @@ def test_coverage_doc_names_exist_in_registry():
     )
     missing = sorted(set(pat.findall(txt)) - names)
     assert not missing, f"COVERAGE.md cites unknown queries: {missing}"
+
+
+def test_engine_render_many(spark, tmp_path):
+    """render_many: several targets in one call (the real graphite
+    request shape) — per-target tagged union, values identical to
+    separate render() calls."""
+    from pyspark.sql import functions as F
+
+    from kenshin_backup_spark.api import Engine
+    from kenshin_backup_spark.operators.policies import Policy
+    from kenshin_backup_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    pts = ev.select(F.col("event_type").alias("metric"), "ts", "value")
+    eng = Engine(
+        spark,
+        str(tmp_path / "store"),
+        policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
+    )
+    eng.write(pts)
+    es = F.unix_timestamp("ts").cast("long")
+    b = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
+    targets = [
+        "summarize(sumSeries({click,view}), '1d', 'sum')",
+        "summarize({purchase}, '1d', 'max')",
+    ]
+    out = eng.render_many(targets, b.lo, b.hi + 1)
+    assert set(out.columns) == {"target", "metric", "bucket_ts", "value"}
+    got = {
+        (r.target, r.metric, r.bucket_ts): r.value for r in out.collect()
+    }
+    for t in targets:
+        single = eng.render(t, b.lo, b.hi + 1).collect()
+        assert single
+        for r in single:
+            assert got[(t, r.metric, r.bucket_ts)] == r.value
+    import pytest as _p
+    with _p.raises(ValueError):
+        eng.render_many([], b.lo, b.hi + 1)

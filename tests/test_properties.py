@@ -551,3 +551,103 @@ def test_avro_any_truncation_raises_or_is_header_only(rows, cut):
         return
     want = [(m, int(t), float(v)) for m, t, v in rows]
     assert got == want[: len(got)]
+
+
+def _graphite_get_percentile(values, p):
+    """graphite-web's _getPercentile (NIST, no interpolation), transcribed
+    from the published algorithm as the round-6 reference oracle."""
+    import math
+
+    pts = sorted(v for v in values if v is not None)
+    if not pts:
+        return None
+    fractional_rank = (p / 100.0) * (len(pts) + 1)
+    rank = int(fractional_rank)
+    rank += int(math.ceil(fractional_rank - rank))
+    if rank == 0:
+        return pts[0]
+    if rank - 1 == len(pts):
+        return pts[-1]
+    return pts[rank - 1]
+
+
+def test_npercentile_matches_graphite_reference_many_cases(spark):
+    """60 random series × random p: the engine's NIST-rank percentile
+    equals graphite-web's _getPercentile exactly (the round-6 ADVICE fix
+    — the old ceil(n*p/100) rank diverged on even lengths)."""
+    from kenshin_backup_spark.operators import seriesfns as S
+
+    rng = random.Random(20260814)
+    rows, expect = [], {}
+    for case in range(60):
+        n = rng.randint(1, 17)
+        p = rng.choice([0, 1, 5, 25, 50, 75, 90, 95, 99, 100,
+                        rng.uniform(0, 100)])
+        vals = [
+            None if rng.random() < 0.2 else round(rng.uniform(-50, 50), 4)
+            for _ in range(n)
+        ]
+        if all(v is None for v in vals):
+            vals[0] = 1.25
+        metric = f"case{case}_p{p}"
+        rows += [(metric, 60 * i, v) for i, v in enumerate(vals)]
+        expect[metric] = _graphite_get_percentile(vals, p)
+    df = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+    # group cases by p (the kernel takes one p per call); each call
+    # evaluates every series of that p in one job
+    got = {}
+    by_p = {}
+    for m in expect:
+        by_p.setdefault(float(m.split("_p")[1]), []).append(m)
+    for p, metrics in by_p.items():
+        sub = df.where(F.col("metric").isin(metrics))
+        out = S._percentile_per_series(sub, p).collect()
+        for r in out:
+            got[r["metric"]] = r["__pv"]
+    assert got == expect
+
+
+def test_moving_median_matches_reference_many_cases(spark):
+    """Random gappy series: movingMedian(n) equals the literal graphite
+    safeMedian over series[i-n:i] (strictly-before window, mean of two
+    middles on even counts), with leading not-enough-history slots as
+    gaps."""
+    from kenshin_backup_spark.operators import seriesfns as S
+
+    rng = random.Random(4242)
+    rows, expect = [], {}
+    w = 4
+    for case in range(25):
+        n = rng.randint(1, 20)
+        vals = [
+            None if rng.random() < 0.3 else float(rng.randint(-9, 9))
+            for _ in range(n)
+        ]
+        metric = f"m{case}"
+        rows += [(metric, 60 * i, v) for i, v in enumerate(vals)]
+        for i, _ in enumerate(vals):
+            if i < w:
+                med = None
+            else:
+                window = [v for v in vals[i - w:i] if v is not None]
+                if not window:
+                    med = None
+                else:
+                    s = sorted(window)
+                    mid = len(s) // 2
+                    med = (
+                        s[mid]
+                        if len(s) % 2 == 1
+                        else (s[mid - 1] + s[mid]) / 2.0
+                    )
+            expect[(metric, 60 * i)] = med
+    df = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+    got = {
+        (r["metric"], r["bucket_ts"]): r["value"]
+        for r in S.moving_median(df, w).collect()
+    }
+    assert got == expect
