@@ -54,54 +54,51 @@ MIN_SHARED = 2
 _POW31 = [31**j for j in range(K - 1, -1, -1)]
 
 
-def _gram_hash_spark(g) -> F.Column:
-    """Base-31 polynomial over the K code points of gram column ``g``."""
-    terms = [
-        F.ascii(F.substring(g, j + 1, 1)).cast("long") * F.lit(_POW31[j])
-        for j in range(K)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
-
-
 def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
     """Selected winnowing fingerprints ``(doc_id, fp)`` for a frame with
     ``doc_id`` and ``text`` columns. Guarantee (Schleimer et al. 2003,
     the reason `tests/test_properties.py` can assert it): any common
     substring of length >= K + W_WIN - 1 in the normalized space-stripped
-    text yields at least one shared fingerprint."""
+    text yields at least one shared fingerprint.
+
+    Round-6 rewrite: code points, per-position gram hashes, the sliding
+    window minima, and the per-doc dedup all evaluate ARRAY-SIDE in one
+    scan projection (transform / slice / array_min / array_distinct) —
+    zero shuffles until the posting aggregation. The previous form
+    exploded one row per CHAR POSITION and pushed all of them through a
+    per-doc sort window plus a (doc_id, fp) distinct: two full shuffles
+    of ~n_chars rows per doc. Now only the SELECTED fingerprints
+    (≈ 2/(W+1) density, then per-doc distinct) ever become rows; output
+    is row-for-row identical, so every oracle is unchanged (measured at
+    sf0.1: see SCALE.md). Array work is O(n·W) element reads per doc,
+    bounded by document length — the arrays live inside one task's row,
+    never in shuffle buffers."""
     s = F.regexp_replace(normalize_text("text"), " ", "")
-    base = (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), s.alias("s"))
-        .where(F.length("s") >= K + W_WIN - 1)
-        .withColumn("n", (F.length("s") - (K - 1)).cast("long"))
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), s.alias("s")
+    ).where(F.length("s") >= K + W_WIN - 1)
+    hash_terms = " + ".join(
+        f"CAST(element_at(cps, p + {j}) AS BIGINT) * {_POW31[j]}"
+        for j in range(K)
     )
-    pos = base.select(
-        "doc_id",
-        "n",
-        F.explode(F.sequence(F.lit(1), F.col("n").cast("int"))).alias("pos"),
-        "s",
-    )
-    grams = pos.select(
-        "doc_id", "n", "pos", F.expr(f"substring(s, pos, {K})").alias("g")
-    )
-    hashed = grams.select(
-        "doc_id", "n", "pos", _gram_hash_spark(F.col("g")).alias("h")
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, W_WIN - 1)
-    )
-    # Window min over ALL gram rows; only rows where a full window fits are
-    # window *starts* — filter AFTER the window projection.
     return (
-        hashed.withColumn("fp", F.min("h").over(w))
-        .where(F.col("pos") <= F.col("n") - (W_WIN - 1))
-        .select("doc_id", "fp")
-        .distinct()
+        base.withColumn(
+            "cps",
+            F.expr("transform(sequence(1, length(s)), i -> ascii(substring(s, i, 1)))"),
+        )
+        .withColumn(
+            "hs",
+            F.expr(f"transform(sequence(1, length(s) - {K - 1}), p -> {hash_terms})"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(hs) - {W_WIN - 1}), "
+                    f"p -> array_min(slice(hs, p, {W_WIN}))))"
+                )
+            ).alias("fp"),
+        )
     )
 
 
