@@ -212,6 +212,29 @@ class Engine:
             out = part if out is None else out.unionByName(part)
         return out
 
+    # -- maintenance ----------------------------------------------------------
+
+    def delete(self, glob: str) -> dict[str, dict[int, int]]:
+        """Delete every series matching ``glob`` from every written
+        policy ladder — the reference's ``rm <metric>.wsp`` surface and
+        the execute half of the GDPR erasure flow (``gdpr_erasure_audit``
+        is the dry-run). Atomic per level (rewrite-to-temp + swap, same
+        discipline as compaction); returns
+        ``{policy: {step_seconds: rows_deleted}}`` as the erasure
+        receipt."""
+        from kenshin_backup_spark.functions.deterministic import glob_to_regex
+        from kenshin_backup_spark.operators.ladder import delete_metrics
+
+        regex = glob_to_regex(glob)
+        receipt: dict[str, dict[int, int]] = {}
+        for p in self.policies:
+            if p.name not in self._written:
+                continue
+            receipt[p.name] = delete_metrics(
+                self.spark, self._ladder(p), regex
+            )
+        return receipt
+
     # -- header / catalog -----------------------------------------------------
 
     def info(self, metric: str) -> dict:

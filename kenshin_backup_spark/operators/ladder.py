@@ -179,6 +179,59 @@ def compact_level(
     return before, _count_files(path)
 
 
+def delete_metrics(
+    spark: SparkSession,
+    ladder: Ladder,
+    metric_regex: str,
+    *,
+    max_records_per_file: int = 2_000_000,
+) -> dict[int, int]:
+    """Metric deletion — the reference's ``rm <metric>.wsp`` operational
+    surface (and the execute half of the GDPR erasure story whose audit
+    is ``gdpr_erasure_audit``): rewrite every ladder level WITHOUT the
+    series matching ``metric_regex``. Uses the same
+    rewrite-to-temp-then-atomic-swap discipline as :func:`compact_level`
+    (readers never see a partial level; restart-safe). Returns deleted
+    row counts per step for the erasure receipt.
+
+    Scale note: deletion rewrites each level once (the levels are
+    rollups — orders of magnitude smaller than raw). At 100 TB, bucket
+    the layout by metric hash so only the buckets containing matching
+    series rewrite; the swap discipline is unchanged.
+    """
+    import os
+    import shutil
+    import uuid
+
+    deleted: dict[int, int] = {}
+    for a in ladder.archives:
+        path = ladder.level_path(a.step_seconds)
+        if not os.path.isdir(path):
+            deleted[a.step_seconds] = 0
+            continue
+        df = spark.read.parquet(path)
+        hit = F.col(ladder.key_cols[0]).rlike(metric_regex)
+        n_del = df.where(hit).count()
+        deleted[a.step_seconds] = int(n_del)
+        if n_del == 0:
+            continue
+        tmp = f"{path}__deleting_{uuid.uuid4().hex[:8]}"
+        (
+            df.where(~hit)
+            .repartition("date")
+            .sortWithinPartitions(ladder.key_cols[0], "bucket_ts")
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .parquet(tmp)
+        )
+        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    return deleted
+
+
 def ladder_info(spark: SparkSession, ladder: Ladder) -> DataFrame:
     """Reference ``kenshin-info`` / header read (SURVEY §2.1 S6): one row
     per archive level with its configuration and materialized extent."""

@@ -223,3 +223,38 @@ def test_engine_render_many(spark, tmp_path):
     import pytest as _p
     with _p.raises(ValueError):
         eng.render_many([], b.lo, b.hi + 1)
+
+
+def test_engine_delete_metrics(spark, tmp_path):
+    """Engine.delete: the erase half of the GDPR flow — matching series
+    vanish from every level atomically, non-matching series and the
+    fetch surface survive unchanged."""
+    from pyspark.sql import functions as F
+
+    from kenshin_backup_spark.api import Engine
+    from kenshin_backup_spark.operators.policies import Policy
+    from kenshin_backup_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    pts = ev.select(F.col("event_type").alias("metric"), "ts", "value")
+    eng = Engine(
+        spark,
+        str(tmp_path / "store"),
+        policies=[Policy(name="two", pattern=".*", steps=(3600, 86400))],
+    )
+    eng.write(pts)
+    before = set(eng.metrics("*"))
+    assert "click" in before
+    receipt = eng.delete("click")
+    assert set(receipt) == {"two"}
+    assert receipt["two"][3600] > 0 and receipt["two"][86400] > 0
+    after = set(eng.metrics("*"))
+    assert after == before - {"click"}
+    es = F.unix_timestamp("ts").cast("long")
+    b = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
+    fetched = eng.fetch("*", b.lo, b.hi + 1)
+    got = {r.metric for r in fetched.select("metric").distinct().collect()}
+    assert "click" not in got and "view" in got
+    # deleting a non-matching glob is a no-op with a zero receipt
+    receipt2 = eng.delete("nosuchmetric")
+    assert receipt2["two"] == {3600: 0, 86400: 0}
