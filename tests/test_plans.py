@@ -332,3 +332,19 @@ def test_late_round4_batch_plans_are_scale_safe(spark):
         specs = unpartitioned_windows(df)
         if specs:
             assert "GlobalLimit" in _optimized(df), (fn.__name__, specs)
+
+
+def test_winnowing_fingerprints_no_shuffle_before_rows(spark):
+    """Round-6 regression lock: the array-side winnowing fingerprint
+    stage must stay shuffle-free — no Exchange and no per-position sort
+    Window anywhere in its plan (the pre-rewrite form shuffled every
+    char position twice; see SCALE.md). The first exchange in the full
+    pairs query belongs to the posting aggregation, above this frame."""
+    from kenshin_backup_spark.plans import explain_str
+    from kenshin_backup_spark.queries.batch53 import winnowing_fingerprints
+    from kenshin_backup_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = explain_str(winnowing_fingerprints(docs), "formatted")
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan

@@ -651,3 +651,47 @@ def test_moving_median_matches_reference_many_cases(spark):
         for r in S.moving_median(df, w).collect()
     }
     assert got == expect
+
+
+def test_moving_family_matches_reference_many_cases(spark):
+    """Random gappy series: movingSum/Min/Max equal the literal graphite
+    movingWindow reference (safe aggregate over series[i-n:i], leading
+    slots without a full window as gaps) — completing the round-6
+    rolling-family pin next to the movingMedian case."""
+    from kenshin_backup_spark.operators import seriesfns as S
+
+    rng = random.Random(77)
+    rows = []
+    w = 3
+    series = {}
+    for case in range(20):
+        n = rng.randint(1, 15)
+        vals = [
+            None if rng.random() < 0.3 else float(rng.randint(-20, 20))
+            for _ in range(n)
+        ]
+        series[f"m{case}"] = vals
+        rows += [(f"m{case}", 60 * i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+
+    def ref(vals, i, agg):
+        if i < w:
+            return None
+        window = [v for v in vals[i - w:i] if v is not None]
+        return agg(window) if window else None
+
+    for fn, agg in (
+        (S.moving_sum, sum),
+        (S.moving_min, min),
+        (S.moving_max, max),
+    ):
+        got = {
+            (r["metric"], r["bucket_ts"]): r["value"]
+            for r in fn(df, w).collect()
+        }
+        for m, vals in series.items():
+            for i in range(len(vals)):
+                expect = ref(vals, i, agg)
+                assert got[(m, 60 * i)] == expect, (fn.__name__, m, i)
