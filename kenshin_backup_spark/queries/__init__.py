@@ -174,89 +174,94 @@ _MODULES = (
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
-#: entries, so this ordering is evidence policy. Round-6 re-curation
-#: executes VERDICT r5 item #1 — continue the never-driver-checked
-#: burn-down (114/277 after r5; backlog written in COVERAGE.md's r6
-#: queue) with every slot spent on a HASHABLE query (r5's lesson:
-#: no-oracle queries get `err: no_oracle`, zero credit):
-#: 1. `graphite_render_bandmath` first (new r5 render-math code, never
-#:    driver-seen — verdict-named) and `graphite_render_rollstats` (NEW
-#:    round-6 cert: movingMedian + percentileOfSeries with the NIST-rank
-#:    percentile fix and the strictly-before rolling window, the only
-#:    registry addition this round);
-#: 2. the two r5 slot-yields (scalar_math_family2, source_json_roundtrip);
-#: 3. 46 never-checked rotations per COVERAGE.md's queue: TSDB analytics
-#:    14 (holt_linear_forecast is rows-only → excluded from the window),
-#:    maintenance/layout 5, graphite render tier 4, dedup/emb/LLM 12,
-#:    text 5, events/behavioral 6.
-#: If all pass, cumulative unique driver-checked grows 163 → 213/278 and
-#: the never-checked backlog 114 → ~65 (events_audience_overlap and
-#: orders_yoy_growth overflow to the r7 remainder).
+#: entries, so this ordering is evidence policy. Round-7 re-curation
+#: executes VERDICT r6 item #2 — the FINAL ~50-slot burn-down rotation
+#: (65 never-driver-checked after r6: 56 with oracles + 9 rows-only that
+#: must never hold slots), with every slot spent on a HASHABLE query:
+#: 1. `tsdb_changepoint_cusum` re-cert first — its r6 hash mismatch was
+#:    proven value-identical (DuckDB HUGEINT widening of a windowed
+#:    SUM(BIGINT)); the oracle now casts `cusum_q` to BIGINT per the
+#:    registry type contract, structurally guarded by
+#:    tests/test_oracle_types.py (bind-level DESCRIBE over all oracles);
+#: 2. `streaming_counter_resets` — the r1 straggler checked before its
+#:    oracle existed (`err: no_oracle` in CORRECTNESS_r01); it has had a
+#:    full DuckDB oracle for rounds and was never re-rotated (VERDICT r6
+#:    "wrong" #4);
+#: 3. 48 never-checked rotations from COVERAGE.md's r7 queue:
+#:    relational/scalar 5, array/map/json 4, business shapes 12, TSDB
+#:    tail 7, dedup/emb/LLM tail 10 (incl. `llm_jaccard_threshold_sweep`
+#:    AFTER its t10 BIGINT cast landed), text tail 3 (incl.
+#:    `text_vocab_growth` AFTER its cum_* BIGINT casts landed),
+#:    sources/governance 7.
+#: If all pass, cumulative unique driver-green grows 204 → 254/278 and
+#: the oracle-backed-never-FULL-green remainder drops to 8 (the deferred
+#: low-risk relational/scalar family in COVERAGE.md's r8 queue:
+#: agg_grouping_flags, scalar_bitwise_shift, scalar_date_family2,
+#: scalar_split_part_family, scalar_string_family3, window_suffix_revenue,
+#: join_cross_grid, join_null_safe_status — deferred because each has
+#: multiple already-driver-green siblings in the same scalar/join family).
 #: Every previously-green row that rotates out keeps exact-cell parity
-#: coverage in tests/test_oracle_parity.py. The round-6 seriesfns ADVICE
-#: fixes (NIST percentile, safeMul, limit re-rank, decimal Σq²,
-#: strictly-before movingAverage) change NO registered query's output —
-#: re-verified this session by a 58-query scoped sim over every
-#: render/seriesfns-adjacent registered query (all exact-match).
+#: coverage in tests/test_oracle_parity.py.
 _PRIORITY = (
-    # --- verdict-named firsts + the one new round-6 cert ---------------------
-    "graphite_render_bandmath",
-    "graphite_render_rollstats",
-    # --- r5 slot-yields ------------------------------------------------------
-    "scalar_math_family2",
-    "source_json_roundtrip",
-    # --- never driver-checked: TSDB analytics --------------------------------
-    "tsdb_anomaly_zscore",
-    "tsdb_bollinger_bands",
-    "tsdb_tukey_outliers",
-    "tsdb_gap_islands",
-    "tsdb_gap_ratio",
+    # --- re-cert: r6's value-identical hash mismatch, oracle cast fixed ------
     "tsdb_changepoint_cusum",
-    "tsdb_capacity_forecast_linreg",
-    "tsdb_seasonal_profile",
-    "tsdb_heatmap_buckets",
-    "tsdb_moving_median",
-    "tsdb_downsample_maxdev",
-    "tsdb_counter_rate_wrap",
-    "tsdb_multires_rollup",
-    "tsdb_dominant_period",
-    # --- never driver-checked: maintenance / layout --------------------------
-    "tsdb_ladder_coarse_fetch",
-    "tsdb_rollup_salted_1h",
-    "layout_zorder_key",
-    "layout_compaction_plan",
-    "layout_partition_skew_report",
-    # --- never driver-checked: graphite render tier --------------------------
-    "graphite_transform_chain",
-    "graphite_minmax_band",
-    "graphite_moving_minmax",
-    "graphite_npercentile_clip",
-    # --- never driver-checked: dedup / embeddings / LLM ----------------------
-    "dedup_sentence_exact",
-    "dedup_ngram_containment",
-    "dedup_cross_source_report",
-    "dedup_lsh_precision_report",
-    "dedup_method_agreement",
-    "emb_centroid_by_label",
-    "emb_int8_quantize_stats",
-    "emb_norm_outliers",
-    "hybrid_search_rrf",
-    "llm_corpus_mix_report",
-    "llm_quality_weighted_sample",
-    "text_gopher_quality_gate",
-    # --- never driver-checked: text analysis ---------------------------------
-    "text_readability_scores",
-    "text_repetition_signals",
-    "text_word_rarity",
-    "text_tfidf_keywords",
-    "text_langid_f1",
-    # --- never driver-checked: events / behavioral ---------------------------
-    "events_inter_arrival",
-    "events_dau_mau_stickiness",
-    "events_top_paths",
-    "events_attribution_linear",
-    "events_ab_assignment_balance",
-    "cohort_retention_weekly",
+    # --- the checked-before-oracle-existed straggler (VERDICT r6 #4) ---------
+    "streaming_counter_resets",
+    # --- never driver-checked: relational / scalar ---------------------------
+    "agg_skewness_kurtosis",
+    "window_frame_distinct_users",
+    "window_percent_rank_acctbal",
+    "unpivot_lineitem_measures",
+    "sql_api_revenue_by_nation",
+    # --- never driver-checked: array / map / json ----------------------------
+    "array_hof_embeddings",
+    "array_set_ops_shingles",
+    "json_roundtrip_events",
+    "map_props_entries",
+    # --- never driver-checked: business shapes -------------------------------
+    "lineitem_discount_effectiveness",
+    "lineitem_shipping_delays",
+    "lineitem_weighted_median",
+    "orders_backlog_over_time",
+    "orders_cohort_ltv",
+    "orders_duplicate_payments",
+    "orders_market_basket",
+    "orders_yoy_growth",
+    "part_brand_share_shift",
+    "supplier_concentration_hhi",
+    "events_audience_overlap",
+    "events_user_gini_diversity",
+    # --- never driver-checked: TSDB tail -------------------------------------
+    "tsdb_alert_rule_eval",
+    "tsdb_counter_gauge_classify",
+    "tsdb_downsample_minmax_pairs",
+    "tsdb_forecast_backtest",
+    "tsdb_histogram_shard_merge",
+    "tsdb_namespace_levels",
+    "tsdb_vshape_patterns",
+    # --- never driver-checked: dedup / embeddings / LLM tail -----------------
+    "dedup_embedding_cosine",
+    "dedup_graph_degree_stats",
+    "dedup_substring_spans",
+    "emb_drift_by_label",
+    "emb_truncation_recall",
+    "graph_triangle_stats",
+    "llm_cluster_representative",
+    "llm_jaccard_threshold_sweep",
+    "llm_mix_rebalance_plan",
+    "asof_click_next_purchase",
+    # --- never driver-checked: text tail -------------------------------------
+    "text_bigram_novelty",
+    "text_code_detection",
+    "text_vocab_growth",
+    # --- never driver-checked: sources / governance --------------------------
+    "source_csv_malformed_handling",
+    "source_schema_evolution",
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    "dq_constraint_report",
+    "gdpr_erasure_audit",
+    "privacy_k_anonymity_report",
 )
 
 

@@ -160,7 +160,8 @@ swept AS (
   FROM pairs p CROSS JOIN (SELECT UNNEST([2, 3, 5, 7]) AS t10) t
   WHERE p.common * 10 >= t.t10 * p.un
 )
-SELECT t10, COUNT(*) AS n_pairs, COUNT(DISTINCT id_a) AS n_left_docs
+SELECT CAST(t10 AS BIGINT) AS t10, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT id_a) AS n_left_docs
 FROM swept GROUP BY t10
 """
 

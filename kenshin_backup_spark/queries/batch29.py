@@ -103,10 +103,10 @@ toks_per AS (
   FROM base GROUP BY 1
 )
 SELECT t.decile,
-       SUM(t.tokens) OVER (ORDER BY t.decile
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
-       SUM(COALESCE(v.new_words, 0)) OVER (ORDER BY t.decile
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+       CAST(SUM(t.tokens) OVER (ORDER BY t.decile
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(v.new_words, 0)) OVER (ORDER BY t.decile
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
 FROM toks_per t LEFT JOIN vocab_per v ON v.decile = t.decile
 """
 

@@ -380,7 +380,7 @@ c AS (
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS smin
   FROM run
 )
-SELECT metric, es, event_id, s - smin AS cusum_q,
+SELECT metric, es, event_id, CAST(s - smin AS BIGINT) AS cusum_q,
        CAST(s - smin > {h} AS BIGINT) AS breach
 FROM c
 """.format(h=_CUSUM_H)
