@@ -211,20 +211,35 @@ def delete_metrics(
             continue
         df = spark.read.parquet(path)
         hit = F.col(ladder.key_cols[0]).rlike(metric_regex)
-        n_del = df.where(hit).count()
-        deleted[a.step_seconds] = int(n_del)
+        n_total, n_del = df.agg(
+            F.count(F.lit(1)), F.sum(hit.cast("long"))
+        ).first()
+        n_del = int(n_del or 0)
+        deleted[a.step_seconds] = n_del
         if n_del == 0:
             continue
         tmp = f"{path}__deleting_{uuid.uuid4().hex[:8]}"
-        (
-            df.where(~hit)
-            .repartition("date")
-            .sortWithinPartitions(ladder.key_cols[0], "bucket_ts")
-            .write.mode("overwrite")
-            .partitionBy("date")
-            .option("maxRecordsPerFile", max_records_per_file)
-            .parquet(tmp)
-        )
+        if n_del == int(n_total):
+            # Every series in the level matched. A partitionBy write of an
+            # empty frame leaves only _SUCCESS (zero parquet footers), and
+            # the next spark.read.parquet on the level — fetch, compaction,
+            # a later delete — dies with "Unable to infer schema". Write
+            # the empty frame UNPARTITIONED instead so at least one footer
+            # carries the schema (round-7 ADVICE fix); the swap below is
+            # unchanged.
+            spark.createDataFrame([], df.schema).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+        else:
+            (
+                df.where(~hit)
+                .repartition("date")
+                .sortWithinPartitions(ladder.key_cols[0], "bucket_ts")
+                .write.mode("overwrite")
+                .partitionBy("date")
+                .option("maxRecordsPerFile", max_records_per_file)
+                .parquet(tmp)
+            )
         old = f"{path}__old_{uuid.uuid4().hex[:8]}"
         os.rename(path, old)
         os.rename(tmp, path)

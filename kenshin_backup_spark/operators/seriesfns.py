@@ -1044,9 +1044,15 @@ def is_non_null(df: DataFrame) -> DataFrame:
 
 
 def changed(df: DataFrame) -> DataFrame:
-    """graphite ``changed()``: 1 where the value differs from the
-    previous slot's value (both non-gap), else 0."""
-    prev = F.lag("value").over(_w())
+    """graphite ``changed()``: 1 where the value differs from the last
+    seen NON-GAP value, else 0. Graphite carries the previous value
+    across gaps (``[2, None, 5]`` emits 1 at the 5), so the comparison
+    baseline is ``last(value ignorenulls)`` over all strictly-earlier
+    slots, not ``lag(value)`` (round-7 ADVICE fix — the lag form
+    silently reported any change that follows a gap as no-change)."""
+    prev = F.last("value", ignorenulls=True).over(
+        _w().rowsBetween(W.unboundedPreceding, -1)
+    )
     return df.withColumn(
         "value",
         F.when(
@@ -1075,7 +1081,15 @@ def hitcount(df: DataFrame, interval_seconds: int) -> DataFrame:
     """graphite ``hitcount(intervalString)``: re-bucket into the coarser
     interval summing value·step — converts a per-second rate back into
     event counts. value·step is one IEEE multiply, quantized before the
-    associative sum (oracle-mirrorable)."""
+    associative sum (oracle-mirrorable).
+
+    DOCUMENTED DEVIATION (like aliasSub/weightedAverage): buckets are
+    EPOCH-aligned (``bucket_ts % interval``) and each slot's value·step
+    is assigned whole to the bucket containing its start. graphite-web
+    aligns buckets to the series END and splits a straddling slot's
+    value·step proportionally between the two buckets it overlaps.
+    Outputs match graphite exactly when from_ts/range are
+    interval-aligned (the canonical render grid here always is)."""
     per_slot = F.col("value") * _series_step().cast("double")
     q = F.floor(per_slot * QUANT).cast("long")
     bucket = (
@@ -1092,7 +1106,12 @@ def integral_by_interval(df: DataFrame, interval_seconds: int) -> DataFrame:
     """graphite ``integralByInterval(intervalString)``: running total
     that RESETS at each interval boundary — the window partitions on
     (metric, interval bucket), so no partition outgrows the interval's
-    slot count."""
+    slot count.
+
+    DOCUMENTED DEVIATION: reset boundaries are EPOCH-aligned
+    (``bucket_ts % interval``); graphite-web resets relative to the
+    REQUEST start time. Identical whenever from_ts is interval-aligned
+    (the canonical render grid here always is)."""
     q = F.floor(F.col("value") * QUANT).cast("long")
     bucket = F.col("bucket_ts") - (F.col("bucket_ts") % int(interval_seconds))
     w = (

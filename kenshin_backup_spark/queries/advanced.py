@@ -61,7 +61,13 @@ WINDOW w AS (PARTITION BY event_type ORDER BY CAST({_ES} AS BIGINT), event_id)
 
 
 def tsdb_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """movingAverage(4) per metric — exact via quantized window sums."""
+    """Moving average(4) per metric — exact via quantized window sums.
+
+    NOT graphite-parity evidence: trailing-INCLUSIVE frame by intent
+    (oracle mirrors it); graphite-web's movingAverage uses the
+    strictly-before slice ``series[i-n:i]``, implemented in
+    ``operators/seriesfns.moving_average`` (round-7 ADVICE
+    annotation)."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("event_type")

@@ -24,9 +24,15 @@ _ES = EPOCH_S_SQL.format(x="ts")
 # --- exact moving median ---------------------------------------------------
 
 def tsdb_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """graphite movingMedian(5): per metric, the exact median of the
-    current + 4 preceding points (even frames interpolate the two middle
-    values — same arithmetic in both engines)."""
+    """Moving median(5): per metric, the exact median of the current +
+    4 preceding points (even frames interpolate the two middle values —
+    same arithmetic in both engines).
+
+    NOT graphite-parity evidence: trailing-INCLUSIVE frame by intent
+    (oracle mirrors it); graphite-web's movingMedian uses the
+    strictly-before slice ``series[i-n:i]``, implemented in
+    ``operators/seriesfns.moving_median`` and certified via
+    ``graphite_render_rollstats`` (round-7 ADVICE annotation)."""
     ev = load_table(spark, sf_dir, "events")
     es = F.unix_timestamp("ts").cast("long")
     w = (

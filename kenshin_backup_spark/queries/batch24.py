@@ -342,9 +342,19 @@ ten AS (
 
 
 def graphite_moving_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """graphite ``movingMin``/``movingMax`` (window of 6 points = 1h over
-    10-min buckets): the alert-hysteresis envelope. min/max carry values
-    through unchanged, so the quantized-average inputs stay bit-exact."""
+    """movingMin/movingMax-STYLE envelope (window of 6 points = 1h over
+    10-min buckets): the alert-hysteresis shape. min/max carry values
+    through unchanged, so the quantized-average inputs stay bit-exact.
+
+    NOT graphite-parity evidence: this query intentionally keeps the
+    trailing-INCLUSIVE frame ``rowsBetween(-5, 0)`` (and its oracle
+    mirrors it), whereas graphite-web's movingMin/movingMax use the
+    strictly-before slice ``series[i-n:i]`` — that convention lives in
+    ``operators/seriesfns.moving_min/moving_max`` (``_moving_frame``)
+    and is what ``render()`` targets and the graphite_render_* certs
+    exercise. Kept inclusive here because the query is driver-certified
+    in this form and the inclusive frame is the common SQL idiom this
+    relational-family query demonstrates (round-7 ADVICE annotation)."""
     ten = _ten_series(spark, sf_dir)
     w = W.partitionBy("metric").orderBy("bucket_ts").rowsBetween(-5, 0)
     return ten.select(

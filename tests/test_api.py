@@ -258,3 +258,14 @@ def test_engine_delete_metrics(spark, tmp_path):
     # deleting a non-matching glob is a no-op with a zero receipt
     receipt2 = eng.delete("nosuchmetric")
     assert receipt2["two"] == {3600: 0, 86400: 0}
+
+    # delete EVERYTHING: the empty level must stay readable (round-7
+    # ADVICE fix — a partitionBy write of an empty frame leaves zero
+    # parquet footers and the next read dies with "Unable to infer
+    # schema"); fetch, metrics and a follow-up delete all still work
+    receipt3 = eng.delete("*")
+    assert receipt3["two"][3600] > 0 and receipt3["two"][86400] > 0
+    assert eng.metrics("*") == []
+    assert eng.fetch("*", b.lo, b.hi + 1).count() == 0
+    receipt4 = eng.delete("*")
+    assert receipt4["two"] == {3600: 0, 86400: 0}

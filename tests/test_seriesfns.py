@@ -440,6 +440,15 @@ def test_wave2_transform_functions(spark):
           for r in S.changed(df).collect() if r.metric == "web.cpu"}
     assert ch == {0: 0.0, 60: 0.0, 120: 1.0, 180: 0.0}
 
+    # graphite carries the last non-gap value across gaps: [2, None, 5]
+    # emits 1 at the 5 (round-7 ADVICE fix — lag() would emit 0)
+    gappy = _series(spark, [
+        ("g.m", 0, 2.0), ("g.m", 60, None), ("g.m", 120, 5.0),
+        ("g.m", 180, 5.0), ("g.m", 240, None), ("g.m", 300, 5.0),
+    ])
+    chg = {r.bucket_ts: r.value for r in S.changed(gappy).collect()}
+    assert chg == {0: 0.0, 60: 0.0, 120: 1.0, 180: 0.0, 240: 0.0, 300: 0.0}
+
     dl = {r.bucket_ts: r.value
           for r in S.delay(df, 1).collect() if r.metric == "web.cpu"}
     assert dl == {0: None, 60: 2.0, 120: 2.0, 180: 5.0}
