@@ -59,11 +59,15 @@ class Engine:
         *,
         policies: list[Policy] | None = None,
         points_per_level: int = 10_000,
+        metric_buckets: int = 0,
     ) -> None:
         self.spark = tune(spark)
         self.root = root.rstrip("/")
         self.policies = list(policies) if policies else [DEFAULT_POLICY]
         self._ppl = points_per_level
+        # > 0 → hash-bucketed ladder layout (mbucket=/date=): exact-name
+        # fetches and deletes prune to their bucket — the 100 TB layout
+        self._metric_buckets = int(metric_buckets)
         self._written: set[str] = set()
 
     # -- storage-schema plumbing --------------------------------------------
@@ -76,6 +80,7 @@ class Engine:
             root=f"{self.root}/policy={policy.name}",
             archives=archives,
             key_cols=("metric",),
+            metric_buckets=self._metric_buckets,
         )
 
     def policy_for(self, metric: str) -> Policy:
@@ -225,14 +230,22 @@ class Engine:
         from kenshin_backup_spark.functions.deterministic import glob_to_regex
         from kenshin_backup_spark.operators.ladder import delete_metrics
 
+        exact = not any(ch in glob for ch in "*?{[")
         regex = glob_to_regex(glob)
         receipt: dict[str, dict[int, int]] = {}
         for p in self.policies:
             if p.name not in self._written:
                 continue
-            receipt[p.name] = delete_metrics(
-                self.spark, self._ladder(p), regex
-            )
+            if exact:
+                # exact-name deletes take the bucket-pruned path on a
+                # bucketed ladder (and a plain isin rewrite on a flat one)
+                receipt[p.name] = delete_metrics(
+                    self.spark, self._ladder(p), metrics=[glob]
+                )
+            else:
+                receipt[p.name] = delete_metrics(
+                    self.spark, self._ladder(p), regex
+                )
         return receipt
 
     # -- header / catalog -----------------------------------------------------

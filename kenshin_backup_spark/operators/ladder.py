@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kenshin_backup_spark.operators.fetch import Archive, fetch
@@ -30,14 +30,48 @@ from kenshin_backup_spark.operators.rollup import cascade, rollup_partials
 
 @dataclass(frozen=True)
 class Ladder:
-    """A materialized retention ladder: step_seconds → parquet path."""
+    """A materialized retention ladder: step_seconds → parquet path.
+
+    ``metric_buckets > 0`` switches every level to the BUCKETED layout
+    ``mbucket=<pmod(xxhash64(metric), N)>/date=<day>/``: exact-metric
+    fetches and exact-name deletes then touch only 1/N of the files
+    (partition pruning on the hash bucket), which is the 100 TB shape —
+    a delete rewrites one bucket, not the level. 0 (the default) keeps
+    the flat ``date=`` layout."""
 
     root: str
     archives: tuple[Archive, ...]
     key_cols: tuple[str, ...] = ("metric",)
+    metric_buckets: int = 0
 
     def level_path(self, step_seconds: int) -> str:
         return f"{self.root}/step={step_seconds}"
+
+    def bucket_expr(self, col: str | None = None) -> Column:
+        """The bucket id of a series key — MUST match on write and read."""
+        if self.metric_buckets <= 0:
+            raise ValueError("ladder is not bucketed")
+        return F.pmod(
+            F.xxhash64(F.col(col or self.key_cols[0])),
+            F.lit(int(self.metric_buckets)),
+        ).cast("int")
+
+    def buckets_for(self, spark: SparkSession, names: list[str]) -> list[int]:
+        """Bucket ids for exact series names (computed through the same
+        Spark expression as the write side, so they can never drift)."""
+        if not names:
+            return []
+        df = spark.createDataFrame([(n,) for n in names], "k string")
+        rows = df.select(
+            F.pmod(F.xxhash64("k"), F.lit(int(self.metric_buckets)))
+            .cast("int")
+            .alias("b")
+        ).distinct().collect()
+        return sorted(r["b"] for r in rows)
+
+    @property
+    def partition_cols(self) -> tuple[str, ...]:
+        return ("mbucket", "date") if self.metric_buckets > 0 else ("date",)
 
 
 def build_ladder(
@@ -79,13 +113,15 @@ def build_ladder(
         out = level.withColumn(
             "date", F.to_date(F.timestamp_seconds(F.col("bucket_ts")))
         )
+        if ladder.metric_buckets > 0:
+            out = out.withColumn("mbucket", ladder.bucket_expr())
         (
             # sort by metric within each date partition: parquet min/max
             # row-group statistics then prune metric-filtered fetches
             # (SURVEY §4.2 "bucket or Z-order by metric")
             out.sortWithinPartitions("metric" if "metric" in out.columns else ladder.key_cols[0])
             .write.mode("overwrite")
-            .partitionBy("date")
+            .partitionBy(*ladder.partition_cols)
             .parquet(ladder.level_path(step))
         )
         prev = level
@@ -113,15 +149,28 @@ def expire_retention(ladder: Ladder, *, now_ts: int) -> dict[int, list[str]]:
         path = ladder.level_path(a.step_seconds)
         gone: list[str] = []
         if os.path.isdir(path):
-            for entry in sorted(os.listdir(path)):
-                if not entry.startswith("date="):
-                    continue
-                part_date = dt.date.fromisoformat(entry.split("=", 1)[1])
-                # a partition holds one UTC day; drop only if the WHOLE day
-                # is older than the horizon
-                if part_date < cutoff_date:
-                    shutil.rmtree(os.path.join(path, entry))
-                    gone.append(entry)
+            # bucketed layout nests date= one level down (mbucket=*/date=*)
+            roots = (
+                sorted(
+                    os.path.join(path, e)
+                    for e in os.listdir(path)
+                    if e.startswith("mbucket=")
+                )
+                if ladder.metric_buckets > 0
+                else [path]
+            )
+            for root in roots:
+                for entry in sorted(os.listdir(root)):
+                    if not entry.startswith("date="):
+                        continue
+                    part_date = dt.date.fromisoformat(entry.split("=", 1)[1])
+                    # a partition holds one UTC day; drop only if the WHOLE
+                    # day is older than the horizon
+                    if part_date < cutoff_date:
+                        shutil.rmtree(os.path.join(root, entry))
+                        gone.append(
+                            os.path.relpath(os.path.join(root, entry), path)
+                        )
         dropped[a.step_seconds] = gone
     return dropped
 
@@ -164,11 +213,12 @@ def compact_level(
     df = spark.read.parquet(path)
     sort_key = ladder.key_cols[0]
     tmp = f"{path}__compacting_{uuid.uuid4().hex[:8]}"
+    parts = [c for c in ladder.partition_cols if c in df.columns]
     (
-        df.repartition("date")
+        df.repartition(*parts)
         .sortWithinPartitions(sort_key, "bucket_ts")
         .write.mode("overwrite")
-        .partitionBy("date")
+        .partitionBy(*parts)
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(tmp)
     )
@@ -182,26 +232,38 @@ def compact_level(
 def delete_metrics(
     spark: SparkSession,
     ladder: Ladder,
-    metric_regex: str,
+    metric_regex: str | None = None,
     *,
+    metrics: list[str] | None = None,
     max_records_per_file: int = 2_000_000,
 ) -> dict[int, int]:
     """Metric deletion — the reference's ``rm <metric>.wsp`` operational
     surface (and the execute half of the GDPR erasure story whose audit
     is ``gdpr_erasure_audit``): rewrite every ladder level WITHOUT the
-    series matching ``metric_regex``. Uses the same
-    rewrite-to-temp-then-atomic-swap discipline as :func:`compact_level`
-    (readers never see a partial level; restart-safe). Returns deleted
-    row counts per step for the erasure receipt.
+    series matching ``metric_regex`` (or the exact names in
+    ``metrics``). Uses the same rewrite-to-temp-then-atomic-swap
+    discipline as :func:`compact_level` (readers never see a partial
+    level; restart-safe). Returns deleted row counts per step for the
+    erasure receipt.
 
-    Scale note: deletion rewrites each level once (the levels are
-    rollups — orders of magnitude smaller than raw). At 100 TB, bucket
-    the layout by metric hash so only the buckets containing matching
-    series rewrite; the swap discipline is unchanged.
+    Scale path: with ``metrics`` (exact names — the normal GDPR shape)
+    on a BUCKETED ladder (``metric_buckets > 0``), only the hash
+    buckets containing the named series are read and rewritten —
+    :func:`_delete_exact_bucketed` — so a delete touches ~len(metrics)/N
+    of the level instead of all of it, and the per-bucket swap keeps the
+    same atomicity. A regex delete (or a flat ladder) rewrites the whole
+    level: the regex's matches can live in any bucket.
     """
     import os
     import shutil
     import uuid
+
+    if (metric_regex is None) == (metrics is None):
+        raise ValueError("exactly one of metric_regex/metrics")
+    if metrics is not None and ladder.metric_buckets > 0:
+        return _delete_exact_bucketed(
+            spark, ladder, metrics, max_records_per_file=max_records_per_file
+        )
 
     deleted: dict[int, int] = {}
     for a in ladder.archives:
@@ -210,7 +272,11 @@ def delete_metrics(
             deleted[a.step_seconds] = 0
             continue
         df = spark.read.parquet(path)
-        hit = F.col(ladder.key_cols[0]).rlike(metric_regex)
+        hit = (
+            F.col(ladder.key_cols[0]).rlike(metric_regex)
+            if metric_regex is not None
+            else F.col(ladder.key_cols[0]).isin(list(metrics))
+        )
         n_total, n_del = df.agg(
             F.count(F.lit(1)), F.sum(hit.cast("long"))
         ).first()
@@ -231,12 +297,13 @@ def delete_metrics(
                 "overwrite"
             ).parquet(tmp)
         else:
+            parts = [c for c in ladder.partition_cols if c in df.columns]
             (
                 df.where(~hit)
-                .repartition("date")
+                .repartition(*parts)
                 .sortWithinPartitions(ladder.key_cols[0], "bucket_ts")
                 .write.mode("overwrite")
-                .partitionBy("date")
+                .partitionBy(*parts)
                 .option("maxRecordsPerFile", max_records_per_file)
                 .parquet(tmp)
             )
@@ -244,6 +311,78 @@ def delete_metrics(
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)
+    return deleted
+
+
+def _delete_exact_bucketed(
+    spark: SparkSession,
+    ladder: Ladder,
+    metrics: list[str],
+    *,
+    max_records_per_file: int = 2_000_000,
+) -> dict[int, int]:
+    """Bucket-pruned exact-name deletion: only the ``mbucket=`` partition
+    directories whose hash bucket contains a named series are read and
+    rewritten (per-bucket rewrite-to-temp + atomic directory swap). A
+    bucket with zero survivors is REMOVED whole (an empty footer inside
+    one mbucket dir would sit at a different directory depth than the
+    date= leaves of the others, and Spark partition discovery rejects
+    mixed depths); if that removes the LAST bucket, the level root gets
+    a single-footer empty frame so it stays readable — the same guard
+    as the flat path."""
+    import os
+    import shutil
+    import uuid
+
+    affected = ladder.buckets_for(spark, list(metrics))
+    key = ladder.key_cols[0]
+    deleted: dict[int, int] = {}
+    for a in ladder.archives:
+        path = ladder.level_path(a.step_seconds)
+        total = 0
+        for b in affected:
+            bpath = os.path.join(path, f"mbucket={b}")
+            if not os.path.isdir(bpath):
+                continue
+            bdf = spark.read.parquet(bpath)
+            hit = F.col(key).isin(list(metrics))
+            n_total, n_del = bdf.agg(
+                F.count(F.lit(1)), F.sum(hit.cast("long"))
+            ).first()
+            n_del = int(n_del or 0)
+            total += n_del
+            if n_del == 0:
+                continue
+            if n_del == int(n_total):
+                schema = bdf.withColumn(
+                    "mbucket", F.lit(0).cast("int")
+                ).schema
+                shutil.rmtree(bpath)
+            else:
+                tmp = f"{bpath}__deleting_{uuid.uuid4().hex[:8]}"
+                (
+                    bdf.where(~hit)
+                    .repartition("date")
+                    .sortWithinPartitions(key, "bucket_ts")
+                    .write.mode("overwrite")
+                    .partitionBy("date")
+                    .option("maxRecordsPerFile", max_records_per_file)
+                    .parquet(tmp)
+                )
+                old = f"{bpath}__old_{uuid.uuid4().hex[:8]}"
+                os.rename(bpath, old)
+                os.rename(tmp, bpath)
+                shutil.rmtree(old)
+        if total and not any(
+            e.startswith("mbucket=") for e in os.listdir(path)
+        ):
+            # every bucket vanished: leave one footer so the level stays
+            # readable (mbucket/date become ordinary columns of an empty
+            # frame, as in the flat path's all-deleted guard)
+            spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+                path
+            )
+        deleted[a.step_seconds] = total
     return deleted
 
 
@@ -291,10 +430,26 @@ def fetch_from_ladder(
     now_ts: int,
 ) -> DataFrame:
     """End-to-end reference read path over the materialized ladder:
-    archive selection → partition-pruned scan → grid gap-fill."""
+    archive selection → partition-pruned scan → grid gap-fill.
+
+    On a bucketed ladder, an EXACT metric name additionally prunes to
+    its single ``mbucket=`` partition (hash-bucket pruning — the same
+    predicate the write side used), stacking with the date pruning the
+    fetch path already does."""
+    levels = load_levels(spark, ladder)
+    if (
+        ladder.metric_buckets > 0
+        and metric_glob is not None
+        and not any(ch in metric_glob for ch in "*?{[")
+    ):
+        bs = ladder.buckets_for(spark, [metric_glob])
+        levels = {
+            step: df.where(F.col("mbucket").isin(bs))
+            for step, df in levels.items()
+        }
     return fetch(
         spark,
-        load_levels(spark, ladder),
+        levels,
         list(ladder.archives),
         metric_glob=metric_glob,
         from_ts=from_ts,

@@ -19,6 +19,8 @@ every subsequent window reuses the partitioning.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -1244,3 +1246,307 @@ def group_by_tags(df: DataFrame, func: str, *tags: str) -> DataFrame:
         name_parts.append(tag_value("metric", t))
     collapsed = df.withColumn("metric", F.concat(*name_parts))
     return _combine(collapsed, func)
+
+
+# --- wave 3 (round 7): regression / window-stack / wildcard-merge tail ------
+
+
+def linear_regression(df: DataFrame) -> DataFrame:
+    """graphite ``linearRegression()``: replace each series with its
+    ordinary-least-squares fit, evaluated at every slot (including slots
+    that were gaps in the source — graphite projects the fitted line
+    over the whole render window).
+
+    The fit uses only non-gap points, like graphite's
+    ``linearRegressionAnalysis`` (its sums skip ``None``). x is centered
+    per series on the first bucket before squaring: timestamps are ~1e9
+    so Σx² in raw epoch space (~1e18·n) loses double precision, while
+    the centered fit is algebraically the same line. One per-series
+    aggregate (5 sums) broadcast back — no window, no collect."""
+    x0 = F.min("bucket_ts").over(W.partitionBy("metric"))
+    xc = (F.col("bucket_ts") - x0).cast("double")
+    y = F.col("value")
+    fit = (
+        df.withColumn("__x", xc)
+        .groupBy("metric")
+        .agg(
+            F.count(y).alias("__n"),
+            F.sum(F.when(y.isNotNull(), F.col("__x"))).alias("__sx"),
+            F.sum(y).alias("__sy"),
+            F.sum(F.when(y.isNotNull(), F.col("__x") * F.col("__x"))).alias("__sxx"),
+            F.sum(F.col("__x") * y).alias("__sxy"),
+            F.min(F.col("bucket_ts")).alias("__x0"),
+        )
+    )
+    n = F.col("__n").cast("double")
+    den = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    fit = fit.select(
+        "metric",
+        F.when((F.col("__n") >= 2) & (den != 0), slope).alias("__m"),
+        F.when((F.col("__n") >= 2) & (den != 0), intercept).alias("__b"),
+        "__x0",
+    )
+    out = df.join(F.broadcast(fit), "metric")
+    fitted = (
+        F.col("__b")
+        + F.col("__m") * (F.col("bucket_ts") - F.col("__x0")).cast("double")
+    ).cast("double")
+    return out.select(
+        "metric", "bucket_ts", fitted.alias("value"),
+        *[c for c in df.columns if c not in ("metric", "bucket_ts", "value")],
+    )
+
+
+def use_series_above(
+    df: DataFrame,
+    value: float,
+    search: str,
+    replace: str,
+    fetch_fn: Callable[[str], DataFrame],
+) -> DataFrame:
+    """graphite ``useSeriesAbove(value, search, replace)``: for each
+    series whose MAX exceeds ``value``, regex-substitute its name and
+    fetch the resulting metric instead (the classic
+    ``useSeriesAbove(reqs, 10, 'reqs', 'time')`` drill-down).
+
+    The qualifying-name list is a per-series aggregate collected on the
+    driver — bounded by the upstream glob's series count (the render
+    contract's existing bound), never by data volume. Each substituted
+    name is fetched through the caller's ``fetch_fn`` and the frames are
+    unioned; names that fetch nothing simply contribute no rows, as in
+    graphite."""
+    import re as _re
+
+    names = (
+        df.groupBy("metric")
+        .agg(F.max("value").alias("__mx"))
+        .where(F.col("__mx") > float(value))
+        .select("metric")
+        .collect()
+    )
+    subbed = sorted({_re.sub(search, replace, r["metric"]) for r in names})
+    if not subbed:
+        return df.where(F.lit(False))
+    frames = [fetch_fn(n) for n in subbed]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def time_stack(
+    df: DataFrame, interval_seconds: int, start: int, end: int
+) -> DataFrame:
+    """graphite ``timeStack(interval, start, end)``: one copy of each
+    series per shift multiple in ``[start, end)``, shifted forward by
+    ``i·interval`` and renamed ``timeShift(name, i)`` so day-over-day
+    bands stack on one axis.
+
+    DOCUMENTED DEVIATION: graphite re-fetches each shifted window from
+    storage; here the shifts operate within the already-fetched frame
+    (the render evaluator owns one fetch), so shifted copies cover only
+    the fetched range. The union height is (end−start)·|frame| with
+    end−start a small literal — plan width is bounded by the argument,
+    not the data."""
+    if end <= start:
+        raise ValueError("timeStack needs start < end")
+    copies = []
+    for i in range(int(start), int(end)):
+        copies.append(
+            df.select(
+                F.concat(
+                    F.lit("timeShift("), F.col("metric"), F.lit(f", {i})")
+                ).alias("metric"),
+                (F.col("bucket_ts") + i * int(interval_seconds))
+                .cast("long")
+                .alias("bucket_ts"),
+                "value",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def stdev_series_window(
+    df: DataFrame, points: int, window_tolerance: float = 0.1
+) -> DataFrame:
+    """graphite ``stdev(points, windowTolerance)``: per-slot population
+    standard deviation over the trailing-INCLUSIVE window of ``points``
+    slots (graphite's running window includes the current point, unlike
+    the strictly-before moving* family). A slot goes NULL when the
+    window's missing fraction exceeds ``windowTolerance`` (graphite
+    skips windows with too few valid points).
+
+    Exact integer moments like :func:`series_stdev`: Σq in BIGINT, Σq²
+    in DECIMAL(38,0) so large values can't overflow, one final double
+    sqrt."""
+    w = _w().rowsBetween(-(int(points) - 1), 0)
+    q = F.floor(F.col("value") * _STDEV_QUANT).cast("long")
+    qd = q.cast("decimal(19,0)")
+    n = F.count(q).over(w)
+    s1 = F.sum(q).over(w)
+    s2 = F.sum(qd * qd).over(w)
+    nwin = F.count(F.lit(1)).over(w)
+    nd = n.cast("double")
+    var_num = F.greatest(
+        nd * s2.cast("double") - s1.cast("double") * s1.cast("double"),
+        F.lit(0.0),
+    )
+    sd = F.sqrt(var_num) / (nd * float(_STDEV_QUANT))
+    ok = (nwin - n).cast("double") <= float(window_tolerance) * nwin.cast(
+        "double"
+    )
+    return df.withColumn("value", F.when(ok & (n > 0), sd).cast("double"))
+
+
+def _drop_nodes(*positions: int) -> Column:
+    keep = F.filter(
+        F.zip_with(
+            F.split(F.col("metric"), r"\."),
+            F.sequence(
+                F.lit(0), F.size(F.split(F.col("metric"), r"\.")) - 1
+            ),
+            lambda part, i: F.struct(part.alias("p"), i.alias("i")),
+        ),
+        lambda s: ~s["i"].isin([int(p) for p in positions]),
+    )
+    return F.array_join(F.transform(keep, lambda s: s["p"]), ".")
+
+
+def sum_series_with_wildcards(df: DataFrame, *positions: int) -> DataFrame:
+    """graphite ``sumSeriesWithWildcards(pos, ...)``: merge series whose
+    names match after dropping the given dot-node positions, per-bucket
+    quantized-exact sum. Same shrinking map-side-combinable shuffle as
+    :func:`group_by_node` (the merged key is coarser than the input)."""
+    return _combine(df.withColumn("metric", _drop_nodes(*positions)), "sum")
+
+
+def average_series_with_wildcards(df: DataFrame, *positions: int) -> DataFrame:
+    """graphite ``averageSeriesWithWildcards(pos, ...)`` (safeAvg — gap
+    slots excluded from the denominator)."""
+    return _combine(df.withColumn("metric", _drop_nodes(*positions)), "avg")
+
+
+def substr_series(df: DataFrame, start: int = 0, stop: int = 0) -> DataFrame:
+    """graphite ``substr(start, stop)``: keep only name nodes
+    ``[start:stop]`` (stop=0 → through the end), python-slice semantics
+    including negative indices via array slicing on the split name."""
+    parts = F.split(F.col("metric"), r"\.")
+    n = F.size(parts)
+    lo = F.lit(int(start))
+    lo = F.when(lo < 0, F.greatest(n + lo, F.lit(0))).otherwise(
+        F.least(lo, n)
+    )
+    hi = F.lit(int(stop))
+    hi = (
+        F.when(hi == 0, n)
+        .when(hi < 0, F.greatest(n + hi, F.lit(0)))
+        .otherwise(F.least(hi, n))
+    )
+    sliced = F.when(
+        hi > lo, F.slice(parts, lo + 1, hi - lo)
+    ).otherwise(F.array().cast("array<string>"))
+    return df.withColumn("metric", F.array_join(sliced, "."))
+
+
+def logarithm(df: DataFrame, base: float = 10.0) -> DataFrame:
+    """graphite ``logarithm(base)``: log of each value in the given
+    base; non-positive values go NULL (graphite emits None for them)."""
+    val = F.when(
+        F.col("value") > 0,
+        F.log(float(base), F.col("value")),
+    ).cast("double")
+    return df.withColumn("value", val)
+
+
+def sort_by_minima_series(df: DataFrame) -> DataFrame:
+    """graphite ``sortByMinima()``: drop series whose max ≤ 0 (graphite
+    filters them before sorting), then order ascending by series min
+    (canonical ``__series_order`` form, like the other sortBy*)."""
+    keep = (
+        df.groupBy("metric")
+        .agg(F.max("value").alias("__mx"))
+        .where(F.col("__mx") > 0)
+    )
+    kept = df.join(F.broadcast(keep.select("metric")), "metric")
+    return _with_series_order(kept, F.min("value"), key_desc=False)
+
+
+def maximum_above(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``maximumAbove(n)``: keep series whose max exceeds n."""
+    keep = (
+        df.groupBy("metric")
+        .agg(F.max("value").alias("__mx"))
+        .where(F.col("__mx") > float(threshold))
+    )
+    return df.join(F.broadcast(keep.select("metric")), "metric")
+
+
+def minimum_below(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``minimumBelow(n)``: keep series whose min is below n."""
+    keep = (
+        df.groupBy("metric")
+        .agg(F.min("value").alias("__mn"))
+        .where(F.col("__mn") < float(threshold))
+    )
+    return df.join(F.broadcast(keep.select("metric")), "metric")
+
+
+def interpolate(df: DataFrame, limit: int | None = None) -> DataFrame:
+    """graphite ``interpolate(limit)``: fill interior gap runs by linear
+    interpolation between the surrounding non-gap points; runs longer
+    than ``limit`` slots (when given) and leading/trailing gaps stay
+    NULL, as in graphite. Two carry windows per series (last-before /
+    first-after), no self-join."""
+    before = _w().rowsBetween(W.unboundedPreceding, -1)
+    after = _w().rowsBetween(1, W.unboundedFollowing)
+    nn = F.when(
+        F.col("value").isNotNull(),
+        F.struct(F.col("bucket_ts").alias("t"), F.col("value").alias("v")),
+    )
+    prev = F.last(nn, ignorenulls=True).over(before)
+    nxt = F.first(nn, ignorenulls=True).over(after)
+    frac = (F.col("bucket_ts") - prev["t"]).cast("double") / (
+        nxt["t"] - prev["t"]
+    ).cast("double")
+    filled = (prev["v"] + (nxt["v"] - prev["v"]) * frac).cast("double")
+    can = F.col("value").isNull() & prev.isNotNull() & nxt.isNotNull()
+    if limit is not None:
+        # gap run length in slots = (next_t - prev_t)/step - 1
+        run = ((nxt["t"] - prev["t"]) / _series_step()).cast("long") - 1
+        can = can & (run <= int(limit))
+    return df.withColumn(
+        "value", F.when(can, filled).otherwise(F.col("value"))
+    )
+
+
+def dashed(df: DataFrame, dash_length: float = 5.0) -> DataFrame:
+    """graphite ``dashed(len)``: display-only — data passes through; the
+    series is renamed ``dashed(name, len)`` exactly as graphite does."""
+    g = ("%g" % float(dash_length))
+    return df.withColumn(
+        "metric",
+        F.concat(F.lit("dashed("), F.col("metric"), F.lit(f", {g})")),
+    )
+
+
+def draw_as_infinite(df: DataFrame) -> DataFrame:
+    """graphite ``drawAsInfinite()``: display-only rename
+    (``drawAsInfinite(name)``); values pass through untouched."""
+    return df.withColumn(
+        "metric",
+        F.concat(F.lit("drawAsInfinite("), F.col("metric"), F.lit(")")),
+    )
+
+
+def second_y_axis(df: DataFrame) -> DataFrame:
+    """graphite ``secondYAxis()``: display-only rename
+    (``secondYAxis(name)``); values pass through untouched."""
+    return df.withColumn(
+        "metric",
+        F.concat(F.lit("secondYAxis("), F.col("metric"), F.lit(")")),
+    )

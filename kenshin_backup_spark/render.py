@@ -266,6 +266,49 @@ def _registry() -> dict[str, Callable]:
         "groupByTags": lambda d, s: sf.group_by_tags(
             d[0], str(s[0]), *[str(x) for x in s[1:]]
         ),
+        # --- wave 3 (round 7) -----------------------------------------------
+        "linearRegression": lambda d, s: sf.linear_regression(d[0]),
+        "timeStack": lambda d, s: sf.time_stack(
+            d[0], parse_interval(s[0]), int(s[1]), int(s[2])
+        ),
+        "stdev": lambda d, s: sf.stdev_series_window(
+            d[0], int(s[0]), float(s[1]) if len(s) > 1 else 0.1
+        ),
+        "sumSeriesWithWildcards": lambda d, s: sf.sum_series_with_wildcards(
+            d[0], *[int(x) for x in s]
+        ),
+        "averageSeriesWithWildcards": (
+            lambda d, s: sf.average_series_with_wildcards(
+                d[0], *[int(x) for x in s]
+            )
+        ),
+        "substr": lambda d, s: sf.substr_series(
+            d[0],
+            int(s[0]) if s else 0,
+            int(s[1]) if len(s) > 1 else 0,
+        ),
+        "logarithm": lambda d, s: sf.logarithm(
+            d[0], float(s[0]) if s else 10.0
+        ),
+        "sortByMinima": lambda d, s: sf.sort_by_minima_series(d[0]),
+        "maximumAbove": lambda d, s: sf.maximum_above(d[0], float(s[0])),
+        "minimumBelow": lambda d, s: sf.minimum_below(d[0], float(s[0])),
+        "interpolate": lambda d, s: sf.interpolate(
+            d[0], int(s[0]) if s else None
+        ),
+        # display-only functions: data passes through; dashed /
+        # drawAsInfinite / secondYAxis rename the series exactly as
+        # graphite-web does, color / lineWidth change nothing data-side
+        "dashed": lambda d, s: sf.dashed(
+            d[0], float(s[0]) if s else 5.0
+        ),
+        "drawAsInfinite": lambda d, s: sf.draw_as_infinite(d[0]),
+        "secondYAxis": lambda d, s: sf.second_y_axis(d[0]),
+        "color": lambda d, s: d[0],
+        "lineWidth": lambda d, s: d[0],
+        # evaluator special-case like seriesByTag: needs fetch_fn to
+        # pull the substituted metric names
+        "useSeriesAbove": None,
     }
 
 
@@ -326,6 +369,20 @@ def render(
                 )
             return sf.series_by_tag(
                 fetch_fn(None), *[str(s) for s in scalars]
+            )
+        if name == "useSeriesAbove":
+            # needs the fetch callback: qualifying series' names are
+            # regex-substituted and the RESULTING metrics fetched
+            if len(dfs) != 1 or len(scalars) != 3:
+                raise ValueError(
+                    "useSeriesAbove(series, value, search, replace)"
+                )
+            return sf.use_series_above(
+                dfs[0],
+                float(scalars[0]),
+                str(scalars[1]),
+                str(scalars[2]),
+                fetch_fn,
             )
         if not dfs:
             raise ValueError(f"{name}: needs a series argument")

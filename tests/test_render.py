@@ -316,6 +316,26 @@ def test_render_fuzz_random_compositions(spark):
         "integralByInterval({X}, '2h')",
         "averageOutsidePercentile({X}, 75)",
         "group({X}, {X})",
+        # round-7 wave 3
+        "linearRegression({X})",
+        "timeStack({X}, '1d', 0, 2)",
+        "stdev({X}, 3)",
+        "stdev({X}, 3, 0.5)",
+        "sumSeriesWithWildcards({X}, 0)",
+        "averageSeriesWithWildcards({X}, 1)",
+        "substr({X}, 0, 1)",
+        "logarithm({X})",
+        "sortByMinima({X})",
+        "maximumAbove({X}, 0.5)",
+        "minimumBelow({X}, 100)",
+        "interpolate({X})",
+        "interpolate({X}, 2)",
+        "useSeriesAbove({X}, 0.5, 'cpu', 'mem')",
+        "dashed({X})",
+        "drawAsInfinite({X})",
+        "secondYAxis({X})",
+        "color({X}, 'red')",
+        "lineWidth({X}, 2)",
     ]
     rng = random.Random(20260814)
     fetch = _fetch_fn(spark)
@@ -372,3 +392,38 @@ def test_render_wave2_functions(spark):
     ii = render("integralByInterval(mem.used, '2h')", fetch)
     vals = {r.bucket_ts: r.value for r in ii.collect()}
     assert vals[0] == 5.0 and vals[3600] == 10.0 and vals[7200] == 5.0
+
+
+def test_render_wave3_functions(spark):
+    fetch = _fetch_fn(spark)
+
+    # useSeriesAbove: cpu.load max 8 > 5 qualifies → substituted name is
+    # fetched instead; substitutions that resolve to nothing contribute
+    # no rows (cpu→mem turns cpu.* into mem.load/mem.idle, neither exists)
+    out = render("useSeriesAbove(cpu.load, 5, 'cpu.load', 'mem.used')", fetch)
+    assert {r.metric for r in out.collect()} == {"mem.used"}
+    empty = render("useSeriesAbove(cpu.*, 5, 'cpu', 'mem')", fetch)
+    assert empty.count() == 0
+
+    # linearRegression over the constant series reproduces it exactly
+    lr = {r.bucket_ts: r.value
+          for r in render("linearRegression(mem.used)", fetch).collect()}
+    assert all(abs(v - 5.0) < 1e-9 for v in lr.values())
+
+    # display-only functions: values untouched, graphite renames applied
+    d = render("dashed(mem.used)", fetch).collect()
+    assert {r.metric for r in d} == {"dashed(mem.used, 5)"}
+    assert sorted(r.value for r in d) == [5.0] * 6
+    c = render("color(mem.used, 'red')", fetch).collect()
+    assert {r.metric for r in c} == {"mem.used"}
+
+    # sumSeriesWithWildcards merges cpu.load+cpu.idle after dropping node 1
+    sw = {r.bucket_ts: r.value
+          for r in render("sumSeriesWithWildcards(cpu.*, 1)", fetch).collect()}
+    assert sw[0] == 10.0 and sw[3 * 3600] == 9.0
+
+    # timeStack names and shifts
+    ts = render("timeStack(mem.used, '1h', 0, 2)", fetch)
+    names = {r.metric for r in ts.collect()}
+    assert names == {"timeShift(mem.used, 0)", "timeShift(mem.used, 1)"}
+    assert ts.count() == 12

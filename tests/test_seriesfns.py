@@ -491,3 +491,144 @@ def test_wave2_average_outside_percentile_and_group(spark):
     g = S.group_series([df.where(F.col("metric") == "a"),
                         df.where(F.col("metric") == "e")])
     assert sorted(set(r.metric for r in g.collect())) == ["a", "e"]
+
+
+# --- wave 3 (round 7) -------------------------------------------------------
+
+
+def test_linear_regression_exact_line_fills_gaps(spark):
+    # a perfect line: the fit reproduces it exactly AND projects the
+    # fitted value into the gap slot (graphite emits the line everywhere)
+    df = _series(spark, [
+        ("m", 0, 2.0), ("m", 60, 5.0), ("m", 120, None), ("m", 180, 11.0),
+        ("flat", 0, 7.0), ("flat", 60, 7.0),
+    ])
+    got = {(r.metric, r.bucket_ts): r.value
+           for r in S.linear_regression(df).collect()}
+    assert abs(got[("m", 0)] - 2.0) < 1e-9
+    assert abs(got[("m", 60)] - 5.0) < 1e-9
+    assert abs(got[("m", 120)] - 8.0) < 1e-9   # the gap, filled by the fit
+    assert abs(got[("m", 180)] - 11.0) < 1e-9
+    assert abs(got[("flat", 0)] - 7.0) < 1e-9
+    assert abs(got[("flat", 60)] - 7.0) < 1e-9
+    # a single-point series has no fit → NULL everywhere
+    one = _series(spark, [("p", 0, 3.0)])
+    assert S.linear_regression(one).first().value is None
+
+
+def test_use_series_above(spark):
+    df = _series(spark, [
+        ("a.reqs", 0, 20.0), ("a.reqs", 60, 1.0),
+        ("b.reqs", 0, 5.0),
+    ])
+    store = {
+        "a.time": _series(spark, [("a.time", 0, 0.25)]),
+        "b.time": _series(spark, [("b.time", 0, 0.75)]),
+    }
+
+    def fetch(name):
+        return store[name]
+
+    out = S.use_series_above(df, 10.0, "reqs", "time", fetch)
+    got = [(r.metric, r.bucket_ts, r.value) for r in out.collect()]
+    assert got == [("a.time", 0, 0.25)]  # only a.* qualified (max 20 > 10)
+    # nothing qualifies → empty frame with the canonical schema
+    none = S.use_series_above(df, 100.0, "reqs", "time", fetch)
+    assert none.count() == 0 and set(none.columns) == {
+        "metric", "bucket_ts", "value"}
+
+
+def test_time_stack(spark):
+    df = _series(spark, [("m", 86400, 1.0), ("m", 86460, 2.0)])
+    out = S.time_stack(df, 86400, 0, 2)
+    got = {(r.metric, r.bucket_ts): r.value for r in out.collect()}
+    assert got == {
+        ("timeShift(m, 0)", 86400): 1.0, ("timeShift(m, 0)", 86460): 2.0,
+        ("timeShift(m, 1)", 172800): 1.0, ("timeShift(m, 1)", 172860): 2.0,
+    }
+
+
+def test_stdev_window(spark):
+    df = _series(spark, [
+        ("m", 0, 2.0), ("m", 60, 4.0), ("m", 120, 4.0), ("m", 180, None),
+        ("m", 240, 6.0),
+    ])
+    got = {r.bucket_ts: r.value for r in S.stdev_series_window(df, 2).collect()}
+    assert got[0] == 0.0                       # window [2] → pop sd 0
+    assert abs(got[60] - 1.0) < 1e-9           # [2,4] → 1
+    assert abs(got[120] - 0.0) < 1e-9          # [4,4] → 0
+    # windows containing the gap: missing fraction 1/2 > tolerance 0.1 → NULL
+    assert got[180] is None and got[240] is None
+    # a looser tolerance admits the 1-of-2 windows
+    loose = {r.bucket_ts: r.value
+             for r in S.stdev_series_window(df, 2, 0.5).collect()}
+    assert loose[180] == 0.0 and loose[240] == 0.0
+
+
+def test_series_with_wildcards_and_substr(spark):
+    df = _series(spark, [
+        ("a.x.c", 0, 1.0), ("a.y.c", 0, 2.0), ("b.x.c", 0, 10.0),
+    ])
+    s = {(r.metric, r.bucket_ts): r.value
+         for r in S.sum_series_with_wildcards(df, 1).collect()}
+    assert s == {("a.c", 0): 3.0, ("b.c", 0): 10.0}
+    a = {(r.metric, r.bucket_ts): r.value
+         for r in S.average_series_with_wildcards(df, 1).collect()}
+    assert a == {("a.c", 0): 1.5, ("b.c", 0): 10.0}
+
+    sub = _series(spark, [("a.b.c.d", 0, 1.0)])
+    assert S.substr_series(sub, 1, 3).first().metric == "b.c"
+    assert S.substr_series(sub, 1).first().metric == "b.c.d"
+    assert S.substr_series(sub, 0, -1).first().metric == "a.b.c"
+    assert S.substr_series(sub, -2).first().metric == "c.d"
+
+
+def test_logarithm(spark):
+    df = _series(spark, [
+        ("m", 0, 100.0), ("m", 60, 1.0), ("m", 120, 0.0), ("m", 180, -5.0),
+        ("m", 240, None),
+    ])
+    got = {r.bucket_ts: r.value for r in S.logarithm(df).collect()}
+    assert abs(got[0] - 2.0) < 1e-9 and abs(got[60]) < 1e-9
+    assert got[120] is None and got[180] is None and got[240] is None
+    two = {r.bucket_ts: r.value for r in S.logarithm(df, 2).collect()}
+    assert abs(two[0] - 6.643856189774724) < 1e-9
+
+
+def test_sort_by_minima_and_threshold_filters(spark):
+    df = _series(spark, [
+        ("neg", 0, -3.0), ("neg", 60, -1.0),       # max <= 0 → dropped
+        ("lo", 0, 1.0), ("lo", 60, 9.0),
+        ("hi", 0, 5.0), ("hi", 60, 9.0),
+    ])
+    out = S.limit_series(S.sort_by_minima_series(df), 1)
+    assert {r.metric for r in out.collect()} == {"lo"}  # smallest min first
+
+    assert {r.metric for r in S.maximum_above(df, 8.0).collect()} == {
+        "lo", "hi"}
+    assert {r.metric for r in S.minimum_below(df, 0.0).collect()} == {"neg"}
+
+
+def test_interpolate(spark):
+    df = _series(spark, [
+        ("m", 0, None), ("m", 60, 2.0), ("m", 120, None), ("m", 180, None),
+        ("m", 240, 5.0), ("m", 300, None),
+    ])
+    got = {r.bucket_ts: r.value for r in S.interpolate(df).collect()}
+    assert got[0] is None and got[300] is None     # leading/trailing stay
+    assert abs(got[120] - 3.0) < 1e-9 and abs(got[180] - 4.0) < 1e-9
+    # run length 2 > limit 1 → untouched
+    lim = {r.bucket_ts: r.value for r in S.interpolate(df, 1).collect()}
+    assert lim[120] is None and lim[180] is None
+    short = _series(spark, [("m", 0, 2.0), ("m", 60, None), ("m", 120, 4.0)])
+    lim1 = {r.bucket_ts: r.value for r in S.interpolate(short, 1).collect()}
+    assert abs(lim1[60] - 3.0) < 1e-9
+
+
+def test_display_only_renames(spark):
+    df = _series(spark, [("m", 0, 1.0)])
+    assert S.dashed(df).first().metric == "dashed(m, 5)"
+    assert S.dashed(df, 2.5).first().metric == "dashed(m, 2.5)"
+    assert S.draw_as_infinite(df).first().metric == "drawAsInfinite(m)"
+    assert S.second_y_axis(df).first().metric == "secondYAxis(m)"
+    assert S.draw_as_infinite(df).first().value == 1.0
