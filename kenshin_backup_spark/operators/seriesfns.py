@@ -1377,30 +1377,31 @@ def stdev_series_window(
     """graphite ``stdev(points, windowTolerance)``: per-slot population
     standard deviation over the trailing-INCLUSIVE window of ``points``
     slots (graphite's running window includes the current point, unlike
-    the strictly-before moving* family). A slot goes NULL when the
-    window's missing fraction exceeds ``windowTolerance`` (graphite
-    skips windows with too few valid points).
+    the strictly-before moving* family; slots before a full window use
+    the shorter bootstrap window, as graphite does). A slot emits only
+    when ``validPoints / points >= windowTolerance`` — graphite's
+    literal gate (note the denominator is ``points``, not the current
+    window size) — and goes NULL otherwise.
 
     Exact integer moments like :func:`series_stdev`: Σq in BIGINT, Σq²
     in DECIMAL(38,0) so large values can't overflow, one final double
-    sqrt."""
+    sqrt (same ``sqrt(n·Σv² − (Σv)²)/n`` expression graphite uses)."""
     w = _w().rowsBetween(-(int(points) - 1), 0)
     q = F.floor(F.col("value") * _STDEV_QUANT).cast("long")
     qd = q.cast("decimal(19,0)")
     n = F.count(q).over(w)
     s1 = F.sum(q).over(w)
     s2 = F.sum(qd * qd).over(w)
-    nwin = F.count(F.lit(1)).over(w)
     nd = n.cast("double")
     var_num = F.greatest(
         nd * s2.cast("double") - s1.cast("double") * s1.cast("double"),
         F.lit(0.0),
     )
     sd = F.sqrt(var_num) / (nd * float(_STDEV_QUANT))
-    ok = (nwin - n).cast("double") <= float(window_tolerance) * nwin.cast(
-        "double"
+    ok = (n > 0) & (
+        nd / F.lit(float(points)) >= F.lit(float(window_tolerance))
     )
-    return df.withColumn("value", F.when(ok & (n > 0), sd).cast("double"))
+    return df.withColumn("value", F.when(ok, sd).cast("double"))
 
 
 def _drop_nodes(*positions: int) -> Column:

@@ -695,3 +695,196 @@ def test_moving_family_matches_reference_many_cases(spark):
             for i in range(len(vals)):
                 expect = ref(vals, i, agg)
                 assert got[(m, 60 * i)] == expect, (fn.__name__, m, i)
+
+
+# --- round-7 wave-3 graphite-parity pins ------------------------------------
+# Each reference below is a literal transcription of the published
+# graphite-web algorithm (webapp/graphite/render/functions.py), run in
+# pure Python against the same random gappy series the engine sees.
+
+
+def _graphite_changed(vals):
+    previous, out = None, []
+    for value in vals:
+        if previous is None:
+            previous = value
+            out.append(0.0)
+        elif value is not None and previous != value:
+            out.append(1.0)
+            previous = value
+        else:
+            out.append(0.0)
+    return out
+
+
+def _graphite_stdev(vals, points, tolerance):
+    import math
+
+    valid, s1, s2, out = 0, 0.0, 0.0, []
+    for index, new in enumerate(vals):
+        dropped = None if index < points else vals[index - points]
+        if index >= points and dropped is not None:
+            valid -= 1
+            s1 -= dropped
+            s2 -= dropped * dropped
+        if new is not None:
+            valid += 1
+            s1 += new
+            s2 += new * new
+        if valid > 0 and float(valid) / points >= tolerance:
+            out.append(math.sqrt(max(valid * s2 - s1 * s1, 0.0)) / valid)
+        else:
+            out.append(None)
+    return out
+
+
+def _graphite_interpolate(vals, limit=None):
+    import math
+
+    vals = list(vals)
+    lim = math.inf if limit is None else limit
+    consecutive = 0
+    for i, value in enumerate(vals):
+        if value is None:
+            consecutive += 1
+            continue
+        start = i - consecutive - 1
+        if 0 < consecutive <= lim and start >= 0:
+            last = vals[start]
+            if last is not None:
+                step = (value - last) / (consecutive + 1)
+                for k in range(1, consecutive + 1):
+                    vals[start + k] = last + step * k
+        consecutive = 0
+    return vals
+
+
+def _graphite_linreg(vals, start_ts, step):
+    """linearRegressionAnalysis + forecast: OLS over (index, value) of
+    non-None points, then the fitted line in TIME space at every slot."""
+    pts = [(i, v) for i, v in enumerate(vals) if v is not None]
+    n = len(pts)
+    if n < 2:
+        return [None] * len(vals)
+    si = sum(i for i, _ in pts)
+    sv = sum(v for _, v in pts)
+    sii = sum(i * i for i, _ in pts)
+    siv = sum(i * v for i, v in pts)
+    den = float(n * sii - si * si)
+    if den == 0:
+        return [None] * len(vals)
+    factor = (n * siv - si * sv) / den / step
+    offset = (sii * sv - siv * si) / den - factor * start_ts
+    return [factor * (start_ts + i * step) + offset for i in range(len(vals))]
+
+
+def _rand_gappy_cases(rng, n_cases, min_len=1, max_len=20, gap_p=0.3):
+    rows, series = [], {}
+    for case in range(n_cases):
+        n = rng.randint(min_len, max_len)
+        vals = [
+            None if rng.random() < gap_p else float(rng.randint(-9, 9))
+            for _ in range(n)
+        ]
+        metric = f"m{case}"
+        series[metric] = vals
+        rows += [(metric, 60 * i, v) for i, v in enumerate(vals)]
+    return rows, series
+
+
+def test_changed_matches_graphite_reference_many_cases(spark):
+    """Random gappy series: changed() equals graphite's carry-across-gaps
+    reference (the round-7 ADVICE fix — lag() lost changes after gaps)."""
+    from kenshin_backup_spark.operators import seriesfns as S
+
+    rng = random.Random(70707)
+    rows, series = _rand_gappy_cases(rng, 40)
+    df = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+    got = {
+        (r["metric"], r["bucket_ts"]): r["value"]
+        for r in S.changed(df).collect()
+    }
+    for m, vals in series.items():
+        want = _graphite_changed(vals)
+        for i, w in enumerate(want):
+            assert got[(m, 60 * i)] == w, (m, i, vals)
+
+
+def test_stdev_matches_graphite_reference_many_cases(spark):
+    """Random gappy series × window sizes × tolerances: stdev() equals
+    graphite's running-window reference, including the bootstrap head
+    and the validPoints/points >= tolerance gate (denominator POINTS)."""
+    from kenshin_backup_spark.operators import seriesfns as S
+
+    rng = random.Random(70717)
+    for points, tol in ((2, 0.1), (3, 0.5), (4, 0.9), (5, 0.1)):
+        rows, series = _rand_gappy_cases(rng, 12)
+        df = spark.createDataFrame(
+            rows, "metric string, bucket_ts long, value double"
+        )
+        got = {
+            (r["metric"], r["bucket_ts"]): r["value"]
+            for r in S.stdev_series_window(df, points, tol).collect()
+        }
+        for m, vals in series.items():
+            want = _graphite_stdev(vals, points, tol)
+            for i, w in enumerate(want):
+                g = got[(m, 60 * i)]
+                if w is None:
+                    assert g is None, (m, i, points, tol, vals)
+                else:
+                    assert g is not None and abs(g - w) < 1e-6, (
+                        m, i, points, tol, vals)
+
+
+def test_interpolate_matches_graphite_reference_many_cases(spark):
+    """Random gappy series × limits: interpolate() equals graphite's
+    linear fill (interior runs only, run length capped by limit)."""
+    from kenshin_backup_spark.operators import seriesfns as S
+
+    rng = random.Random(70727)
+    for limit in (None, 1, 2, 5):
+        rows, series = _rand_gappy_cases(rng, 12, gap_p=0.4)
+        df = spark.createDataFrame(
+            rows, "metric string, bucket_ts long, value double"
+        )
+        got = {
+            (r["metric"], r["bucket_ts"]): r["value"]
+            for r in S.interpolate(df, limit).collect()
+        }
+        for m, vals in series.items():
+            want = _graphite_interpolate(vals, limit)
+            for i, w in enumerate(want):
+                g = got[(m, 60 * i)]
+                if w is None:
+                    assert g is None, (m, i, limit, vals)
+                else:
+                    assert g is not None and abs(g - w) < 1e-9, (
+                        m, i, limit, vals)
+
+
+def test_linear_regression_matches_graphite_reference_many_cases(spark):
+    """Random gappy series: linearRegression() equals graphite's
+    index-space OLS mapped to time space (identical line on the regular
+    grid; centered-x computation differs only in float error)."""
+    from kenshin_backup_spark.operators import seriesfns as S
+
+    rng = random.Random(70737)
+    rows, series = _rand_gappy_cases(rng, 30, min_len=1, max_len=15)
+    df = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+    got = {
+        (r["metric"], r["bucket_ts"]): r["value"]
+        for r in S.linear_regression(df).collect()
+    }
+    for m, vals in series.items():
+        want = _graphite_linreg(vals, 0, 60)
+        for i, w in enumerate(want):
+            g = got[(m, 60 * i)]
+            if w is None:
+                assert g is None, (m, i, vals)
+            else:
+                assert g is not None and abs(g - w) < 1e-6, (m, i, vals)

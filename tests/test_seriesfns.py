@@ -554,15 +554,17 @@ def test_stdev_window(spark):
         ("m", 240, 6.0),
     ])
     got = {r.bucket_ts: r.value for r in S.stdev_series_window(df, 2).collect()}
-    assert got[0] == 0.0                       # window [2] → pop sd 0
+    assert got[0] == 0.0                       # bootstrap window [2] → sd 0
     assert abs(got[60] - 1.0) < 1e-9           # [2,4] → 1
     assert abs(got[120] - 0.0) < 1e-9          # [4,4] → 0
-    # windows containing the gap: missing fraction 1/2 > tolerance 0.1 → NULL
-    assert got[180] is None and got[240] is None
-    # a looser tolerance admits the 1-of-2 windows
-    loose = {r.bucket_ts: r.value
-             for r in S.stdev_series_window(df, 2, 0.5).collect()}
-    assert loose[180] == 0.0 and loose[240] == 0.0
+    # windows containing the gap: 1 valid of 2 → 0.5 >= tolerance 0.1,
+    # graphite still emits (stddev of the single value = 0)
+    assert got[180] == 0.0 and got[240] == 0.0
+    # a tolerance demanding >half valid suppresses those slots
+    strict = {r.bucket_ts: r.value
+              for r in S.stdev_series_window(df, 2, 0.6).collect()}
+    assert strict[180] is None and strict[240] is None
+    assert abs(strict[60] - 1.0) < 1e-9
 
 
 def test_series_with_wildcards_and_substr(spark):
