@@ -1551,3 +1551,178 @@ def second_y_axis(df: DataFrame) -> DataFrame:
         "metric",
         F.concat(F.lit("secondYAxis("), F.col("metric"), F.lit(")")),
     )
+
+
+def exponential_moving_average(df: DataFrame, window_points: int) -> DataFrame:
+    """graphite ``exponentialMovingAverage(windowSize)``:
+    ``EMA = c·value + (1−c)·EMA_prev`` with ``c = 2/(windowSize+1)``,
+    seeded with the simple average of the first full window (graphite
+    seeds from a PREVIEW fetch of windowSize points before the render
+    window; in the frame-only model the seed is the first ``windowSize``
+    in-frame slots — documented deviation, same convention as the
+    moving* family's leading gaps). Slots before the seed window
+    completes are gaps; gap slots afterwards emit NULL and leave the
+    EMA untouched, as graphite does.
+
+    The recurrence is sequential per series, so it folds over ONE
+    per-series array: collect_list bounded by the render window's point
+    count (the bounded-collect contract), ``aggregate`` for the fold,
+    posexplode back to the canonical frame. No driver collect, no
+    cross-series traffic."""
+    w = int(window_points)
+    c = 2.0 / (w + 1.0)
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("bucket_ts").alias("t"),
+                                F.col("value").alias("v")))
+    )
+    per = df.groupBy("metric").agg(arr.alias("__pts"))
+    # seed: safeAvg over the first w slots (gaps excluded from the mean)
+    head = F.slice(F.col("__pts"), 1, w)
+    head_vals = F.filter(head, lambda s: s["v"].isNotNull())
+    seed = F.when(
+        F.size(head_vals) > 0,
+        F.aggregate(
+            head_vals, F.lit(0.0), lambda a, s: a + s["v"]
+        ) / F.size(head_vals),
+    ).otherwise(F.lit(0.0))
+    per = per.withColumn("__seed", seed)
+    tail = F.when(
+        F.size("__pts") > w, F.slice(F.col("__pts"), w + 1, F.size("__pts") - w)
+    ).otherwise(F.array().cast("array<struct<t:bigint,v:double>>"))
+    folded = F.aggregate(
+        tail,
+        F.struct(
+            F.col("__seed").alias("ema"),
+            F.array().cast("array<struct<t:bigint,v:double>>").alias("out"),
+        ),
+        lambda acc, s: F.struct(
+            F.when(
+                s["v"].isNotNull(), F.lit(c) * s["v"] + (1.0 - c) * acc["ema"]
+            ).otherwise(acc["ema"]).alias("ema"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        s["t"].alias("t"),
+                        F.when(
+                            s["v"].isNotNull(),
+                            F.lit(c) * s["v"] + (1.0 - c) * acc["ema"],
+                        ).alias("v"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+    )
+    # emit: leading w-1 slots NULL, the seed at slot w-1, then the fold
+    lead = F.transform(
+        F.slice(F.col("__pts"), 1, w - 1) if w > 1
+        else F.array().cast("array<struct<t:bigint,v:double>>"),
+        lambda s: F.struct(
+            s["t"].alias("t"), F.lit(None).cast("double").alias("v")
+        ),
+    )
+    seed_pt = F.when(
+        F.size("__pts") >= w,
+        F.array(
+            F.struct(
+                F.element_at("__pts", w)["t"].alias("t"),
+                F.col("__seed").alias("v"),
+            )
+        ),
+    ).otherwise(
+        F.transform(
+            F.slice(F.col("__pts"), w, 1),
+            lambda s: F.struct(
+                s["t"].alias("t"), F.lit(None).cast("double").alias("v")
+            ),
+        )
+    )
+    allpts = F.concat(lead, seed_pt, folded["out"])
+    out = per.select(
+        "metric", F.explode(allpts).alias("__p")
+    )
+    return out.select(
+        "metric",
+        F.col("__p")["t"].alias("bucket_ts"),
+        F.col("__p")["v"].cast("double").alias("value"),
+    )
+
+
+def aggregate_line(df: DataFrame, func: str = "avg") -> DataFrame:
+    """graphite ``aggregateLine(func)``: replace each series with a flat
+    line at its aggregate (avg/sum/min/max/last — quantized-exact for
+    avg/sum). Per-series 1-row aggregate broadcast back."""
+    q = F.floor(F.col("value") * QUANT).cast("long")
+    aggs = {
+        "avg": (F.sum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
+        "average": (F.sum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
+        "sum": (F.sum(q) / F.lit(float(QUANT))).cast("double"),
+        "min": F.min("value"),
+        "max": F.max("value"),
+        "last": F.max(
+            F.when(
+                F.col("value").isNotNull(),
+                F.struct(F.col("bucket_ts").alias("t"),
+                         F.col("value").alias("v")),
+            )
+        )["v"],
+    }
+    if func not in aggs:
+        raise ValueError(f"aggregateLine func must be one of {sorted(aggs)}")
+    line = df.groupBy("metric").agg(aggs[func].alias("__line"))
+    return (
+        df.join(F.broadcast(line), "metric")
+        .withColumn("value", F.col("__line").cast("double"))
+        .drop("__line")
+    )
+
+
+def min_max(df: DataFrame) -> DataFrame:
+    """graphite ``minMax()``: normalize each series to [0, 1] by its own
+    min/max; a constant series maps to 0 (graphite's vmax==vmin branch);
+    gaps stay gaps."""
+    stats = df.groupBy("metric").agg(
+        F.min("value").alias("__mn"), F.max("value").alias("__mx")
+    )
+    norm = F.when(
+        F.col("__mx") == F.col("__mn"), F.lit(0.0)
+    ).otherwise(
+        (F.col("value") - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))
+    )
+    return (
+        df.join(F.broadcast(stats), "metric")
+        .withColumn(
+            "value",
+            F.when(F.col("value").isNotNull(), norm).cast("double"),
+        )
+        .drop("__mn", "__mx")
+    )
+
+
+def sigmoid_series(df: DataFrame) -> DataFrame:
+    """graphite ``sigmoid()``: 1/(1+e^(−x)) per value; gaps stay gaps."""
+    return df.withColumn(
+        "value",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("value")))).cast("double"),
+    )
+
+
+def logit_series(df: DataFrame) -> DataFrame:
+    """graphite ``logit()``: ln(x/(1−x)); values outside (0, 1) have no
+    logit and go NULL (graphite emits None on the math error)."""
+    ok = (F.col("value") > 0) & (F.col("value") < 1)
+    return df.withColumn(
+        "value",
+        F.when(
+            ok, F.log(F.col("value") / (F.lit(1.0) - F.col("value")))
+        ).cast("double"),
+    )
+
+
+def round_series(df: DataFrame, precision: int = 0) -> DataFrame:
+    """graphite ``round(precision)``: half-even rounding (Python 3's
+    ``round``, which graphite calls) — ``F.bround``, not ``F.round``
+    (HALF_UP would diverge on exact .5 ties)."""
+    return df.withColumn(
+        "value", F.bround(F.col("value"), int(precision)).cast("double")
+    )

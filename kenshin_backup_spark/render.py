@@ -306,6 +306,19 @@ def _registry() -> dict[str, Callable]:
         "secondYAxis": lambda d, s: sf.second_y_axis(d[0]),
         "color": lambda d, s: d[0],
         "lineWidth": lambda d, s: d[0],
+        "exponentialMovingAverage": lambda d, s: (
+            sf.exponential_moving_average(d[0], int(s[0]))
+        ),
+        "aggregateLine": lambda d, s: sf.aggregate_line(
+            d[0], str(s[0]) if s else "avg"
+        ),
+        "minMax": lambda d, s: sf.min_max(d[0]),
+        "sigmoid": lambda d, s: sf.sigmoid_series(d[0]),
+        "logit": lambda d, s: sf.logit_series(d[0]),
+        "round": lambda d, s: sf.round_series(
+            d[0], int(s[0]) if s else 0
+        ),
+        "add": lambda d, s: sf.offset(d[0], float(s[0])),
         # evaluator special-case like seriesByTag: needs fetch_fn to
         # pull the substituted metric names
         "useSeriesAbove": None,

@@ -331,6 +331,14 @@ def test_render_fuzz_random_compositions(spark):
         "interpolate({X})",
         "interpolate({X}, 2)",
         "useSeriesAbove({X}, 0.5, 'cpu', 'mem')",
+        "exponentialMovingAverage({X}, 3)",
+        "aggregateLine({X}, 'avg')",
+        "aggregateLine({X}, 'last')",
+        "minMax({X})",
+        "sigmoid({X})",
+        "logit({X})",
+        "round({X}, 1)",
+        "add({X}, 5)",
         "dashed({X})",
         "drawAsInfinite({X})",
         "secondYAxis({X})",

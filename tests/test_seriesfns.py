@@ -634,3 +634,56 @@ def test_display_only_renames(spark):
     assert S.draw_as_infinite(df).first().metric == "drawAsInfinite(m)"
     assert S.second_y_axis(df).first().metric == "secondYAxis(m)"
     assert S.draw_as_infinite(df).first().value == 1.0
+
+
+def test_exponential_moving_average(spark):
+    # w=3, c=0.5: seed = avg(1,2,3)=2 at slot 120; then
+    # ema(180) = .5*4 + .5*2 = 3; gap at 240 emits NULL, carries ema;
+    # ema(300) = .5*5 + .5*3 = 4
+    df = _series(spark, [
+        ("m", 0, 1.0), ("m", 60, 2.0), ("m", 120, 3.0), ("m", 180, 4.0),
+        ("m", 240, None), ("m", 300, 5.0),
+    ])
+    got = {r.bucket_ts: r.value
+           for r in S.exponential_moving_average(df, 3).collect()}
+    assert got[0] is None and got[60] is None
+    assert abs(got[120] - 2.0) < 1e-9
+    assert abs(got[180] - 3.0) < 1e-9
+    assert got[240] is None
+    assert abs(got[300] - 4.0) < 1e-9
+    # series shorter than the window → all gaps
+    short = _series(spark, [("s", 0, 1.0), ("s", 60, 2.0)])
+    vals = [r.value for r in S.exponential_moving_average(short, 3).collect()]
+    assert vals == [None, None]
+
+
+def test_aggregate_line_and_min_max(spark):
+    df = _series(spark, [
+        ("m", 0, 1.0), ("m", 60, 3.0), ("m", 120, None), ("m", 180, 5.0),
+    ])
+    line = {r.bucket_ts: r.value for r in S.aggregate_line(df, "avg").collect()}
+    assert line == {0: 3.0, 60: 3.0, 120: 3.0, 180: 3.0}
+    last = {r.bucket_ts: r.value for r in S.aggregate_line(df, "last").collect()}
+    assert last == {0: 5.0, 60: 5.0, 120: 5.0, 180: 5.0}
+
+    mm = {r.bucket_ts: r.value for r in S.min_max(df).collect()}
+    assert mm == {0: 0.0, 60: 0.5, 120: None, 180: 1.0}
+    flat = _series(spark, [("f", 0, 7.0), ("f", 60, 7.0)])
+    assert {r.value for r in S.min_max(flat).collect()} == {0.0}
+
+
+def test_sigmoid_logit_round(spark):
+    df = _series(spark, [("m", 0, 0.0), ("m", 60, 0.5), ("m", 120, 2.0),
+                         ("m", 180, None)])
+    sg = {r.bucket_ts: r.value for r in S.sigmoid_series(df).collect()}
+    assert abs(sg[0] - 0.5) < 1e-12
+    assert abs(sg[60] - 0.6224593312018546) < 1e-12
+    assert sg[180] is None
+    lg = {r.bucket_ts: r.value for r in S.logit_series(df).collect()}
+    assert lg[0] is None and lg[120] is None and lg[180] is None
+    assert abs(lg[60]) < 1e-12  # logit(.5) = 0
+    rd = _series(spark, [("m", 0, 2.5), ("m", 60, 3.5), ("m", 120, 2.44)])
+    got = {r.bucket_ts: r.value for r in S.round_series(rd).collect()}
+    assert got == {0: 2.0, 60: 4.0, 120: 2.0}  # half-even, like python round
+    got1 = {r.bucket_ts: r.value for r in S.round_series(rd, 1).collect()}
+    assert got1 == {0: 2.5, 60: 3.5, 120: 2.4}
