@@ -1726,3 +1726,82 @@ def round_series(df: DataFrame, precision: int = 0) -> DataFrame:
     return df.withColumn(
         "value", F.bround(F.col("value"), int(precision)).cast("double")
     )
+
+
+def group_by_nodes(df: DataFrame, func: str, *nodes: int) -> DataFrame:
+    """graphite ``groupByNodes(func, n1, n2, ...)``: the multi-node
+    generalization of :func:`group_by_node` — merge series sharing ALL
+    the selected name components, combining same-bucket values with
+    ``func``. Same shrinking map-side-combinable shuffle."""
+    key = F.concat_ws(".", *[_node(n) for n in nodes])
+    return _combine(df.withColumn("metric", key), func)
+
+
+def smart_summarize(
+    df: DataFrame, interval_seconds: int, func: str = "sum"
+) -> DataFrame:
+    """graphite ``smartSummarize()``: like :func:`summarize` but buckets
+    align to the REQUEST start instead of the epoch. In the frame-only
+    model the request start is the fetched window's first slot — the
+    global min ``bucket_ts`` (a 1-row aggregate broadcast back, no
+    window). Epoch-aligned ``summarize`` and this agree whenever from_ts
+    is interval-aligned."""
+    origin = df.agg(F.min("bucket_ts").alias("__o"))
+    shifted = df.crossJoin(F.broadcast(origin)).withColumn(
+        "bucket_ts", (F.col("bucket_ts") - F.col("__o")).cast("long")
+    )
+    out = summarize(shifted.drop("__o"), interval_seconds, func)
+    return (
+        out.crossJoin(F.broadcast(origin))
+        .withColumn("bucket_ts", (F.col("bucket_ts") + F.col("__o")).cast("long"))
+        .drop("__o")
+    )
+
+
+def consolidate_by(df: DataFrame, func: str) -> DataFrame:
+    """graphite ``consolidateBy(func)``: a RENDER-TIME hint — it sets
+    which kernel the webapp uses when squeezing points into pixels
+    (maxDataPoints consolidation). This engine returns full-resolution
+    frames and never pixel-consolidates, so data passes through
+    untouched; the name is wrapped exactly as graphite does so legends
+    match."""
+    if func not in ("sum", "average", "avg", "min", "max", "first", "last"):
+        raise ValueError(f"bad consolidateBy func {func!r}")
+    return df.withColumn(
+        "metric",
+        F.concat(
+            F.lit("consolidateBy("), F.col("metric"), F.lit(f', "{func}")')
+        ),
+    )
+
+
+def cacti_style(df: DataFrame) -> DataFrame:
+    """graphite ``cactiStyle()``: append Cacti-style legend text
+    ``Current:<last> Max:<max> Min:<min>`` to each series name; values
+    pass through. Per-series 1-row aggregate broadcast back."""
+    cur = F.max(
+        F.when(
+            F.col("value").isNotNull(),
+            F.struct(F.col("bucket_ts").alias("t"), F.col("value").alias("v")),
+        )
+    )["v"]
+    stats = df.groupBy("metric").agg(
+        cur.alias("__c"), F.max("value").alias("__mx"),
+        F.min("value").alias("__mn"),
+    )
+    fmt = lambda c: F.coalesce(  # noqa: E731
+        F.format_number(c, 2), F.lit("nan")
+    )
+    return (
+        df.join(F.broadcast(stats), "metric")
+        .withColumn(
+            "metric",
+            F.concat(
+                F.col("metric"),
+                F.lit(" Current:"), fmt(F.col("__c")),
+                F.lit(" Max:"), fmt(F.col("__mx")),
+                F.lit(" Min:"), fmt(F.col("__mn")),
+            ),
+        )
+        .drop("__c", "__mx", "__mn")
+    )

@@ -319,6 +319,17 @@ def _registry() -> dict[str, Callable]:
             d[0], int(s[0]) if s else 0
         ),
         "add": lambda d, s: sf.offset(d[0], float(s[0])),
+        "groupByNodes": lambda d, s: sf.group_by_nodes(
+            d[0], str(s[0]), *[int(x) for x in s[1:]]
+        ),
+        "smartSummarize": lambda d, s: sf.smart_summarize(
+            d[0], parse_interval(s[0]), str(s[1]) if len(s) > 1 else "sum"
+        ),
+        "consolidateBy": lambda d, s: sf.consolidate_by(d[0], str(s[0])),
+        "cactiStyle": lambda d, s: sf.cacti_style(d[0]),
+        # display-only passthroughs (opacity / paired-area fill hints)
+        "alpha": lambda d, s: d[0],
+        "areaBetween": lambda d, s: sf.group_series(d),
         # evaluator special-case like seriesByTag: needs fetch_fn to
         # pull the substituted metric names
         "useSeriesAbove": None,
@@ -338,7 +349,7 @@ def _moving(fn, df, window):
 _TWO_SERIES = frozenset({"diffSeries", "divideSeries", "weightedAverage"})
 
 #: Functions taking ANY number of series expressions (≥ 1).
-_MULTI_SERIES = frozenset({"group"})
+_MULTI_SERIES = frozenset({"group", "areaBetween"})
 
 
 SUPPORTED_FUNCTIONS = tuple(sorted(_registry()))

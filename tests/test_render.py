@@ -339,6 +339,12 @@ def test_render_fuzz_random_compositions(spark):
         "logit({X})",
         "round({X}, 1)",
         "add({X}, 5)",
+        "groupByNodes({X}, 'sum', 0)",
+        "smartSummarize({X}, '2h', 'max')",
+        "consolidateBy({X}, 'max')",
+        "cactiStyle({X})",
+        "alpha({X}, 0.5)",
+        "areaBetween({X}, {X})",
         "dashed({X})",
         "drawAsInfinite({X})",
         "secondYAxis({X})",

@@ -687,3 +687,44 @@ def test_sigmoid_logit_round(spark):
     assert got == {0: 2.0, 60: 4.0, 120: 2.0}  # half-even, like python round
     got1 = {r.bucket_ts: r.value for r in S.round_series(rd, 1).collect()}
     assert got1 == {0: 2.5, 60: 3.5, 120: 2.4}
+
+
+def test_group_by_nodes_and_smart_summarize(spark):
+    df = _series(spark, [
+        ("app.click.us.h1", 0, 1.0), ("app.click.eu.h2", 0, 2.0),
+        ("app.view.us.h3", 0, 10.0),
+    ])
+    g = {(r.metric, r.bucket_ts): r.value
+         for r in S.group_by_nodes(df, "sum", 1, 2).collect()}
+    assert g == {("click.us", 0): 1.0, ("click.eu", 0): 2.0,
+                 ("view.us", 0): 10.0}
+    g2 = {(r.metric, r.bucket_ts): r.value
+          for r in S.group_by_nodes(df, "sum", 1).collect()}
+    assert g2 == {("click", 0): 3.0, ("view", 0): 10.0}
+
+    # smartSummarize aligns to the window start (min bucket_ts), not epoch:
+    # frame starting at 30 with 60s slots, 120s buckets → [30,150), [150,270)
+    sm = _series(spark, [
+        ("m", 30, 1.0), ("m", 90, 2.0), ("m", 150, 4.0), ("m", 210, 8.0),
+    ])
+    got = {r.bucket_ts: r.value
+           for r in S.smart_summarize(sm, 120, "sum").collect()}
+    assert got == {30: 3.0, 150: 12.0}
+    # epoch-aligned summarize would split differently
+    ep = {r.bucket_ts: r.value for r in S.summarize(sm, 120, "sum").collect()}
+    assert ep == {0: 3.0, 120: 12.0}  # same sums here but epoch buckets
+
+
+def test_consolidate_by_and_cacti_style(spark):
+    df = _series(spark, [("web.cpu", 0, 1.0), ("web.cpu", 60, 3.5)])
+    cb = S.consolidate_by(df, "max")
+    assert {r.metric for r in cb.collect()} == {'consolidateBy(web.cpu, "max")'}
+    assert sorted(r.value for r in cb.collect()) == [1.0, 3.5]
+    import pytest as _p
+    with _p.raises(ValueError):
+        S.consolidate_by(df, "median")
+
+    cs = S.cacti_style(df).collect()
+    assert {r.metric for r in cs} == {
+        "web.cpu Current:3.50 Max:3.50 Min:1.00"}
+    assert sorted(r.value for r in cs) == [1.0, 3.5]
