@@ -44,6 +44,61 @@ class Ladder:
     key_cols: tuple[str, ...] = ("metric",)
     metric_buckets: int = 0
 
+    def manifest_path(self) -> str:
+        return f"{self.root}/_kenshin_layout.json"
+
+    def on_disk_metric_buckets(self) -> int | None:
+        """The bucket count the data was actually WRITTEN with.
+
+        Read from the layout manifest :func:`build_ladder` drops at the
+        ladder root (the root is never swapped, so level rewrites can't
+        lose it). For pre-manifest ladders, inferred from the directory
+        shape: ``mbucket=`` entries under any level → bucketed with an
+        unknowable N (``-1``); only ``date=`` entries → flat (``0``).
+        ``None`` = nothing materialized yet."""
+        import json
+        import os
+
+        try:
+            with open(self.manifest_path()) as fh:
+                return int(json.load(fh)["metric_buckets"])
+        except (OSError, ValueError, KeyError):
+            pass
+        seen_level = False
+        for a in self.archives:
+            path = self.level_path(a.step_seconds)
+            if not os.path.isdir(path):
+                continue
+            seen_level = True
+            for e in os.listdir(path):
+                if e.startswith("mbucket="):
+                    return -1
+        return 0 if seen_level else None
+
+    def verified_bucketed(self) -> bool:
+        """True iff the bucket-pruned fast paths (exact-name fetch /
+        delete) are SAFE: the ladder is configured bucketed AND the
+        on-disk layout provably used the same N. A recorded mismatch is
+        a misconfiguration that would silently miss rows — fail loudly.
+        An unverifiable layout (pre-manifest data, or flat-written data
+        under a bucketed config) returns False so callers fall back to
+        the full-level paths, which are correct for any layout."""
+        if self.metric_buckets <= 0:
+            return False
+        disk = self.on_disk_metric_buckets()
+        if disk is None:
+            return True  # nothing written yet; this config defines it
+        if disk == self.metric_buckets:
+            return True
+        if disk > 0:
+            raise ValueError(
+                f"ladder at {self.root} was written with metric_buckets="
+                f"{disk} but this Ladder is configured with "
+                f"{self.metric_buckets}; bucket-pruned fetch/delete would "
+                "silently miss rows — fix the configuration (or rebuild)"
+            )
+        return False
+
     def level_path(self, step_seconds: int) -> str:
         return f"{self.root}/step={step_seconds}"
 
@@ -126,6 +181,28 @@ def build_ladder(
         )
         prev = level
         prev_step = step
+    _write_layout_manifest(ladder)
+
+
+def _write_layout_manifest(ladder: Ladder) -> None:
+    """Record the layout the data was written with (ADVICE r7: the
+    bucket-pruned delete/fetch paths must never trust the CONFIGURED
+    ``metric_buckets`` over the on-disk truth). Lives at the ladder
+    root — level swaps never touch it."""
+    import json
+    import os
+
+    os.makedirs(ladder.root, exist_ok=True)
+    tmp = ladder.manifest_path() + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "metric_buckets": int(ladder.metric_buckets),
+                "key_cols": list(ladder.key_cols),
+            },
+            fh,
+        )
+    os.replace(tmp, ladder.manifest_path())
 
 
 def expire_retention(ladder: Ladder, *, now_ts: int) -> dict[int, list[str]]:
@@ -213,7 +290,9 @@ def compact_level(
     df = spark.read.parquet(path)
     sort_key = ladder.key_cols[0]
     tmp = f"{path}__compacting_{uuid.uuid4().hex[:8]}"
-    parts = [c for c in ladder.partition_cols if c in df.columns]
+    # partition by what the DISK has, never the configured layout (a
+    # misconfigured Ladder must not re-shape a level on compaction)
+    parts = [c for c in ("mbucket", "date") if c in df.columns]
     (
         df.repartition(*parts)
         .sortWithinPartitions(sort_key, "bucket_ts")
@@ -261,9 +340,15 @@ def delete_metrics(
     if (metric_regex is None) == (metrics is None):
         raise ValueError("exactly one of metric_regex/metrics")
     if metrics is not None and ladder.metric_buckets > 0:
-        return _delete_exact_bucketed(
-            spark, ladder, metrics, max_records_per_file=max_records_per_file
-        )
+        # the bucket-pruned path only when the on-disk layout provably
+        # used this N (manifest check — a mismatch raises; flat-written
+        # or pre-manifest data falls through to the full-level rewrite,
+        # which is correct for any layout)
+        if ladder.verified_bucketed():
+            return _delete_exact_bucketed(
+                spark, ladder, metrics,
+                max_records_per_file=max_records_per_file,
+            )
 
     deleted: dict[int, int] = {}
     for a in ladder.archives:
@@ -297,7 +382,10 @@ def delete_metrics(
                 "overwrite"
             ).parquet(tmp)
         else:
-            parts = [c for c in ladder.partition_cols if c in df.columns]
+            # partition by what the DISK has (partition discovery put
+            # mbucket/date in df.columns), not by the configured layout —
+            # a misconfigured Ladder must never silently re-shape a level
+            parts = [c for c in ("mbucket", "date") if c in df.columns]
             (
                 df.where(~hit)
                 .repartition(*parts)
@@ -357,7 +445,12 @@ def _delete_exact_bucketed(
                 schema = bdf.withColumn(
                     "mbucket", F.lit(0).cast("int")
                 ).schema
-                shutil.rmtree(bpath)
+                # same atomic-swap discipline as the partial branch: a
+                # reader must see the bucket whole or gone, never a
+                # half-rmtree'd directory (ADVICE r7)
+                old = f"{bpath}__old_{uuid.uuid4().hex[:8]}"
+                os.rename(bpath, old)
+                shutil.rmtree(old)
             else:
                 tmp = f"{bpath}__deleting_{uuid.uuid4().hex[:8]}"
                 (
@@ -441,6 +534,10 @@ def fetch_from_ladder(
         ladder.metric_buckets > 0
         and metric_glob is not None
         and not any(ch in metric_glob for ch in "*?{[")
+        # bucket pruning only when the on-disk layout provably used this
+        # N (manifest check; mismatch raises) — pruning with the wrong N
+        # would silently fetch an empty series
+        and ladder.verified_bucketed()
     ):
         bs = ladder.buckets_for(spark, [metric_glob])
         levels = {

@@ -1336,13 +1336,27 @@ def use_series_above(
     return out
 
 
+def _interval_label(seconds: int) -> str:
+    """Compact graphite-style interval text (``86400 → '1d'``) for legend
+    wrapping; falls back to seconds when no whole unit divides."""
+    for unit_s, unit in ((604800, "w"), (86400, "d"), (3600, "h"),
+                         (60, "min")):
+        if seconds % unit_s == 0:
+            return f"{seconds // unit_s}{unit}"
+    return f"{seconds}s"
+
+
 def time_stack(
-    df: DataFrame, interval_seconds: int, start: int, end: int
+    df: DataFrame, interval_seconds: int, start: int, end: int,
+    unit_label: str | None = None,
 ) -> DataFrame:
     """graphite ``timeStack(interval, start, end)``: one copy of each
     series per shift multiple in ``[start, end)``, shifted forward by
-    ``i·interval`` and renamed ``timeShift(name, i)`` so day-over-day
-    bands stack on one axis.
+    ``i·interval`` and renamed with graphite's literal format string
+    ``'timeShift(%s, %s, %s)'`` — the shift UNIT is part of the legend
+    (``timeShift(name, 1d, 2)``; ADVICE r7 fix). ``unit_label`` carries
+    the user's literal unit text (graphite passes '1d' through); when
+    omitted it is derived from ``interval_seconds``.
 
     DOCUMENTED DEVIATION: graphite re-fetches each shifted window from
     storage; here the shifts operate within the already-fetched frame
@@ -1352,12 +1366,14 @@ def time_stack(
     not the data."""
     if end <= start:
         raise ValueError("timeStack needs start < end")
+    unit = unit_label or _interval_label(int(interval_seconds))
     copies = []
     for i in range(int(start), int(end)):
         copies.append(
             df.select(
                 F.concat(
-                    F.lit("timeShift("), F.col("metric"), F.lit(f", {i})")
+                    F.lit("timeShift("), F.col("metric"),
+                    F.lit(f", {unit}, {i})"),
                 ).alias("metric"),
                 (F.col("bucket_ts") + i * int(interval_seconds))
                 .cast("long")
@@ -1527,11 +1543,12 @@ def interpolate(df: DataFrame, limit: int | None = None) -> DataFrame:
 
 def dashed(df: DataFrame, dash_length: float = 5.0) -> DataFrame:
     """graphite ``dashed(len)``: display-only — data passes through; the
-    series is renamed ``dashed(name, len)`` exactly as graphite does."""
+    series is renamed with graphite's literal format string
+    ``'dashed(%s,%g)'`` (no space — ADVICE r7 legend-fidelity fix)."""
     g = ("%g" % float(dash_length))
     return df.withColumn(
         "metric",
-        F.concat(F.lit("dashed("), F.col("metric"), F.lit(f", {g})")),
+        F.concat(F.lit("dashed("), F.col("metric"), F.lit(f",{g})")),
     )
 
 
@@ -1568,15 +1585,30 @@ def exponential_moving_average(df: DataFrame, window_points: int) -> DataFrame:
     per-series array: collect_list bounded by the render window's point
     count (the bounded-collect contract), ``aggregate`` for the fold,
     posexplode back to the canonical frame. No driver collect, no
-    cross-series traffic."""
+    cross-series traffic.
+
+    Two graphite-fidelity details (ADVICE r7 fixes):
+
+    - an ALL-GAP seed window leaves the EMA state NULL (not 0.0); the
+      state then seeds from the first non-null value, exactly current
+      graphite-web's ``if ema is None: ema = value``;
+    - the fold is CHUNKED (two-level ``aggregate``, chunk size ``K``):
+      the outer fold carries the scalar EMA state across chunks and
+      concatenates one K-point output block per step, so per-series
+      cost is O(n²/K + n·K) element copies instead of the O(n²) of
+      re-copying the whole accumulated array every point (~22× fewer
+      copies at K=64 for a 1440-point day window)."""
     w = int(window_points)
     c = 2.0 / (w + 1.0)
+    K = 64  # chunk size: n²/K + n·K is minimized near √n for typical n
+    pt_t = "array<struct<t:bigint,v:double>>"
     arr = F.array_sort(
         F.collect_list(F.struct(F.col("bucket_ts").alias("t"),
                                 F.col("value").alias("v")))
     )
     per = df.groupBy("metric").agg(arr.alias("__pts"))
-    # seed: safeAvg over the first w slots (gaps excluded from the mean)
+    # seed: safeAvg over the first w slots (gaps excluded from the mean);
+    # NULL when the whole seed window is gaps
     head = F.slice(F.col("__pts"), 1, w)
     head_vals = F.filter(head, lambda s: s["v"].isNotNull())
     seed = F.when(
@@ -1584,33 +1616,57 @@ def exponential_moving_average(df: DataFrame, window_points: int) -> DataFrame:
         F.aggregate(
             head_vals, F.lit(0.0), lambda a, s: a + s["v"]
         ) / F.size(head_vals),
-    ).otherwise(F.lit(0.0))
+    ).otherwise(F.lit(None).cast("double"))
     per = per.withColumn("__seed", seed)
     tail = F.when(
         F.size("__pts") > w, F.slice(F.col("__pts"), w + 1, F.size("__pts") - w)
-    ).otherwise(F.array().cast("array<struct<t:bigint,v:double>>"))
-    folded = F.aggregate(
-        tail,
-        F.struct(
-            F.col("__seed").alias("ema"),
-            F.array().cast("array<struct<t:bigint,v:double>>").alias("out"),
-        ),
-        lambda acc, s: F.struct(
-            F.when(
-                s["v"].isNotNull(), F.lit(c) * s["v"] + (1.0 - c) * acc["ema"]
-            ).otherwise(acc["ema"]).alias("ema"),
+    ).otherwise(F.array().cast(pt_t))
+    per = per.withColumn("__tail", tail)
+    n_chunks = F.greatest(
+        F.ceil(F.size("__tail") / F.lit(K)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("__tail"), i * K + 1, F.lit(K)),
+    )
+
+    def _step(a, s):
+        # gap → emit NULL, state unchanged; NULL state → seed from value
+        nxt = (
+            F.when(s["v"].isNull(), a["ema"])
+            .when(a["ema"].isNull(), s["v"])
+            .otherwise(F.lit(c) * s["v"] + F.lit(1.0 - c) * a["ema"])
+        )
+        emit = F.when(
+            s["v"].isNull(), F.lit(None).cast("double")
+        ).otherwise(nxt)
+        return F.struct(
+            nxt.alias("ema"),
             F.concat(
-                acc["out"],
-                F.array(
-                    F.struct(
-                        s["t"].alias("t"),
-                        F.when(
-                            s["v"].isNotNull(),
-                            F.lit(c) * s["v"] + (1.0 - c) * acc["ema"],
-                        ).alias("v"),
-                    )
-                ),
+                a["out"],
+                F.array(F.struct(s["t"].alias("t"), emit.alias("v"))),
             ).alias("out"),
+        )
+
+    folded = F.aggregate(
+        chunks,
+        F.struct(
+            F.col("__seed").alias("ema"), F.array().cast(pt_t).alias("out")
+        ),
+        lambda acc, chunk: (
+            lambda inner: F.struct(
+                inner["ema"].alias("ema"),
+                F.concat(acc["out"], inner["out"]).alias("out"),
+            )
+        )(
+            F.aggregate(
+                chunk,
+                F.struct(
+                    acc["ema"].alias("ema"),
+                    F.array().cast(pt_t).alias("out"),
+                ),
+                _step,
+            )
         ),
     )
     # emit: leading w-1 slots NULL, the seed at slot w-1, then the fold
@@ -1763,14 +1819,15 @@ def consolidate_by(df: DataFrame, func: str) -> DataFrame:
     which kernel the webapp uses when squeezing points into pixels
     (maxDataPoints consolidation). This engine returns full-resolution
     frames and never pixel-consolidates, so data passes through
-    untouched; the name is wrapped exactly as graphite does so legends
+    untouched; the name is wrapped with graphite's literal format string
+    ``'consolidateBy(%s,"%s")'`` (no space after the comma) so legends
     match."""
     if func not in ("sum", "average", "avg", "min", "max", "first", "last"):
         raise ValueError(f"bad consolidateBy func {func!r}")
     return df.withColumn(
         "metric",
         F.concat(
-            F.lit("consolidateBy("), F.col("metric"), F.lit(f', "{func}")')
+            F.lit("consolidateBy("), F.col("metric"), F.lit(f',"{func}")')
         ),
     )
 
@@ -1778,7 +1835,11 @@ def consolidate_by(df: DataFrame, func: str) -> DataFrame:
 def cacti_style(df: DataFrame) -> DataFrame:
     """graphite ``cactiStyle()``: append Cacti-style legend text
     ``Current:<last> Max:<max> Min:<min>`` to each series name; values
-    pass through. Per-series 1-row aggregate broadcast back."""
+    pass through. Per-series 1-row aggregate broadcast back.
+
+    Numbers are plain fixed-point ``%.2f`` (``1234.57``) — graphite never
+    inserts thousands separators, so ``format_number`` (``1,234.57``)
+    would diverge for any |value| >= 1000 (ADVICE r7 fix)."""
     cur = F.max(
         F.when(
             F.col("value").isNotNull(),
@@ -1789,9 +1850,9 @@ def cacti_style(df: DataFrame) -> DataFrame:
         cur.alias("__c"), F.max("value").alias("__mx"),
         F.min("value").alias("__mn"),
     )
-    fmt = lambda c: F.coalesce(  # noqa: E731
-        F.format_number(c, 2), F.lit("nan")
-    )
+    fmt = lambda c: F.when(  # noqa: E731
+        c.isNotNull(), F.format_string("%.2f", c)
+    ).otherwise(F.lit("nan"))
     return (
         df.join(F.broadcast(stats), "metric")
         .withColumn(
@@ -1804,4 +1865,549 @@ def cacti_style(df: DataFrame) -> DataFrame:
             ),
         )
         .drop("__c", "__mx", "__mn")
+    )
+
+
+# --- round-8 wave 4: the generic function family ----------------------------
+#
+# graphite-web 1.1 exposes generic forms (aggregate, sortBy, filterSeries,
+# highest/lowest, movingWindow, aggregateWithWildcards, *SeriesLists) whose
+# specific variants this catalog already implements; the generics dispatch
+# onto the same kernels so the two families can never drift.
+
+#: per-series scalar aggregates shared by highest/lowest/sortBy/filterSeries
+#: (graphite's keyFunc table). 'median' follows graphite's safeMedian — the
+#: mean of the two middles for an even count, NOT the NIST rank percentile.
+_SERIES_KEY_FUNCS = (
+    "average", "avg", "current", "last", "max", "min", "sum", "total",
+    "median", "stddev", "count", "range", "rangeOf",
+)
+
+
+def _series_key(df: DataFrame, func: str) -> DataFrame:
+    """One row per series: ``(metric, __k)`` where ``__k`` is the series'
+    ``func`` aggregate (quantized-exact for mean/sum; exact integer
+    moments for stddev). Tiny frame → always broadcast back."""
+    if func not in _SERIES_KEY_FUNCS:
+        raise ValueError(
+            f"series key func must be one of {sorted(set(_SERIES_KEY_FUNCS))}"
+        )
+    q = F.floor(F.col("value") * QUANT).cast("long")
+    if func in ("average", "avg"):
+        key = (F.sum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double")
+    elif func in ("current", "last"):
+        key = F.max(
+            F.when(
+                F.col("value").isNotNull(),
+                F.struct(F.col("bucket_ts").alias("t"),
+                         F.col("value").alias("v")),
+            )
+        )["v"]
+    elif func == "max":
+        key = F.max("value")
+    elif func == "min":
+        key = F.min("value")
+    elif func in ("sum", "total"):
+        key = (F.sum(q) / F.lit(float(QUANT))).cast("double")
+    elif func == "median":
+        arr = F.array_sort(
+            F.collect_list(F.when(F.col("value").isNotNull(), F.col("value")))
+        )
+        n = F.size(arr)
+        mid = (n / 2).cast("int")  # 0-based middle, matching len//2
+        key = F.when(
+            n == 0, F.lit(None).cast("double")
+        ).when(
+            n % 2 == 1, F.element_at(arr, mid + 1)
+        ).otherwise(
+            (F.element_at(arr, mid) + F.element_at(arr, mid + 1)) / 2.0
+        ).cast("double")
+    elif func == "stddev":
+        qs = F.floor(F.col("value") * _STDEV_QUANT).cast("long")
+        qd = qs.cast("decimal(19,0)")
+        n = F.count(qs).cast("double")
+        var = (
+            F.sum(qd * qd).cast("double") / n
+            - (F.sum(qs).cast("double") / n) ** 2
+        ) / F.lit(float(_STDEV_QUANT) ** 2)
+        key = F.when(n > 0, F.sqrt(F.greatest(var, F.lit(0.0)))).cast(
+            "double"
+        )
+    elif func == "count":
+        key = F.count("value").cast("double")
+    else:  # range / rangeOf
+        key = (F.max("value") - F.min("value")).cast("double")
+    return df.groupBy("metric").agg(key.alias("__k"))
+
+
+def highest(df: DataFrame, n: int = 1, func: str = "average") -> DataFrame:
+    """graphite ``highest(n, func)``: the n series with the largest
+    per-series ``func`` aggregate (generic form of highestCurrent /
+    highestAverage / highestMax)."""
+    keys = _series_key(df, func)
+    top = global_topk(keys, [F.desc("__k"), F.asc("metric")], int(n))
+    return df.join(F.broadcast(top.select("metric")), "metric")
+
+
+def lowest(df: DataFrame, n: int = 1, func: str = "average") -> DataFrame:
+    """graphite ``lowest(n, func)``: the n series with the smallest
+    per-series ``func`` aggregate."""
+    keys = _series_key(df, func)
+    top = global_topk(keys, [F.asc("__k"), F.asc("metric")], int(n))
+    return df.join(F.broadcast(top.select("metric")), "metric")
+
+
+def highest_max(df: DataFrame, n: int) -> DataFrame:
+    """graphite ``highestMax(n)``: the n series with the largest maxima."""
+    return highest(df, n, "max")
+
+
+def sort_by(
+    df: DataFrame, func: str = "average", reverse: bool = False
+) -> DataFrame:
+    """graphite ``sortBy(func, reverse)``: attach ``__series_order`` by
+    the per-series ``func`` aggregate, ASCENDING unless ``reverse`` (the
+    generic form; sortByTotal/sortByMaxima are the descending
+    specials)."""
+    keys = _series_key(df, func)
+    ranked = with_global_prefix(
+        keys,
+        [F.desc("__k") if reverse else F.asc("__k"), F.asc("metric")],
+        row_number_col="__series_order",
+    )
+    return df.drop("__series_order").join(
+        F.broadcast(ranked.select("metric", "__series_order")), "metric"
+    )
+
+
+def filter_series(
+    df: DataFrame, func: str, operator: str, threshold: float
+) -> DataFrame:
+    """graphite ``filterSeries(func, operator, threshold)``: keep series
+    whose ``func`` aggregate satisfies the comparison (generic form of
+    averageAbove / currentBelow / maximumAbove / …)."""
+    ops = {
+        "=": lambda c: c == float(threshold),
+        "!=": lambda c: c != float(threshold),
+        ">": lambda c: c > float(threshold),
+        ">=": lambda c: c >= float(threshold),
+        "<": lambda c: c < float(threshold),
+        "<=": lambda c: c <= float(threshold),
+    }
+    if operator not in ops:
+        raise ValueError(f"filterSeries operator must be one of {sorted(ops)}")
+    keep = _series_key(df, func).where(ops[operator](F.col("__k")))
+    return df.join(F.broadcast(keep.select("metric")), "metric")
+
+
+def _combine_grouped(df: DataFrame, func: str) -> DataFrame:
+    """Generic per-(target-name, bucket) combine across member series.
+
+    ``df`` must carry ``__grp`` (the target series name) next to the
+    original ``metric``; the original name count per group gates the
+    gap-completeness kernels (multiply — graphite's safeMul/safePow
+    return None when ANY member is None OR missing). Kernels are the
+    same quantized/exact-moment expressions as the specific variants.
+    Order-dependent kernels (diff, last) are rejected: a DataFrame has
+    no series-list order to honor."""
+    q = F.floor(F.col("value") * QUANT).cast("long")
+    simple = {
+        "sum": (F.sum(q) / F.lit(float(QUANT))).cast("double"),
+        "total": (F.sum(q) / F.lit(float(QUANT))).cast("double"),
+        "avg": (F.sum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
+        "average": (
+            F.sum(q) / F.lit(float(QUANT)) / F.count(q)
+        ).cast("double"),
+        "max": F.max("value"),
+        "min": F.min("value"),
+        "count": F.count("value").cast("double"),
+        "range": (F.max("value") - F.min("value")).cast("double"),
+        "rangeOf": (F.max("value") - F.min("value")).cast("double"),
+    }
+    if func in simple:
+        return (
+            df.groupBy(F.col("__grp").alias("metric"), F.col("bucket_ts"))
+            .agg(simple[func].alias("value"))
+        )
+    if func == "median":
+        arr = F.array_sort(
+            F.collect_list(F.when(F.col("value").isNotNull(), F.col("value")))
+        )
+        g = df.groupBy(
+            F.col("__grp").alias("metric"), F.col("bucket_ts")
+        ).agg(arr.alias("__vals"))
+        n = F.size("__vals")
+        mid = (n / 2).cast("int")
+        return g.select(
+            "metric",
+            "bucket_ts",
+            F.when(n == 0, F.lit(None).cast("double"))
+            .when(n % 2 == 1, F.element_at("__vals", mid + 1))
+            .otherwise(
+                (F.element_at("__vals", mid)
+                 + F.element_at("__vals", mid + 1)) / 2.0
+            )
+            .cast("double")
+            .alias("value"),
+        )
+    if func == "stddev":
+        qs = F.floor(F.col("value") * _STDEV_QUANT).cast("long")
+        qd = qs.cast("decimal(19,0)")
+        g = (
+            df.withColumn("__q", qs)
+            .withColumn("__qd", qd)
+            .groupBy(F.col("__grp").alias("metric"), F.col("bucket_ts"))
+            .agg(
+                F.count("__q").alias("n"),
+                F.sum("__q").alias("s1"),
+                F.sum(F.col("__qd") * F.col("__qd")).alias("s2"),
+            )
+        )
+        var = (
+            F.col("s2").cast("double") / F.col("n")
+            - (F.col("s1").cast("double") / F.col("n")) ** 2
+        ) / F.lit(float(_STDEV_QUANT) ** 2)
+        return g.select(
+            "metric",
+            "bucket_ts",
+            F.when(F.col("n") > 0, F.sqrt(F.greatest(var, F.lit(0.0))))
+            .cast("double")
+            .alias("value"),
+        )
+    if func in ("multiply", "pow"):
+        # completeness gate: members per GROUP (not per frame), so the
+        # wildcard forms stay correct group-by-group
+        members = df.groupBy(F.col("__grp")).agg(
+            F.count_distinct("metric").alias("__n_members")
+        )
+        rows = F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("value").isNotNull(),
+                    F.struct(F.col("metric").alias("m"),
+                             F.col("value").alias("v")),
+                )
+            )
+        )
+        g = (
+            df.groupBy(F.col("__grp"), F.col("bucket_ts"))
+            .agg(rows.alias("__rows"))
+            .join(F.broadcast(members), "__grp")
+        )
+        if func == "multiply":
+            folded = F.aggregate(
+                "__rows", F.lit(1.0).cast("double"),
+                lambda acc, r: acc * r["v"],
+            )
+        else:
+            # graphite safePow: first value raised through the rest in
+            # order; frame order = name order (documented deviation —
+            # graphite uses wildcard-expansion order, which a DataFrame
+            # does not have). Exceptions (0 ** -1, nan) → gap, like
+            # safePow's try/except → None.
+            folded = F.aggregate(
+                F.slice("__rows", 2, F.greatest(F.size("__rows") - 1,
+                                                F.lit(0))),
+                F.element_at("__rows", 1)["v"],
+                lambda acc, r: F.power(acc, r["v"]),
+            )
+            folded = F.when(
+                F.isnan(folded) | (F.abs(folded) == float("inf")),
+                F.lit(None).cast("double"),
+            ).otherwise(folded)
+        return g.select(
+            F.col("__grp").alias("metric"),
+            "bucket_ts",
+            F.when(F.size("__rows") == F.col("__n_members"), folded)
+            .cast("double")
+            .alias("value"),
+        )
+    raise ValueError(
+        "aggregate func must be one of sum/avg/min/max/median/stddev/"
+        f"count/range/multiply/pow (order-dependent kernels are not "
+        f"representable in the frame model); got {func!r}"
+    )
+
+
+#: canonical result-name prefix per aggregate kernel (graphite wraps the
+#: path expression: 'averageSeries(glob)'; the frame model keeps the
+#: kernel name and drops the glob, same convention as sum_series)
+_AGG_CANON = {
+    "avg": "average", "total": "sum", "rangeOf": "range",
+}
+
+
+def aggregate_series(
+    df: DataFrame, func: str, name: str | None = None
+) -> DataFrame:
+    """graphite ``aggregate(func)``: combine every input series into one
+    with the named kernel — the generic form of sumSeries /
+    averageSeries / minSeries / maxSeries / multiplySeries /
+    stddevSeries / rangeOfSeries / countSeries, plus 'median'."""
+    canon = _AGG_CANON.get(func, func)
+    out_name = name or f"{canon}Series"
+    return _combine_grouped(df.withColumn("__grp", F.lit(out_name)), func)
+
+
+def aggregate_with_wildcards(
+    df: DataFrame, func: str, *positions: int
+) -> DataFrame:
+    """graphite ``aggregateWithWildcards(func, *positions)``: merge
+    series whose names match after dropping the given dot-node positions
+    (the generic form of sum/average/multiplySeriesWithWildcards). Same
+    shrinking map-side-combinable shuffle as groupByNode for the simple
+    kernels."""
+    return _combine_grouped(
+        df.withColumn("__grp", _drop_nodes(*positions)), func
+    )
+
+
+def multiply_series_with_wildcards(
+    df: DataFrame, *positions: int
+) -> DataFrame:
+    """graphite ``multiplySeriesWithWildcards(*positions)`` (safeMul —
+    any absent/gap member nulls the bucket, per group)."""
+    return aggregate_with_wildcards(df, "multiply", *positions)
+
+
+def moving_window(
+    df: DataFrame, window: int | str, func: str = "average"
+) -> DataFrame:
+    """graphite ``movingWindow(window, func)``: the generic moving
+    aggregate — dispatches onto the strictly-before moving* family
+    (point-count windows for ints, RANGE time windows for '2h'-style
+    strings, the same dual dispatch the evaluator applies)."""
+    fns_points = {
+        "average": moving_average, "avg": moving_average,
+        "sum": moving_sum, "min": moving_min, "max": moving_max,
+        "median": moving_median,
+    }
+    if func not in fns_points:
+        raise ValueError(
+            f"movingWindow func must be one of {sorted(fns_points)}"
+        )
+    if isinstance(window, str):
+        from kenshin_backup_spark.render import parse_interval
+
+        seconds = parse_interval(window)
+        if func in ("average", "avg"):
+            return moving_average_time(df, seconds)
+        return fns_points[func](df, window_seconds=seconds)
+    return fns_points[func](df, int(window))
+
+
+def pow_series_combine(df: DataFrame, name: str = "powSeries") -> DataFrame:
+    """graphite ``powSeries()``: per-bucket successive exponentiation
+    across series (safePow — any gap/absent member nulls the bucket;
+    fold order = name order, documented deviation in
+    :func:`_combine_grouped`)."""
+    return aggregate_series(df, "pow", name=name)
+
+
+def remove_between_percentile(df: DataFrame, n: float) -> DataFrame:
+    """graphite ``removeBetweenPercentile(n)``: drop series that sit
+    entirely INSIDE the per-bucket (100−n, n) percentile band across
+    series — a series survives if ANY of its points falls on or outside
+    either band edge (graphite's ``not low < val < high`` test). Band
+    edges use the same ``_getPercentile`` NIST rank per bucket; the band
+    frame is one row per bucket → equi-joined back on ``bucket_ts``."""
+    n = float(n)
+    if n < 50.0:
+        n = 100.0 - n
+    vals = F.array_sort(
+        F.collect_list(F.when(F.col("value").isNotNull(), F.col("value")))
+    )
+    band = df.groupBy("bucket_ts").agg(vals.alias("__vals")).select(
+        "bucket_ts",
+        F.element_at(
+            "__vals", _nist_rank(F.size("__vals"), 100.0 - n)
+        ).alias("__lo"),
+        F.element_at("__vals", _nist_rank(F.size("__vals"), n)).alias(
+            "__hi"
+        ),
+    )
+    outside = (
+        df.join(band, "bucket_ts")
+        .where(
+            F.col("value").isNotNull()
+            & (
+                (F.col("value") <= F.col("__lo"))
+                | (F.col("value") >= F.col("__hi"))
+            )
+        )
+        .select("metric")
+        .distinct()
+    )
+    return df.join(F.broadcast(outside), "metric")
+
+
+def unique_series(dfs: list[DataFrame]) -> DataFrame:
+    """graphite ``unique(*seriesLists)``: union of the arguments keeping
+    each series NAME only from the FIRST list that contains it (the
+    deterministic stand-in for graphite's first-occurrence rule). The
+    per-list name frames are tiny → broadcast anti-joins."""
+    out = dfs[0]
+    seen = dfs[0].select("metric").distinct()
+    for d in dfs[1:]:
+        fresh = d.join(F.broadcast(seen), "metric", "left_anti")
+        out = out.unionByName(fresh)
+        seen = seen.unionByName(
+            d.select("metric").distinct()
+        ).distinct()
+    return out
+
+
+def alias_by_metric(df: DataFrame) -> DataFrame:
+    """graphite ``aliasByMetric()``: keep only the last dot node of each
+    name (``web01.cpu.load`` → ``load``)."""
+    return df.withColumn(
+        "metric", F.element_at(F.split(F.col("metric"), r"\."), -1)
+    )
+
+
+def fallback_series(df: DataFrame, fallback: DataFrame) -> DataFrame:
+    """graphite ``fallbackSeries(fallback)``: the input series when any
+    exist, otherwise the fallback. Emptiness is decided IN-PLAN: a 1-row
+    count of the primary frame broadcast onto both branches (no driver
+    action, so the whole target still compiles to one lazy plan)."""
+    cnt = df.agg(F.count(F.lit(1)).alias("__n"))
+    a = df.crossJoin(F.broadcast(cnt)).where(F.col("__n") > 0).drop("__n")
+    b = (
+        fallback.crossJoin(F.broadcast(cnt))
+        .where(F.col("__n") == 0)
+        .drop("__n")
+    )
+    return a.unionByName(b)
+
+
+def cumulative(df: DataFrame) -> DataFrame:
+    """graphite ``cumulative()``: alias for ``consolidateBy('sum')`` —
+    a render-time consolidation hint (full-resolution passthrough here;
+    see :func:`consolidate_by`), with the same legend wrap."""
+    return consolidate_by(df, "sum")
+
+
+def stacked_series(
+    df: DataFrame, stack_name: str = "__DEFAULT__"
+) -> DataFrame:
+    """graphite ``stacked(stackName)``: display-only — with the default
+    stack the series are renamed ``stacked(name)`` exactly as
+    graphite-web does; a named stack changes only draw options, so data
+    AND names pass through."""
+    if stack_name != "__DEFAULT__":
+        return df
+    return df.withColumn(
+        "metric",
+        F.concat(F.lit("stacked("), F.col("metric"), F.lit(")")),
+    )
+
+
+def legend_value(df: DataFrame, *value_types: str) -> DataFrame:
+    """graphite ``legendValue(*valueTypes)``: append ``(type: value)``
+    legend text per requested type (avg/total/min/max/last), computed
+    from the per-series aggregates. DOCUMENTED DEVIATION: numbers format
+    as ``%g`` (graphite interpolates Python's ``str(float)``, whose
+    repr-shortest form is not reproducible in an SQL engine); a series
+    with no finite value renders ``(type: None)`` as graphite does. The
+    si/binary unit systems are not supported (raise)."""
+    fns = {
+        "avg": "avg", "average": "avg", "total": "sum", "sum": "sum",
+        "min": "min", "max": "max", "last": "last", "current": "last",
+    }
+    for vt in value_types:
+        if vt in ("si", "binary"):
+            raise ValueError("legendValue unit systems are not supported")
+        if vt not in fns:
+            raise ValueError(f"legendValue type must be one of {sorted(fns)}")
+    q = F.floor(F.col("value") * QUANT).cast("long")
+    aggs = {
+        "avg": (F.sum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
+        "sum": (F.sum(q) / F.lit(float(QUANT))).cast("double"),
+        "min": F.min("value"),
+        "max": F.max("value"),
+        "last": F.max(
+            F.when(
+                F.col("value").isNotNull(),
+                F.struct(F.col("bucket_ts").alias("t"),
+                         F.col("value").alias("v")),
+            )
+        )["v"],
+    }
+    stats = df.groupBy("metric").agg(
+        *[aggs[k].alias(f"__{k}") for k in sorted(set(fns.values()))]
+    )
+    name = F.col("metric")
+    for vt in value_types:
+        v = F.col(f"__{fns[vt]}")
+        # Java's %g pads to 6 significant digits (15.0000); trim the
+        # trailing zeros but keep one decimal, graphite-str-like (15.0)
+        g = F.format_string("%g", v)
+        g = F.regexp_replace(g, r"(\.\d*?)0+(?=(e|$))", r"$1")
+        g = F.regexp_replace(g, r"\.(?=(e|$))", r".0")
+        txt = F.when(v.isNotNull(), g).otherwise(F.lit("None"))
+        name = F.concat(name, F.lit(f" ({vt}: "), txt, F.lit(")"))
+    return (
+        df.join(F.broadcast(stats), "metric")
+        .withColumn("metric", name)
+        .drop(*[f"__{k}" for k in sorted(set(fns.values()))])
+    )
+
+
+def combine_series_lists(
+    a: DataFrame, b: DataFrame, func: str
+) -> DataFrame:
+    """graphite ``aggregateSeriesLists(list1, list2, func)`` and its
+    shorthands sum/diff/multiply/divideSeriesLists: pair the two lists
+    positionally and combine each pair per bucket.
+
+    Pairing DEVIATION: graphite pairs by list position (wildcard
+    expansion order); the frame model pairs by NAME RANK within each
+    frame (both sorted ascending) — identical whenever both globs expand
+    in the same lexical order, which is how the idiom is used
+    (``sumSeriesLists(a.*.x, a.*.y)``). Unequal series counts raise in
+    graphite; here the shorter rank list simply bounds the pairing (the
+    plan cannot count series at build time), documented.
+
+    Pair kernels follow the two-frame functions' conventions: sum =
+    safeSum (gap treated as absent, both-gap → gap); diff = minuend −
+    coalesce(subtrahend, 0), gap minuend → gap; multiply = safeMul (any
+    gap → gap); divide = safeDiv (gap/zero divisor → gap)."""
+    kernels = {
+        "sum": lambda x, y: F.when(
+            x.isNotNull() | y.isNotNull(),
+            F.coalesce(x, F.lit(0.0)) + F.coalesce(y, F.lit(0.0)),
+        ),
+        "diff": lambda x, y: x - F.coalesce(y, F.lit(0.0)),
+        "multiply": lambda x, y: x * y,
+        "divide": lambda x, y: F.when(y != 0.0, x / y),
+    }
+    if func not in kernels:
+        raise ValueError(
+            f"seriesLists func must be one of {sorted(kernels)}"
+        )
+
+    def ranked(frame: DataFrame, vcol: str, ncol: str) -> DataFrame:
+        names = frame.select("metric").distinct()
+        order = with_global_prefix(
+            names, [F.asc("metric")], row_number_col="__rank"
+        )
+        return frame.join(F.broadcast(order), "metric").select(
+            F.col("__rank"),
+            F.col("metric").alias(ncol),
+            "bucket_ts",
+            F.col("value").alias(vcol),
+        )
+
+    j = ranked(a, "__va", "__na").join(
+        ranked(b, "__vb", "__nb"), ["__rank", "bucket_ts"], "inner"
+    )
+    return j.select(
+        F.concat(
+            F.lit(f"{func}Series("), F.col("__na"), F.lit(","),
+            F.col("__nb"), F.lit(")"),
+        ).alias("metric"),
+        "bucket_ts",
+        kernels[func](F.col("__va"), F.col("__vb"))
+        .cast("double")
+        .alias("value"),
     )

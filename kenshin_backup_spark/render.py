@@ -135,6 +135,18 @@ class _Parser:
         if t.kind == "number":
             self.take()
             return ("num", float(t.text) if "." in t.text else int(t.text))
+        # graphite booleans (sortBy(x, 'avg', true)) — a bare true/false
+        # NOT followed by '(' is a literal, never a metric leaf
+        if (
+            t.kind == "glob"
+            and t.text.lower() in ("true", "false")
+            and not (
+                self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1].kind == "lparen"
+            )
+        ):
+            self.take()
+            return ("bool", t.text.lower() == "true")
         return self.expr()
 
     def parse(self):
@@ -269,7 +281,8 @@ def _registry() -> dict[str, Callable]:
         # --- wave 3 (round 7) -----------------------------------------------
         "linearRegression": lambda d, s: sf.linear_regression(d[0]),
         "timeStack": lambda d, s: sf.time_stack(
-            d[0], parse_interval(s[0]), int(s[1]), int(s[2])
+            d[0], parse_interval(s[0]), int(s[1]), int(s[2]),
+            unit_label=str(s[0]),  # graphite's legend keeps the literal unit
         ),
         "stdev": lambda d, s: sf.stdev_series_window(
             d[0], int(s[0]), float(s[1]) if len(s) > 1 else 0.1
@@ -333,6 +346,66 @@ def _registry() -> dict[str, Callable]:
         # evaluator special-case like seriesByTag: needs fetch_fn to
         # pull the substituted metric names
         "useSeriesAbove": None,
+        # --- wave 4 (round 8): the generic family -------------------------
+        "aggregate": lambda d, s: sf.aggregate_series(d[0], str(s[0])),
+        "aggregateWithWildcards": lambda d, s: sf.aggregate_with_wildcards(
+            d[0], str(s[0]), *[int(x) for x in s[1:]]
+        ),
+        "multiplySeriesWithWildcards": (
+            lambda d, s: sf.multiply_series_with_wildcards(
+                d[0], *[int(x) for x in s]
+            )
+        ),
+        "movingWindow": lambda d, s: sf.moving_window(
+            d[0], s[0], str(s[1]) if len(s) > 1 else "average"
+        ),
+        "highest": lambda d, s: sf.highest(
+            d[0], int(s[0]) if s else 1,
+            str(s[1]) if len(s) > 1 else "average",
+        ),
+        "lowest": lambda d, s: sf.lowest(
+            d[0], int(s[0]) if s else 1,
+            str(s[1]) if len(s) > 1 else "average",
+        ),
+        "highestMax": lambda d, s: sf.highest_max(d[0], int(s[0])),
+        "sortBy": lambda d, s: sf.sort_by(
+            d[0], str(s[0]) if s else "average",
+            bool(s[1]) if len(s) > 1 else False,
+        ),
+        "filterSeries": lambda d, s: sf.filter_series(
+            d[0], str(s[0]), str(s[1]), float(s[2])
+        ),
+        "removeBetweenPercentile": (
+            lambda d, s: sf.remove_between_percentile(d[0], float(s[0]))
+        ),
+        "unique": lambda d, s: sf.unique_series(d),
+        "aliasByMetric": lambda d, s: sf.alias_by_metric(d[0]),
+        "fallbackSeries": lambda d, s: sf.fallback_series(d[0], d[1]),
+        "cumulative": lambda d, s: sf.cumulative(d[0]),
+        "stacked": lambda d, s: sf.stacked_series(
+            d[0], str(s[0]) if s else "__DEFAULT__"
+        ),
+        "legendValue": lambda d, s: sf.legend_value(
+            d[0], *[str(x) for x in s]
+        ),
+        "powSeries": lambda d, s: sf.pow_series_combine(
+            sf.group_series(d)
+        ),
+        "aggregateSeriesLists": lambda d, s: sf.combine_series_lists(
+            d[0], d[1], str(s[0])
+        ),
+        "sumSeriesLists": lambda d, s: sf.combine_series_lists(
+            d[0], d[1], "sum"
+        ),
+        "diffSeriesLists": lambda d, s: sf.combine_series_lists(
+            d[0], d[1], "diff"
+        ),
+        "multiplySeriesLists": lambda d, s: sf.combine_series_lists(
+            d[0], d[1], "multiply"
+        ),
+        "divideSeriesLists": lambda d, s: sf.combine_series_lists(
+            d[0], d[1], "divide"
+        ),
     }
 
 
@@ -346,10 +419,14 @@ def _moving(fn, df, window):
 
 
 #: Functions taking TWO series expressions (minuend/dividend first).
-_TWO_SERIES = frozenset({"diffSeries", "divideSeries", "weightedAverage"})
+_TWO_SERIES = frozenset({
+    "diffSeries", "divideSeries", "weightedAverage", "fallbackSeries",
+    "aggregateSeriesLists", "sumSeriesLists", "diffSeriesLists",
+    "multiplySeriesLists", "divideSeriesLists",
+})
 
 #: Functions taking ANY number of series expressions (≥ 1).
-_MULTI_SERIES = frozenset({"group", "areaBetween"})
+_MULTI_SERIES = frozenset({"group", "areaBetween", "unique", "powSeries"})
 
 
 SUPPORTED_FUNCTIONS = tuple(sorted(_registry()))

@@ -272,3 +272,76 @@ def test_bucketed_ladder_expiry_and_compaction(spark, tmp_path):
         from_ts=now - 7200, until_ts=now, now_ts=now,
     )
     assert finalize(out, agg="average").count() == 7200 // 3600 + 1
+
+
+def test_layout_manifest_guards_bucket_pruning(spark, tmp_path):
+    """ADVICE r8: the bucket-pruned delete/fetch fast paths must trust
+    the ON-DISK layout, not the configured ``metric_buckets``. A
+    recorded N mismatch fails loudly; flat-written data under a
+    bucketed config falls back to the full-level rewrite and still
+    deletes every row (no silent GDPR-erasure miss)."""
+    import json
+    import os
+
+    import pytest
+
+    from kenshin_backup_spark.operators.ladder import delete_metrics
+
+    pts = _points(spark)
+
+    # 1) flat-written data, engine later misconfigured with buckets:
+    #    delete must FALL BACK and actually erase (receipt > 0)
+    flat = Ladder(
+        root=str(tmp_path / "flatmis"),
+        archives=(Archive(60, 200),),
+    )
+    build_ladder(pts, flat)
+    mis = Ladder(
+        root=flat.root, archives=flat.archives, metric_buckets=8
+    )
+    assert mis.on_disk_metric_buckets() == 0
+    assert mis.verified_bucketed() is False
+    receipt = delete_metrics(spark, mis, metrics=["srv.web.cpu"])
+    assert receipt[60] > 0
+    survivors = load_levels(spark, mis)[60]
+    assert survivors.where(F.col("metric") == "srv.web.cpu").count() == 0
+    assert survivors.count() > 0  # the other series survived
+    # the fallback rewrite preserved the FLAT on-disk layout
+    entries = os.listdir(flat.level_path(60))
+    assert any(e.startswith("date=") for e in entries)
+    assert not any(e.startswith("mbucket=") for e in entries)
+
+    # 2) bucketed-written data read with the WRONG N: loud failure on
+    #    both the delete and the exact-name fetch prune path
+    bkt = Ladder(
+        root=str(tmp_path / "bktmis"),
+        archives=(Archive(60, 200),),
+        metric_buckets=8,
+    )
+    build_ladder(pts, bkt)
+    wrong = Ladder(
+        root=bkt.root, archives=bkt.archives, metric_buckets=4
+    )
+    with pytest.raises(ValueError, match="metric_buckets"):
+        delete_metrics(spark, wrong, metrics=["srv.web.cpu"])
+    with pytest.raises(ValueError, match="metric_buckets"):
+        fetch_from_ladder(
+            spark, wrong, metric_glob="srv.web.cpu",
+            from_ts=NOW - 3000, until_ts=NOW, now_ts=NOW,
+        )
+
+    # 3) pre-manifest bucketed data (manifest lost): fast path declines
+    #    (falls back) instead of trusting the configured N
+    os.remove(bkt.manifest_path())
+    assert bkt.on_disk_metric_buckets() == -1
+    assert bkt.verified_bucketed() is False
+    receipt2 = delete_metrics(spark, bkt, metrics=["srv.web.cpu"])
+    assert receipt2[60] > 0
+    # the full-level fallback preserved the BUCKETED on-disk layout
+    entries2 = os.listdir(bkt.level_path(60))
+    assert any(e.startswith("mbucket=") for e in entries2)
+
+    # 4) manifest round-trip content
+    build_ladder(pts, bkt)  # rewrites manifest
+    with open(bkt.manifest_path()) as fh:
+        assert json.load(fh)["metric_buckets"] == 8

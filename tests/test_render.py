@@ -350,6 +350,32 @@ def test_render_fuzz_random_compositions(spark):
         "secondYAxis({X})",
         "color({X}, 'red')",
         "lineWidth({X}, 2)",
+        # round-8 wave 4: the generic family
+        "aggregate({X}, 'median')",
+        "aggregate({X}, 'range')",
+        "aggregateWithWildcards({X}, 'sum', 0)",
+        "multiplySeriesWithWildcards({X}, 1)",
+        "movingWindow({X}, 2, 'sum')",
+        "movingWindow({X}, '2h', 'max')",
+        "highest({X}, 2, 'max')",
+        "lowest({X}, 2)",
+        "highestMax({X}, 2)",
+        "sortBy({X}, 'total', true)",
+        "sortBy({X})",
+        "filterSeries({X}, 'average', '>', -100)",
+        "removeBetweenPercentile({X}, 80)",
+        "unique({X}, {X})",
+        "aliasByMetric({X})",
+        "fallbackSeries({X}, {X})",
+        "cumulative({X})",
+        "stacked({X})",
+        "legendValue({X}, 'avg', 'max')",
+        "powSeries({X})",
+        "sumSeriesLists({X}, {X})",
+        "diffSeriesLists({X}, {X})",
+        "multiplySeriesLists({X}, {X})",
+        "divideSeriesLists({X}, {X})",
+        "aggregateSeriesLists({X}, {X}, 'sum')",
     ]
     rng = random.Random(20260814)
     fetch = _fetch_fn(spark)
@@ -426,7 +452,7 @@ def test_render_wave3_functions(spark):
 
     # display-only functions: values untouched, graphite renames applied
     d = render("dashed(mem.used)", fetch).collect()
-    assert {r.metric for r in d} == {"dashed(mem.used, 5)"}
+    assert {r.metric for r in d} == {"dashed(mem.used,5)"}
     assert sorted(r.value for r in d) == [5.0] * 6
     c = render("color(mem.used, 'red')", fetch).collect()
     assert {r.metric for r in c} == {"mem.used"}
@@ -439,5 +465,5 @@ def test_render_wave3_functions(spark):
     # timeStack names and shifts
     ts = render("timeStack(mem.used, '1h', 0, 2)", fetch)
     names = {r.metric for r in ts.collect()}
-    assert names == {"timeShift(mem.used, 0)", "timeShift(mem.used, 1)"}
+    assert names == {"timeShift(mem.used, 1h, 0)", "timeShift(mem.used, 1h, 1)"}
     assert ts.count() == 12

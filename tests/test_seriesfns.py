@@ -542,10 +542,16 @@ def test_time_stack(spark):
     df = _series(spark, [("m", 86400, 1.0), ("m", 86460, 2.0)])
     out = S.time_stack(df, 86400, 0, 2)
     got = {(r.metric, r.bucket_ts): r.value for r in out.collect()}
+    # graphite's literal name format includes the shift UNIT:
+    # 'timeShift(%s, %s, %s)' % (name, timeShiftUnit, shift)
     assert got == {
-        ("timeShift(m, 0)", 86400): 1.0, ("timeShift(m, 0)", 86460): 2.0,
-        ("timeShift(m, 1)", 172800): 1.0, ("timeShift(m, 1)", 172860): 2.0,
+        ("timeShift(m, 1d, 0)", 86400): 1.0,
+        ("timeShift(m, 1d, 0)", 86460): 2.0,
+        ("timeShift(m, 1d, 1)", 172800): 1.0,
+        ("timeShift(m, 1d, 1)", 172860): 2.0,
     }
+    lbl = S.time_stack(df, 3600, 0, 1, unit_label="1h")
+    assert {r.metric for r in lbl.collect()} == {"timeShift(m, 1h, 0)"}
 
 
 def test_stdev_window(spark):
@@ -629,8 +635,9 @@ def test_interpolate(spark):
 
 def test_display_only_renames(spark):
     df = _series(spark, [("m", 0, 1.0)])
-    assert S.dashed(df).first().metric == "dashed(m, 5)"
-    assert S.dashed(df, 2.5).first().metric == "dashed(m, 2.5)"
+    # graphite's literal format: 'dashed(%s,%g)' — no space
+    assert S.dashed(df).first().metric == "dashed(m,5)"
+    assert S.dashed(df, 2.5).first().metric == "dashed(m,2.5)"
     assert S.draw_as_infinite(df).first().metric == "drawAsInfinite(m)"
     assert S.second_y_axis(df).first().metric == "secondYAxis(m)"
     assert S.draw_as_infinite(df).first().value == 1.0
@@ -655,6 +662,55 @@ def test_exponential_moving_average(spark):
     short = _series(spark, [("s", 0, 1.0), ("s", 60, 2.0)])
     vals = [r.value for r in S.exponential_moving_average(short, 3).collect()]
     assert vals == [None, None]
+
+
+def test_exponential_moving_average_all_gap_seed(spark):
+    # ADVICE r7: an all-gap seed window must NOT seed the EMA at 0.0 —
+    # graphite's `if ema is None: ema = value` seeds from the first
+    # non-null value instead.
+    df = _series(spark, [
+        ("m", 0, None), ("m", 60, None), ("m", 120, None),
+        ("m", 180, 4.0), ("m", 240, 8.0),
+    ])
+    got = {r.bucket_ts: r.value
+           for r in S.exponential_moving_average(df, 3).collect()}
+    assert got[0] is None and got[60] is None and got[120] is None
+    assert abs(got[180] - 4.0) < 1e-9           # seeded from the value
+    assert abs(got[240] - (0.5 * 8.0 + 0.5 * 4.0)) < 1e-9
+
+
+def test_exponential_moving_average_chunked_long_series(spark):
+    # cross several fold chunks (K=64) and pin to a pure-Python
+    # transcription of graphite-web's exponentialMovingAverage loop
+    import random
+
+    rnd = random.Random(7)
+    n, w = 300, 10
+    pts = [(i * 60, None if rnd.random() < 0.15 else rnd.uniform(-50, 50))
+           for i in range(n)]
+    df = _series(spark, [("m", t, v) for t, v in pts])
+
+    c = 2.0 / (w + 1.0)
+    vals = [v for _, v in pts]
+    head = [v for v in vals[:w] if v is not None]
+    ema = sum(head) / len(head) if head else None
+    expect = [None] * (w - 1) + [ema]
+    for v in vals[w:]:
+        if v is None:
+            expect.append(None)
+            continue
+        ema = v if ema is None else c * v + (1 - c) * ema
+        expect.append(ema)
+
+    got = {r.bucket_ts: r.value
+           for r in S.exponential_moving_average(df, w).collect()}
+    assert len(got) == n
+    for i, e in enumerate(expect):
+        g = got[i * 60]
+        if e is None:
+            assert g is None, (i, g)
+        else:
+            assert g is not None and abs(g - e) < 1e-9, (i, g, e)
 
 
 def test_aggregate_line_and_min_max(spark):
@@ -718,7 +774,8 @@ def test_group_by_nodes_and_smart_summarize(spark):
 def test_consolidate_by_and_cacti_style(spark):
     df = _series(spark, [("web.cpu", 0, 1.0), ("web.cpu", 60, 3.5)])
     cb = S.consolidate_by(df, "max")
-    assert {r.metric for r in cb.collect()} == {'consolidateBy(web.cpu, "max")'}
+    # graphite's literal format: 'consolidateBy(%s,"%s")' — no space
+    assert {r.metric for r in cb.collect()} == {'consolidateBy(web.cpu,"max")'}
     assert sorted(r.value for r in cb.collect()) == [1.0, 3.5]
     import pytest as _p
     with _p.raises(ValueError):
@@ -728,3 +785,160 @@ def test_consolidate_by_and_cacti_style(spark):
     assert {r.metric for r in cs} == {
         "web.cpu Current:3.50 Max:3.50 Min:1.00"}
     assert sorted(r.value for r in cs) == [1.0, 3.5]
+
+    # >= 1000: plain '%.2f' like graphite — NO thousands separators
+    big = _series(spark, [("m", 0, 1234.567), ("m", 60, 999.994)])
+    bs = S.cacti_style(big).collect()
+    assert {r.metric for r in bs} == {
+        "m Current:999.99 Max:1234.57 Min:999.99"}
+
+
+# --- round-8 wave 4: generic family -----------------------------------------
+
+
+def test_generic_highest_lowest_sortby_filter(spark):
+    df = _series(spark, [
+        ("a", 0, 1.0), ("a", 60, 3.0),      # avg 2, max 3, cur 3
+        ("b", 0, 8.0), ("b", 60, None),     # avg 8, max 8, cur 8
+        ("c", 0, 2.0), ("c", 60, 6.0),      # avg 4, max 6, cur 6
+    ])
+    assert {r.metric for r in S.highest(df, 1, "max").collect()} == {"b"}
+    assert {r.metric for r in S.highest(df, 2, "average").collect()} == {
+        "b", "c"}
+    assert {r.metric for r in S.lowest(df, 1, "current").collect()} == {"a"}
+    assert {r.metric for r in S.highest_max(df, 2).collect()} == {"b", "c"}
+    # sortBy default ASCENDING by average: a(2) < c(4) < b(8)
+    order = {r["metric"]: r["__series_order"]
+             for r in S.sort_by(df, "average").collect()}
+    assert order == {"a": 1, "c": 2, "b": 3}
+    rev = {r["metric"]: r["__series_order"]
+           for r in S.sort_by(df, "average", reverse=True).collect()}
+    assert rev == {"b": 1, "c": 2, "a": 3}
+    # filterSeries
+    assert {r.metric
+            for r in S.filter_series(df, "max", ">=", 6.0).collect()} == {
+        "b", "c"}
+    assert {r.metric
+            for r in S.filter_series(df, "count", "=", 1.0).collect()} == {
+        "b"}
+    import pytest as _p
+    with _p.raises(ValueError):
+        S.filter_series(df, "max", "~", 1.0)
+    with _p.raises(ValueError):
+        S.highest(df, 1, "bogus")
+
+
+def test_generic_aggregate_and_wildcards(spark):
+    df = _series(spark, [
+        ("x.a", 0, 1.0), ("x.a", 60, 3.0),
+        ("x.b", 0, 2.0), ("x.b", 60, None),
+        ("y.a", 0, 10.0), ("y.a", 60, 20.0),
+    ])
+    med = {r.bucket_ts: r.value
+           for r in S.aggregate_series(df, "median").collect()}
+    assert med == {0: 2.0, 60: 11.5}  # [1,2,10] → 2; [3,20] → 11.5
+    cnt = {r.bucket_ts: r.value
+           for r in S.aggregate_series(df, "count").collect()}
+    assert cnt == {0: 3.0, 60: 2.0}
+    rng = {r.bucket_ts: r.value
+           for r in S.aggregate_series(df, "range").collect()}
+    assert rng == {0: 9.0, 60: 17.0}
+    # multiply with a gap member → NULL bucket (safeMul)
+    mul = {r.bucket_ts: r.value
+           for r in S.aggregate_series(df, "multiply").collect()}
+    assert mul[0] == 20.0 and mul[60] is None
+    # aggregateWithWildcards drops node 0: groups (a: x.a+y.a, b: x.b)
+    g = {(r.metric, r.bucket_ts): r.value
+         for r in S.aggregate_with_wildcards(df, "sum", 0).collect()}
+    assert g[("a", 0)] == 11.0 and g[("a", 60)] == 23.0
+    assert g[("b", 0)] == 2.0 and g[("b", 60)] is None
+    # multiply honors PER-GROUP membership (a has 2 members, b has 1)
+    m = {(r.metric, r.bucket_ts): r.value
+         for r in S.multiply_series_with_wildcards(df, 0).collect()}
+    assert m[("a", 0)] == 10.0 and m[("a", 60)] == 60.0
+    assert m[("b", 0)] == 2.0 and m[("b", 60)] is None
+    import pytest as _p
+    with _p.raises(ValueError):
+        S.aggregate_series(df, "diff")
+
+
+def test_generic_moving_window_and_pow(spark):
+    df = _series(spark, [
+        ("m", 0, 1.0), ("m", 60, 2.0), ("m", 120, 3.0), ("m", 180, 4.0),
+    ])
+    mw = {r.bucket_ts: r.value for r in S.moving_window(df, 2, "sum").collect()}
+    assert mw[0] is None and mw[60] is None
+    assert mw[120] == 3.0 and mw[180] == 5.0
+    mt = {r.bucket_ts: r.value
+          for r in S.moving_window(df, "2min", "max").collect()}
+    assert mt[120] == 2.0 and mt[180] == 3.0
+    # powSeries: name-ordered fold a^b per bucket
+    two = _series(spark, [
+        ("a", 0, 2.0), ("a", 60, 3.0), ("b", 0, 3.0), ("b", 60, None),
+    ])
+    pw = {r.bucket_ts: r.value for r in S.pow_series_combine(two).collect()}
+    assert pw[0] == 8.0 and pw[60] is None
+
+
+def test_remove_between_percentile_and_unique(spark):
+    # 5 series, constant values 1..5: NIST rank gives p20 → rank 2 (lo=2)
+    # and p80 → rank 5 (hi=5); series entirely strictly inside (2,5)
+    # vanish — graphite's `not low < val < high` keeps the band EDGES
+    df = _series(spark, [
+        (f"s{i}", t, float(i)) for i in range(1, 6) for t in (0, 60)
+    ])
+    kept = {r.metric for r in S.remove_between_percentile(df, 80).collect()}
+    assert kept == {"s1", "s2", "s5"}  # 1,2 <= lo=2; 5 >= hi=5; 3,4 inside
+    assert kept == {
+        r.metric for r in S.remove_between_percentile(df, 20).collect()}
+
+    a = _series(spark, [("m", 0, 1.0), ("n", 0, 2.0)])
+    b = _series(spark, [("n", 0, 99.0), ("o", 0, 3.0)])
+    u = {(r.metric, r.value) for r in S.unique_series([a, b]).collect()}
+    assert u == {("m", 1.0), ("n", 2.0), ("o", 3.0)}  # first-list n wins
+
+
+def test_alias_by_metric_fallback_stacked_legend(spark):
+    df = _series(spark, [("web01.cpu.load", 0, 1.5)])
+    assert S.alias_by_metric(df).first().metric == "load"
+
+    empty = df.where("1=0")
+    fb = S.fallback_series(empty, df)
+    assert [r.metric for r in fb.collect()] == ["web01.cpu.load"]
+    keep = S.fallback_series(df, _series(spark, [("fb", 0, 9.0)]))
+    assert {r.metric for r in keep.collect()} == {"web01.cpu.load"}
+
+    assert S.stacked_series(df).first().metric == "stacked(web01.cpu.load)"
+    assert S.stacked_series(df, "mystack").first().metric == "web01.cpu.load"
+    assert S.cumulative(df).first().metric == (
+        'consolidateBy(web01.cpu.load,"sum")')
+
+    lv = S.legend_value(df, "avg", "last")
+    assert lv.first().metric == "web01.cpu.load (avg: 1.5) (last: 1.5)"
+    gap = _series(spark, [("g", 0, None)])
+    assert S.legend_value(gap, "max").first().metric == "g (max: None)"
+    import pytest as _p
+    with _p.raises(ValueError):
+        S.legend_value(df, "si")
+
+
+def test_combine_series_lists(spark):
+    a = _series(spark, [("a1", 0, 6.0), ("a1", 60, None),
+                        ("a2", 0, 10.0)])
+    b = _series(spark, [("b1", 0, 2.0), ("b1", 60, 5.0),
+                        ("b2", 0, 4.0)])
+    s = {(r.metric, r.bucket_ts): r.value
+         for r in S.combine_series_lists(a, b, "sum").collect()}
+    assert s[("sumSeries(a1,b1)", 0)] == 8.0
+    assert s[("sumSeries(a1,b1)", 60)] == 5.0  # safeSum: gap treated absent
+    assert s[("sumSeries(a2,b2)", 0)] == 14.0
+    d = {(r.metric, r.bucket_ts): r.value
+         for r in S.combine_series_lists(a, b, "divide").collect()}
+    assert d[("divideSeries(a1,b1)", 0)] == 3.0
+    assert d[("divideSeries(a1,b1)", 60)] is None
+    m = {(r.metric, r.bucket_ts): r.value
+         for r in S.combine_series_lists(a, b, "multiply").collect()}
+    assert m[("multiplySeries(a1,b1)", 60)] is None
+    import pytest as _p
+    with _p.raises(ValueError):
+        S.combine_series_lists(a, b, "mod")
