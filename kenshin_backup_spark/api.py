@@ -183,7 +183,9 @@ class Engine:
                 "metric", "bucket_ts", "value"
             )
 
-        return _render(target, fetch_fn)
+        # the request window also feeds the generator functions
+        # (time/sin/randomWalk/constantLine/threshold)
+        return _render(target, fetch_fn, from_ts=from_ts, until_ts=until_ts)
 
     def render_many(
         self,

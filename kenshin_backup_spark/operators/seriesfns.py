@@ -2411,3 +2411,401 @@ def combine_series_lists(
         .cast("double")
         .alias("value"),
     )
+
+
+# --- round-8 wave 4b: time generators ---------------------------------------
+#
+# graphite's generator functions take no series argument — they synthesize
+# one from the REQUEST WINDOW (from/until/step), which graphite carries in
+# requestContext. The render evaluator threads the same window through
+# ``render(..., from_ts=, until_ts=, step=)``; calling a generator without
+# a window raises. Frames are built with ``spark.range`` (distributed,
+# bounded by the window — never a driver loop).
+
+
+def _gen_grid(from_ts: int, until_ts: int, step: int) -> DataFrame:
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession for a generator function")
+    if step <= 0 or until_ts <= from_ts:
+        raise ValueError("generator window needs from < until and step > 0")
+    return spark.range(int(from_ts), int(until_ts), int(step)).select(
+        F.col("id").cast("long").alias("bucket_ts")
+    )
+
+
+def time_function(
+    name: str, from_ts: int, until_ts: int, step: int = 60
+) -> DataFrame:
+    """graphite ``timeFunction(name, step)`` / ``time()``: each point's
+    value is its own epoch timestamp."""
+    return _gen_grid(from_ts, until_ts, step).select(
+        F.lit(name).alias("metric"),
+        "bucket_ts",
+        F.col("bucket_ts").cast("double").alias("value"),
+    )
+
+
+def identity_function(
+    name: str, from_ts: int, until_ts: int
+) -> DataFrame:
+    """graphite ``identity(name)``: timeFunction at the default 60 s
+    step (value == timestamp)."""
+    return time_function(name, from_ts, until_ts, 60)
+
+
+def sin_function(
+    name: str, from_ts: int, until_ts: int,
+    amplitude: float = 1.0, step: int = 60,
+) -> DataFrame:
+    """graphite ``sinFunction(name, amplitude, step)`` / ``sin()``:
+    ``amplitude · sin(t)`` over the request grid."""
+    return _gen_grid(from_ts, until_ts, step).select(
+        F.lit(name).alias("metric"),
+        "bucket_ts",
+        (F.lit(float(amplitude)) * F.sin(F.col("bucket_ts").cast("double")))
+        .alias("value"),
+    )
+
+
+def random_walk_function(
+    name: str, from_ts: int, until_ts: int, step: int = 60
+) -> DataFrame:
+    """graphite ``randomWalkFunction(name, step)`` / ``randomWalk()``:
+    starts at 0 and adds a uniform(−0.5, 0.5) increment per point.
+    DOCUMENTED DEVIATION: graphite draws from ``random.random()``; a
+    distributed plan must be reproducible, so increments derive from
+    ``xxhash64(name, t)`` — same distribution, deterministic per
+    (name, timestamp). The prefix sum is one window over the generated
+    grid — bounded by the REQUEST window's point count, never by stored
+    data (the only data-proportional thing here is the grid itself)."""
+    grid = _gen_grid(from_ts, until_ts, step).select(
+        F.lit(name).alias("metric"), "bucket_ts"
+    )
+    u = (
+        F.pmod(F.xxhash64("metric", "bucket_ts"), F.lit(1 << 24)).cast(
+            "double"
+        )
+        / float(1 << 24)
+        - 0.5
+    )
+    w = W.partitionBy("metric").orderBy("bucket_ts").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    # value_i = sum of increments of points BEFORE i (walk starts at 0)
+    return grid.withColumn(
+        "value", F.coalesce(F.sum(u).over(w), F.lit(0.0)).cast("double")
+    )
+
+
+def constant_line(
+    value: float, from_ts: int, until_ts: int
+) -> DataFrame:
+    """graphite ``constantLine(value)``: three points (start, midpoint,
+    end) at the value; the series name is the value's text exactly as
+    graphite renders it (``str(float)``-like: 3.0 → '3.0')."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession for a generator function")
+    v = float(value)
+    name = repr(v) if not v.is_integer() else f"{v:.1f}"
+    start, end = int(from_ts), int(until_ts)
+    half = int((end - start) / 2.0)
+    rows = [(name, start, v), (name, start + half, v),
+            (name, start + 2 * half, v)]
+    return spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+
+
+def threshold_series(
+    value: float, from_ts: int, until_ts: int, label: str | None = None
+) -> DataFrame:
+    """graphite ``threshold(value, label, color)``: a constantLine,
+    renamed to the label when one is given (color is display-only)."""
+    line = constant_line(value, from_ts, until_ts)
+    if label:
+        line = line.withColumn("metric", F.lit(str(label)))
+    return line
+
+
+# --- round-8 wave 4c: Holt-Winters forecasting ------------------------------
+
+
+def holt_winters_analysis(
+    df: DataFrame, season_seconds: int = 86400
+) -> DataFrame:
+    """Transcription of graphite-web's ``holtWintersAnalysis`` (additive
+    triple exponential smoothing, α=γ=0.1, β=0.0035, season = one day)
+    over the canonical frame. Returns one row per input point with
+    ``value`` (the actual), ``hw_pred`` (the one-step forecast graphite
+    plots) and ``hw_dev`` (the smoothed seasonal deviation).
+
+    Semantics pinned to graphite's loop (property-tested against a pure
+    Python transcription in tests/test_properties.py): the first point
+    seeds intercept=actual, prediction=actual; a GAP row emits the
+    carried prediction with deviation 0, resets the intercept memory and
+    nulls the next prediction; seasonal/deviation history is indexed one
+    season back (0 before a full season). DOCUMENTED DEVIATION: graphite
+    bootstraps from a 7-day preview fetch; the frame-only model analyses
+    the fetched window itself (same convention as the moving* family's
+    leading gaps).
+
+    The recurrence is sequential per series and indexes ``seasonals[i −
+    L]``, so it folds over ONE per-series array carrying the full
+    seasonal/deviation history (bounded-collect contract: the array is
+    the render window's point count; the O(n²) element copies of the
+    four append-only arrays are the documented cost — the season-lag
+    lookback makes the EMA chunking trick inapplicable). The per-series
+    step is inferred from the sorted grid (min adjacent gap), exactly
+    like graphite's ``series.step``."""
+    alpha = gamma = 0.1
+    beta = 0.0035
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("bucket_ts").alias("t"),
+                                F.col("value").alias("v")))
+    )
+    per = df.groupBy("metric").agg(arr.alias("__pts"))
+    n = F.size("__pts")
+    diffs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("__pts", 2, n - 1),
+            F.slice("__pts", 1, n - 1),
+            lambda a, b: a["t"] - b["t"],
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    step = F.coalesce(F.array_min(diffs), F.lit(60).cast("bigint"))
+    # graphite: season_length = 86400 // step; the fold needs L ≥ 2
+    per = per.withColumn(
+        "__L",
+        F.greatest(
+            F.floor(F.lit(int(season_seconds)) / step), F.lit(2)
+        ).cast("int"),
+    )
+    L = F.col("__L")
+    out_t = (
+        "array<struct<t:bigint,v:double,pred:double,dev:double>>"
+    )
+
+    def _step(acc, s):
+        i = F.size(acc["seas"])
+        last_seas = F.when(
+            i >= L, F.element_at(acc["seas"], i - L + 1)
+        ).otherwise(F.lit(0.0))
+        next_last_seas = F.when(
+            i + 1 >= L, F.element_at(acc["seas"], i + 2 - L)
+        ).otherwise(F.lit(0.0))
+        last_dev = F.when(
+            i >= L, F.element_at(acc["devs"], i - L + 1)
+        ).otherwise(F.lit(0.0))
+        li = F.when(i == 0, s["v"]).otherwise(
+            F.coalesce(acc["ilast"], s["v"])
+        )
+        ls = F.when(i == 0, F.lit(0.0)).otherwise(acc["slast"])
+        pred = F.when(i == 0, s["v"]).otherwise(acc["npred"])
+        intercept = (
+            F.lit(alpha) * (s["v"] - last_seas)
+            + F.lit(1.0 - alpha) * (li + ls)
+        )
+        slope = F.lit(beta) * (intercept - li) + F.lit(1.0 - beta) * ls
+        seasonal = (
+            F.lit(gamma) * (s["v"] - intercept)
+            + F.lit(1.0 - gamma) * last_seas
+        )
+        npred = intercept + slope + next_last_seas
+        deviation = (
+            F.lit(gamma) * F.abs(s["v"] - F.coalesce(pred, F.lit(0.0)))
+            + F.lit(1.0 - gamma) * last_dev
+        )
+        gap = s["v"].isNull()
+        return F.struct(
+            F.concat(
+                acc["seas"],
+                F.array(F.when(gap, F.lit(0.0)).otherwise(seasonal)),
+            ).alias("seas"),
+            F.concat(
+                acc["devs"],
+                F.array(F.when(gap, F.lit(0.0)).otherwise(deviation)),
+            ).alias("devs"),
+            F.when(~gap, intercept).alias("ilast"),
+            F.when(gap, F.lit(0.0)).otherwise(slope).alias("slast"),
+            F.when(~gap, npred).alias("npred"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        s["t"].alias("t"),
+                        s["v"].alias("v"),
+                        F.when(gap, acc["npred"]).otherwise(pred)
+                        .alias("pred"),
+                        F.when(gap, F.lit(0.0)).otherwise(deviation)
+                        .alias("dev"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = F.aggregate(
+        "__pts",
+        F.struct(
+            F.array().cast("array<double>").alias("seas"),
+            F.array().cast("array<double>").alias("devs"),
+            F.lit(None).cast("double").alias("ilast"),
+            F.lit(0.0).alias("slast"),
+            F.lit(None).cast("double").alias("npred"),
+            F.array().cast(out_t).alias("out"),
+        ),
+        _step,
+    )
+    return (
+        per.select("metric", F.explode(folded["out"]).alias("__p"))
+        .select(
+            "metric",
+            F.col("__p")["t"].alias("bucket_ts"),
+            F.col("__p")["v"].cast("double").alias("value"),
+            F.col("__p")["pred"].cast("double").alias("hw_pred"),
+            F.col("__p")["dev"].cast("double").alias("hw_dev"),
+        )
+    )
+
+
+def holt_winters_forecast(
+    df: DataFrame, season_seconds: int = 86400
+) -> DataFrame:
+    """graphite ``holtWintersForecast()``: the one-step prediction
+    series, renamed ``holtWintersForecast(name)``."""
+    return holt_winters_analysis(df, season_seconds).select(
+        F.concat(
+            F.lit("holtWintersForecast("), F.col("metric"), F.lit(")")
+        ).alias("metric"),
+        "bucket_ts",
+        F.col("hw_pred").alias("value"),
+    )
+
+
+def holt_winters_confidence_bands(
+    df: DataFrame, delta: float = 3.0, season_seconds: int = 86400
+) -> DataFrame:
+    """graphite ``holtWintersConfidenceBands(delta)``: two series per
+    input — ``prediction ± delta·deviation`` named
+    ``holtWintersConfidenceUpper(name)`` / ``...Lower(name)``."""
+    hw = holt_winters_analysis(df, season_seconds)
+    up = hw.select(
+        F.concat(
+            F.lit("holtWintersConfidenceUpper("), F.col("metric"),
+            F.lit(")"),
+        ).alias("metric"),
+        "bucket_ts",
+        (F.col("hw_pred") + F.lit(float(delta)) * F.col("hw_dev"))
+        .cast("double").alias("value"),
+    )
+    lo = hw.select(
+        F.concat(
+            F.lit("holtWintersConfidenceLower("), F.col("metric"),
+            F.lit(")"),
+        ).alias("metric"),
+        "bucket_ts",
+        (F.col("hw_pred") - F.lit(float(delta)) * F.col("hw_dev"))
+        .cast("double").alias("value"),
+    )
+    return up.unionByName(lo)
+
+
+def holt_winters_aberration(
+    df: DataFrame, delta: float = 3.0, season_seconds: int = 86400
+) -> DataFrame:
+    """graphite ``holtWintersAberration(delta)``: how far each actual
+    value strays outside the confidence band — ``actual − upper`` above
+    it, ``actual − lower`` below it, else 0 (gaps and band-less points
+    emit 0, as graphite does)."""
+    hw = holt_winters_analysis(df, season_seconds)
+    upper = F.col("hw_pred") + F.lit(float(delta)) * F.col("hw_dev")
+    lower = F.col("hw_pred") - F.lit(float(delta)) * F.col("hw_dev")
+    ab = (
+        F.when(F.col("value").isNull(), F.lit(0.0))
+        .when(
+            upper.isNotNull() & (F.col("value") > upper),
+            F.col("value") - upper,
+        )
+        .when(
+            lower.isNotNull() & (F.col("value") < lower),
+            F.col("value") - lower,
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return hw.select(
+        F.concat(
+            F.lit("holtWintersAberration("), F.col("metric"), F.lit(")")
+        ).alias("metric"),
+        "bucket_ts",
+        ab.cast("double").alias("value"),
+    )
+
+
+# --- round-8 wave 4d: map/reduce over name nodes -----------------------------
+
+
+def reduce_series(
+    df: DataFrame, reduce_function: str, reduce_node: int, *matchers: str
+) -> DataFrame:
+    """graphite ``reduceSeries(mapped, reduceFunction, reduceNode,
+    *reduceMatchers)``: within each group of series sharing the name
+    PREFIX before ``reduceNode``, pick the series whose node equals each
+    matcher and combine them pairwise; the result keeps the prefix as
+    its name (graphite builds the same prefix key and drops incomplete
+    groups — here an inner join on (prefix, bucket) drops them
+    bucket-wise, identical on the engine's uniform fetch grids).
+
+    ``mapSeries`` is an identity in the frame model: graphite reshapes
+    the flat list into groups, but the grouping key is DERIVED FROM THE
+    NAMES, which the frame keeps — so the pair composes as
+    ``reduceSeries(mapSeries(x, 1), 'asPercent', 3, 'used', 'total')``
+    with mapSeries contributing nothing the names don't already carry.
+
+    Supported reduce kernels are graphite's documented two-series ones:
+    ``asPercent`` (a/b·100), ``divideSeries``, ``diffSeries`` — plus
+    ``sumSeries`` and ``multiplySeries`` for symmetry."""
+    if len(matchers) != 2:
+        raise ValueError(
+            "reduceSeries supports exactly two reduceMatchers "
+            f"(two-series reduce kernels); got {len(matchers)}"
+        )
+    kernels = {
+        "asPercent": lambda a, b: F.when(b != 0.0, a / b * 100.0),
+        "divideSeries": lambda a, b: F.when(b != 0.0, a / b),
+        "diffSeries": lambda a, b: a - F.coalesce(b, F.lit(0.0)),
+        "sumSeries": lambda a, b: F.when(
+            a.isNotNull() | b.isNotNull(),
+            F.coalesce(a, F.lit(0.0)) + F.coalesce(b, F.lit(0.0)),
+        ),
+        "multiplySeries": lambda a, b: a * b,
+    }
+    if reduce_function not in kernels:
+        raise ValueError(
+            f"reduceSeries function must be one of {sorted(kernels)}"
+        )
+    parts = F.split(F.col("metric"), r"\.")
+    node = F.element_at(parts, int(reduce_node) + 1)  # element_at is 1-based
+    prefix = F.array_join(F.slice(parts, 1, int(reduce_node)), ".")
+
+    def side(matcher: str, vcol: str) -> DataFrame:
+        return df.where(node == matcher).select(
+            prefix.alias("__prefix"), "bucket_ts",
+            F.col("value").alias(vcol),
+        )
+
+    j = side(matchers[0], "__a").join(
+        side(matchers[1], "__b"), ["__prefix", "bucket_ts"], "inner"
+    )
+    return j.select(
+        F.col("__prefix").alias("metric"),
+        "bucket_ts",
+        kernels[reduce_function](F.col("__a"), F.col("__b"))
+        .cast("double")
+        .alias("value"),
+    )

@@ -89,6 +89,7 @@ from kenshin_backup_spark.queries import (
     batch69,
     batch70,
     batch71,
+    batch72,
     llm,
     relational,
     relational2,
@@ -171,97 +172,90 @@ _MODULES = (
     batch69,
     batch70,
     batch71,
+    batch72,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
-#: entries, so this ordering is evidence policy. Round-7 re-curation
-#: executes VERDICT r6 item #2 — the FINAL ~50-slot burn-down rotation
-#: (65 never-driver-checked after r6: 56 with oracles + 9 rows-only that
-#: must never hold slots), with every slot spent on a HASHABLE query:
-#: 1. `tsdb_changepoint_cusum` re-cert first — its r6 hash mismatch was
-#:    proven value-identical (DuckDB HUGEINT widening of a windowed
-#:    SUM(BIGINT)); the oracle now casts `cusum_q` to BIGINT per the
-#:    registry type contract, structurally guarded by
-#:    tests/test_oracle_types.py (bind-level DESCRIBE over all oracles);
-#: 2. `streaming_counter_resets` — the r1 straggler checked before its
-#:    oracle existed (`err: no_oracle` in CORRECTNESS_r01); it has had a
-#:    full DuckDB oracle for rounds and was never re-rotated (VERDICT r6
-#:    "wrong" #4);
-#: 3. 48 never-checked rotations from COVERAGE.md's r7 queue:
-#:    relational/scalar 5, array/map/json 4, business shapes 12, TSDB
-#:    tail 7, dedup/emb/LLM tail 10 (incl. `llm_jaccard_threshold_sweep`
-#:    AFTER its t10 BIGINT cast landed), text tail 3 (incl.
-#:    `text_vocab_growth` AFTER its cum_* BIGINT casts landed),
-#:    sources/governance 7.
-#: If all pass, cumulative unique driver-green grows 204 → 254/278 and
-#: the oracle-backed-never-FULL-green remainder drops to 8 (the deferred
-#: low-risk relational/scalar family in COVERAGE.md's r8 queue:
-#: agg_grouping_flags, scalar_bitwise_shift, scalar_date_family2,
-#: scalar_split_part_family, scalar_string_family3, window_suffix_revenue,
-#: join_cross_grid, join_null_safe_status — deferred because each has
-#: multiple already-driver-green siblings in the same scalar/join family).
-#: Every previously-green row that rotates out keeps exact-cell parity
+#: entries, so this ordering is evidence policy. Round-8 re-curation —
+#: the burn-down is DONE (every oracle-backed query has a full
+#: rows+schema+hash driver row once this window certifies), so slots now
+#: split three ways:
+#: 1. the LAST 8 never-full-green queries (COVERAGE.md's r8 queue —
+#:    the deferred low-risk relational/scalar family);
+#: 2. the 3 NEW round-8 certs (batch72): the generic render family
+#:    (highest/aggregate-median), the map/reduce-over-nodes tier
+#:    (reduceSeries/applyByNode) and the generator functions
+#:    (time() + sumSeriesLists) — all exact-parity green at sf0.001 and
+#:    sf0.01 before rotation;
+#: 3. re-certs: 7 for code this round CHANGED (ladder delete/fetch gained
+#:    the layout-manifest guard → the two ladder maintenance certs;
+#:    Engine.render now threads the request window → the five
+#:    graphite_render_* certs), then the 32 oracle-backed rows with the
+#:    OLDEST driver evidence (all r1/r2 greens plus the two oldest r3
+#:    rows) re-verified under the current engine.
+#: The 9 rows-only-by-design queries (approx_distinct_parts,
+#: approx_event_percentiles, emb_intrinsic_dimension, emb_kmeans_clusters,
+#: emb_mmr_rerank, events_rolling_wau_hll, graph_pagerank_docs,
+#: tsdb_downsample_lttb, tsdb_holt_linear_forecast) still never hold
+#: window slots. Every row that rotates out keeps exact-cell parity
 #: coverage in tests/test_oracle_parity.py.
 _PRIORITY = (
-    # --- re-cert: r6's value-identical hash mismatch, oracle cast fixed ------
-    "tsdb_changepoint_cusum",
-    # --- the checked-before-oracle-existed straggler (VERDICT r6 #4) ---------
-    "streaming_counter_resets",
-    # --- never driver-checked: relational / scalar ---------------------------
-    "agg_skewness_kurtosis",
-    "window_frame_distinct_users",
-    "window_percent_rank_acctbal",
-    "unpivot_lineitem_measures",
-    "sql_api_revenue_by_nation",
-    # --- never driver-checked: array / map / json ----------------------------
-    "array_hof_embeddings",
-    "array_set_ops_shingles",
-    "json_roundtrip_events",
-    "map_props_entries",
-    # --- never driver-checked: business shapes -------------------------------
-    "lineitem_discount_effectiveness",
-    "lineitem_shipping_delays",
-    "lineitem_weighted_median",
-    "orders_backlog_over_time",
-    "orders_cohort_ltv",
-    "orders_duplicate_payments",
-    "orders_market_basket",
-    "orders_yoy_growth",
-    "part_brand_share_shift",
-    "supplier_concentration_hhi",
-    "events_audience_overlap",
-    "events_user_gini_diversity",
-    # --- never driver-checked: TSDB tail -------------------------------------
-    "tsdb_alert_rule_eval",
-    "tsdb_counter_gauge_classify",
-    "tsdb_downsample_minmax_pairs",
-    "tsdb_forecast_backtest",
-    "tsdb_histogram_shard_merge",
-    "tsdb_namespace_levels",
-    "tsdb_vshape_patterns",
-    # --- never driver-checked: dedup / embeddings / LLM tail -----------------
-    "dedup_embedding_cosine",
-    "dedup_graph_degree_stats",
-    "dedup_substring_spans",
-    "emb_drift_by_label",
-    "emb_truncation_recall",
-    "graph_triangle_stats",
-    "llm_cluster_representative",
-    "llm_jaccard_threshold_sweep",
-    "llm_mix_rebalance_plan",
-    "asof_click_next_purchase",
-    # --- never driver-checked: text tail -------------------------------------
-    "text_bigram_novelty",
-    "text_code_detection",
-    "text_vocab_growth",
-    # --- never driver-checked: sources / governance --------------------------
-    "source_csv_malformed_handling",
-    "source_schema_evolution",
-    "multimodal_binary_meta",
-    "multimodal_frame_sample",
-    "dq_constraint_report",
-    "gdpr_erasure_audit",
-    "privacy_k_anonymity_report",
+    # --- the last 8 never-full-green (burn-down completion) ------------------
+    "agg_grouping_flags",
+    "scalar_bitwise_shift",
+    "scalar_date_family2",
+    "scalar_split_part_family",
+    "scalar_string_family3",
+    "window_suffix_revenue",
+    "join_cross_grid",
+    "join_null_safe_status",
+    # --- new round-8 certs: wave-4 render tier (batch72) ---------------------
+    "graphite_render_generic",
+    "graphite_render_mapreduce",
+    "graphite_render_timegen",
+    # --- re-certs: code changed this round ------------------------------------
+    "tsdb_ladder_roundtrip",
+    "tsdb_ladder_coarse_fetch",
+    "graphite_render_pipeline",
+    "graphite_render_ratio",
+    "graphite_render_seriesbytag",
+    "graphite_render_bandmath",
+    "graphite_render_rollstats",
+    # --- re-certs: oldest driver evidence (r1) --------------------------------
+    "agg_cube_priority_status",
+    "agg_distinct_counts",
+    "agg_rollup_flag_status",
+    "pivot_status_by_priority",
+    "text_fingerprints",
+    "text_langid_heuristic",
+    "tpch_q4_order_priority",
+    "tsdb_moving_avg",
+    "window_lag_lead_orders",
+    "window_ntile_quartiles",
+    # --- re-certs: oldest driver evidence (r2) --------------------------------
+    "dedup_ngram_jaccard",
+    "emb_knn_label_vote",
+    "graphite_exclude_average",
+    "graphite_groupbynode_sum",
+    "join_anti_customers_no_orders",
+    "join_outer_customer_orders",
+    "scalar_array_ops",
+    "scalar_datetime_orders",
+    "scalar_math_funcs",
+    "scalar_string_part_names",
+    "source_csv_roundtrip",
+    "text_stats_by_lang",
+    "tpch_q10_returned_items",
+    "tpch_q17_small_quantity",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tsdb_derivative",
+    "tsdb_fetch_keep_last",
+    "tsdb_glob_fetch",
+    "window_running_revenue",
+    # --- re-certs: oldest driver evidence (r3, the two oldest) ----------------
+    "agg_grouping_sets",
+    "agg_median_quantity",
 )
 
 

@@ -406,6 +406,38 @@ def _registry() -> dict[str, Callable]:
         "divideSeriesLists": lambda d, s: sf.combine_series_lists(
             d[0], d[1], "divide"
         ),
+        # Holt-Winters forecasting family (wave 4c)
+        "holtWintersForecast": lambda d, s: sf.holt_winters_forecast(d[0]),
+        "holtWintersConfidenceBands": (
+            lambda d, s: sf.holt_winters_confidence_bands(
+                d[0], float(s[0]) if s else 3.0
+            )
+        ),
+        "holtWintersAberration": (
+            lambda d, s: sf.holt_winters_aberration(
+                d[0], float(s[0]) if s else 3.0
+            )
+        ),
+        # map/reduce over name nodes (wave 4d). mapSeries is an identity
+        # in the frame model — the grouping key is derived from the
+        # names, which the frame keeps (see seriesfns.reduce_series)
+        "mapSeries": lambda d, s: d[0],
+        "reduceSeries": lambda d, s: sf.reduce_series(
+            d[0], str(s[0]), int(s[1]), *[str(x) for x in s[2:]]
+        ),
+        # evaluator special-case: re-renders a template per name prefix
+        "applyByNode": None,
+        # generator functions (wave 4b) — leaf-style, no series argument;
+        # intercepted in render() because they need the request window
+        "time": None,
+        "timeFunction": None,
+        "identity": None,
+        "sin": None,
+        "sinFunction": None,
+        "randomWalk": None,
+        "randomWalkFunction": None,
+        "constantLine": None,
+        "threshold": None,
     }
 
 
@@ -432,15 +464,62 @@ _MULTI_SERIES = frozenset({"group", "areaBetween", "unique", "powSeries"})
 SUPPORTED_FUNCTIONS = tuple(sorted(_registry()))
 
 
+#: generator functions synthesize series from the REQUEST WINDOW instead
+#: of fetching (graphite carries it in requestContext; render() takes it
+#: as from_ts/until_ts/step keywords)
+_GENERATORS = frozenset({
+    "time", "timeFunction", "identity", "sin", "sinFunction",
+    "randomWalk", "randomWalkFunction", "constantLine", "threshold",
+})
+
+
 def render(
-    target: str, fetch_fn: Callable[[str | None], DataFrame]
+    target: str,
+    fetch_fn: Callable[[str | None], DataFrame],
+    *,
+    from_ts: int | None = None,
+    until_ts: int | None = None,
 ) -> DataFrame:
     """Parse and evaluate one render target; leaves resolve via
     ``fetch_fn(glob)`` → canonical series frame. ``fetch_fn(None)`` must
     return the WHOLE catalog (used by ``seriesByTag``). ``divideSeries``
     note: a multi-series divisor is summed per bucket (documented
-    deviation — graphite-web raises; see seriesfns.divide_series)."""
+    deviation — graphite-web raises; see seriesfns.divide_series).
+    ``from_ts``/``until_ts`` carry the request window the generator
+    functions (time/sin/randomWalk/constantLine/threshold) synthesize
+    over; targets without generators don't need them."""
     reg = _registry()
+
+    def gen(name: str, scalars: list) -> DataFrame:
+        if from_ts is None or until_ts is None:
+            raise ValueError(
+                f"{name} is a generator function and needs the request "
+                "window: render(..., from_ts=, until_ts=)"
+            )
+        if name in ("time", "timeFunction"):
+            return sf.time_function(
+                str(scalars[0]), from_ts, until_ts,
+                int(scalars[1]) if len(scalars) > 1 else 60,
+            )
+        if name == "identity":
+            return sf.identity_function(str(scalars[0]), from_ts, until_ts)
+        if name in ("sin", "sinFunction"):
+            return sf.sin_function(
+                str(scalars[0]), from_ts, until_ts,
+                float(scalars[1]) if len(scalars) > 1 else 1.0,
+                int(scalars[2]) if len(scalars) > 2 else 60,
+            )
+        if name in ("randomWalk", "randomWalkFunction"):
+            return sf.random_walk_function(
+                str(scalars[0]), from_ts, until_ts,
+                int(scalars[1]) if len(scalars) > 1 else 60,
+            )
+        if name == "constantLine":
+            return sf.constant_line(float(scalars[0]), from_ts, until_ts)
+        return sf.threshold_series(
+            float(scalars[0]), from_ts, until_ts,
+            str(scalars[1]) if len(scalars) > 1 else None,
+        )
 
     def ev(node) -> DataFrame:
         if node[0] == "leaf":
@@ -457,6 +536,51 @@ def render(
                 dfs.append(ev(a))
             else:
                 scalars.append(a[1])
+        if name in _GENERATORS:
+            if dfs or not scalars:
+                raise ValueError(
+                    f"{name} takes only scalar arguments (it generates "
+                    "its series from the request window)"
+                )
+            return gen(name, scalars)
+        if name == "applyByNode":
+            # graphite applyByNode(series, nodeNum, template, newName):
+            # one template evaluation per distinct name PREFIX, '%'
+            # substituted. The prefix list is a bounded collect — at most
+            # the selection glob's series count, never data-proportional
+            # (same contract as useSeriesAbove's qualifying names).
+            if len(dfs) != 1 or not (2 <= len(scalars) <= 3):
+                raise ValueError(
+                    "applyByNode(series, nodeNum, templateFunction"
+                    "[, newName])"
+                )
+            node_num = int(scalars[0])
+            template = str(scalars[1])
+            new_name = str(scalars[2]) if len(scalars) > 2 else None
+            from pyspark.sql import functions as _F
+
+            prefix_col = _F.array_join(
+                _F.slice(
+                    _F.split(_F.col("metric"), r"\."), 1, node_num + 1
+                ),
+                ".",
+            )
+            prefixes = sorted(
+                r["p"]
+                for r in dfs[0].select(prefix_col.alias("p"))
+                .distinct().collect()
+            )
+            out = None
+            for p in prefixes:
+                sub = ev(_Parser(_tokenize(template.replace("%", p))).parse())
+                if new_name:
+                    sub = sub.withColumn(
+                        "metric", _F.lit(new_name.replace("%", p))
+                    )
+                out = sub if out is None else out.unionByName(sub)
+            if out is None:
+                raise ValueError("applyByNode: no series matched")
+            return out
         if name == "seriesByTag":
             # leaf-style call (graphite 1.1): no series argument — the
             # tag predicates select from the whole catalog. The catalog

@@ -888,3 +888,139 @@ def test_linear_regression_matches_graphite_reference_many_cases(spark):
                 assert g is None, (m, i, vals)
             else:
                 assert g is not None and abs(g - w) < 1e-6, (m, i, vals)
+
+
+# --- round-8 wave-4 graphite-parity pins -------------------------------------
+
+
+def _graphite_holt_winters(vals, step=60, season_seconds=86400):
+    """Pure-Python transcription of graphite-web's holtWintersAnalysis
+    (render/functions.py): additive triple exponential smoothing with
+    alpha=gamma=0.1, beta=0.0035, season_length = season_seconds//step.
+    Returns (predictions, deviations) lists."""
+    alpha = gamma = 0.1
+    beta = 0.0035
+    season_length = max(season_seconds // step, 2)
+    intercepts, slopes, seasonals = [], [], []
+    predictions, deviations = [], []
+
+    def get_last_seasonal(i):
+        j = i - season_length
+        return seasonals[j] if j >= 0 else 0
+
+    def get_last_deviation(i):
+        j = i - season_length
+        return deviations[j] if j >= 0 else 0
+
+    next_pred = None
+    for i, actual in enumerate(vals):
+        if actual is None:
+            intercepts.append(None)
+            slopes.append(0)
+            seasonals.append(0)
+            predictions.append(next_pred)
+            deviations.append(0)
+            next_pred = None
+            continue
+        if i == 0:
+            last_intercept = actual
+            last_slope = 0
+            prediction = actual
+        else:
+            last_intercept = intercepts[-1]
+            last_slope = slopes[-1]
+            if last_intercept is None:
+                last_intercept = actual
+            prediction = next_pred
+        last_seasonal = get_last_seasonal(i)
+        next_last_seasonal = get_last_seasonal(i + 1)
+        last_seasonal_dev = get_last_deviation(i)
+        intercept = alpha * (actual - last_seasonal) + (1 - alpha) * (
+            last_intercept + last_slope)
+        slope = beta * (intercept - last_intercept) + (1 - beta) * last_slope
+        seasonal = gamma * (actual - intercept) + (1 - gamma) * last_seasonal
+        next_pred = intercept + slope + next_last_seasonal
+        pred_for_dev = prediction if prediction is not None else 0
+        deviation = gamma * abs(actual - pred_for_dev) + (
+            1 - gamma) * last_seasonal_dev
+        intercepts.append(intercept)
+        slopes.append(slope)
+        seasonals.append(seasonal)
+        predictions.append(prediction)
+        deviations.append(deviation)
+    return predictions, deviations
+
+
+def test_holt_winters_matches_graphite_reference_many_cases(spark):
+    """Random gappy series (short season so the seasonal lookback
+    actually engages): the fold's predictions AND deviations equal the
+    transcribed graphite loop point-for-point."""
+    from kenshin_backup_spark.operators import seriesfns as S
+
+    rng = random.Random(70808)
+    rows, series = _rand_gappy_cases(rng, 20, min_len=2, max_len=30)
+    df = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+    season = 300  # step 60 → L=5: several full seasons inside max_len=30
+    hw = S.holt_winters_analysis(df, season_seconds=season)
+    got = {
+        (r["metric"], r["bucket_ts"]): (r["hw_pred"], r["hw_dev"])
+        for r in hw.collect()
+    }
+    for m, vals in series.items():
+        preds, devs = _graphite_holt_winters(vals, 60, season)
+        for i in range(len(vals)):
+            gp, gd = got[(m, 60 * i)]
+            wp, wd = preds[i], devs[i]
+            if wp is None:
+                assert gp is None, (m, i, vals)
+            else:
+                assert gp is not None and abs(gp - wp) < 1e-9, (
+                    m, i, gp, wp, vals)
+            assert abs(gd - wd) < 1e-9, (m, i, gd, wd, vals)
+
+
+def test_holt_winters_default_season_and_bands(spark):
+    """Default one-day season on a 60 s grid (L=1440 — no lookback hits
+    within a short window): bands are pred ± 3·dev and aberration is the
+    out-of-band excess."""
+    from kenshin_backup_spark.operators import seriesfns as S
+
+    vals = [1.0, 2.0, None, 4.0, 40.0, 4.0]
+    df = spark.createDataFrame(
+        [("m", 60 * i, v) for i, v in enumerate(vals)],
+        "metric string, bucket_ts long, value double",
+    )
+    preds, devs = _graphite_holt_winters(vals, 60, 86400)
+    hw = {r["bucket_ts"]: (r["hw_pred"], r["hw_dev"])
+          for r in S.holt_winters_analysis(df).collect()}
+    for i in range(len(vals)):
+        gp, gd = hw[60 * i]
+        if preds[i] is None:
+            assert gp is None
+        else:
+            assert abs(gp - preds[i]) < 1e-9
+        assert abs(gd - devs[i]) < 1e-9
+
+    bands = {(r["metric"], r["bucket_ts"]): r["value"]
+             for r in S.holt_winters_confidence_bands(df, 3.0).collect()}
+    ab = {r["bucket_ts"]: r["value"]
+          for r in S.holt_winters_aberration(df, 3.0).collect()}
+    for i, v in enumerate(vals):
+        p, d = preds[i], devs[i]
+        up = bands[("holtWintersConfidenceUpper(m)", 60 * i)]
+        lo = bands[("holtWintersConfidenceLower(m)", 60 * i)]
+        if p is None:
+            assert up is None and lo is None and ab[60 * i] == 0.0
+            continue
+        assert abs(up - (p + 3 * d)) < 1e-9
+        assert abs(lo - (p - 3 * d)) < 1e-9
+        if v is None:
+            assert ab[60 * i] == 0.0
+        elif v > up:
+            assert abs(ab[60 * i] - (v - up)) < 1e-9
+        elif v < lo:
+            assert abs(ab[60 * i] - (v - lo)) < 1e-9
+        else:
+            assert ab[60 * i] == 0.0

@@ -467,3 +467,126 @@ def test_render_wave3_functions(spark):
     names = {r.metric for r in ts.collect()}
     assert names == {"timeShift(mem.used, 1h, 0)", "timeShift(mem.used, 1h, 1)"}
     assert ts.count() == 12
+
+
+def test_generator_functions(spark):
+    """wave 4b: time/sin/randomWalk/constantLine/threshold synthesize
+    series from the request window passed to render()."""
+    import math
+
+    import pytest
+
+    from kenshin_backup_spark.render import render
+
+    fetch = _fetch_fn(spark)
+
+    t = render("time('t', 120)", fetch, from_ts=0, until_ts=600)
+    got = {r.bucket_ts: r.value for r in t.collect()}
+    assert got == {0: 0.0, 120: 120.0, 240: 240.0, 360: 360.0, 480: 480.0}
+
+    i = render("identity('i')", fetch, from_ts=0, until_ts=180)
+    assert {r.metric for r in i.collect()} == {"i"}
+    assert {r.bucket_ts: r.value for r in i.collect()} == {
+        0: 0.0, 60: 60.0, 120: 120.0}
+
+    s = render("sin('s', 2)", fetch, from_ts=0, until_ts=180).collect()
+    for r in s:
+        assert abs(r.value - 2 * math.sin(r.bucket_ts)) < 1e-12
+
+    rw = render("randomWalk('rw')", fetch, from_ts=0, until_ts=600)
+    vals = [r.value for r in
+            sorted(rw.collect(), key=lambda r: r.bucket_ts)]
+    assert vals[0] == 0.0  # the walk starts at zero
+    assert all(abs(b - a) <= 0.5 + 1e-12
+               for a, b in zip(vals, vals[1:]))  # |increment| < 0.5
+    rw2 = render("randomWalk('rw')", fetch, from_ts=0, until_ts=600)
+    assert [r.value for r in
+            sorted(rw2.collect(), key=lambda r: r.bucket_ts)] == vals
+
+    cl = render("constantLine(3.5)", fetch, from_ts=0, until_ts=400)
+    assert sorted((r.metric, r.bucket_ts, r.value) for r in cl.collect()) \
+        == [("3.5", 0, 3.5), ("3.5", 200, 3.5), ("3.5", 400, 3.5)]
+    th = render("threshold(5, 'limit')", fetch, from_ts=0, until_ts=400)
+    assert {r.metric for r in th.collect()} == {"limit"}
+    assert {r.value for r in th.collect()} == {5.0}
+
+    # composable with fetched series (union via group)
+    both = render("group(mem.used, constantLine(7))", fetch,
+                  from_ts=0, until_ts=400)
+    assert {r.metric for r in both.collect()} == {"mem.used", "7.0"}
+
+    # without the window the generator raises a clear error
+    with pytest.raises(ValueError, match="request window"):
+        render("time('x')", fetch)
+
+
+def test_holt_winters_render_wiring(spark):
+    from kenshin_backup_spark.render import render
+
+    fetch = _fetch_fn(spark)
+    f = render("holtWintersForecast(mem.used)", fetch)
+    assert {r.metric for r in f.collect()} == {
+        "holtWintersForecast(mem.used)"}
+    assert f.count() == 6
+    b = render("holtWintersConfidenceBands(mem.used)", fetch)
+    assert {r.metric for r in b.collect()} == {
+        "holtWintersConfidenceUpper(mem.used)",
+        "holtWintersConfidenceLower(mem.used)",
+    }
+    a = render("holtWintersAberration(mem.used, 3)", fetch)
+    assert {r.metric for r in a.collect()} == {
+        "holtWintersAberration(mem.used)"}
+    # the flat mem.used series never leaves its own band
+    assert {r.value for r in a.collect()} == {0.0}
+
+
+def test_map_reduce_apply_by_node(spark):
+    from kenshin_backup_spark.functions.deterministic import glob_to_regex
+    from kenshin_backup_spark.render import render as _render
+
+    rows = [
+        ("srv.s1.disk.used", 0, 30.0), ("srv.s1.disk.total", 0, 100.0),
+        ("srv.s2.disk.used", 0, 10.0), ("srv.s2.disk.total", 0, 40.0),
+        ("srv.s1.disk.used", 60, 50.0), ("srv.s1.disk.total", 60, 100.0),
+        ("srv.s3.disk.used", 0, 7.0),  # no total → group drops (graphite)
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+    fetch = lambda g: df.where(  # noqa: E731
+        F.col("metric").rlike(glob_to_regex(g)))
+
+    red = _render(
+        "reduceSeries(mapSeries(srv.*.disk.*, 1), 'asPercent', 3, "
+        "'used', 'total')",
+        fetch,
+    )
+    got = sorted((r.metric, r.bucket_ts, r.value) for r in red.collect())
+    assert got == [
+        ("srv.s1.disk", 0, 30.0), ("srv.s1.disk", 60, 50.0),
+        ("srv.s2.disk", 0, 25.0),
+    ]
+
+    div = _render(
+        "reduceSeries(srv.*.disk.*, 'divideSeries', 3, 'used', 'total')",
+        fetch,
+    )
+    dgot = {(r.metric, r.bucket_ts): r.value for r in div.collect()}
+    assert dgot[("srv.s1.disk", 0)] == 0.3
+
+    ab = _render(
+        "applyByNode(srv.{s1,s2}.disk.used, 1, 'sumSeries(%.disk.*)', "
+        "'%.disk.combined')",
+        fetch,
+    )
+    agot = sorted((r.metric, r.bucket_ts, r.value) for r in ab.collect())
+    assert agot == [
+        ("srv.s1.disk.combined", 0, 130.0),
+        ("srv.s1.disk.combined", 60, 150.0),
+        ("srv.s2.disk.combined", 0, 50.0),
+    ]
+
+    with pytest.raises(ValueError, match="reduceSeries"):
+        _render(
+            "reduceSeries(srv.*.disk.*, 'mod', 3, 'used', 'total')", fetch
+        )
