@@ -90,6 +90,7 @@ from kenshin_backup_spark.queries import (
     batch70,
     batch71,
     batch72,
+    batch73,
     llm,
     relational,
     relational2,
@@ -173,6 +174,7 @@ _MODULES = (
     batch70,
     batch71,
     batch72,
+    batch73,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
@@ -182,7 +184,11 @@ _MODULES = (
 #: split three ways:
 #: 1. the LAST 8 never-full-green queries (COVERAGE.md's r8 queue —
 #:    the deferred low-risk relational/scalar family);
-#: 2. the 3 NEW round-8 certs (batch72): the generic render family
+#: 2. the 5 NEW round-8 certs — batch72's render tier and batch73's
+#:    LLM-corpus governance pair (regex PII scan; n-gram benchmark
+#:    contamination via a broadcast posting join) — all exact-parity
+#:    green at sf0.001 and sf0.01 before rotation. Of batch72:
+#:    the generic render family
 #:    (highest/aggregate-median), the map/reduce-over-nodes tier
 #:    (reduceSeries/applyByNode) and the generator functions
 #:    (time() + sumSeriesLists) — all exact-parity green at sf0.001 and
@@ -253,9 +259,9 @@ _PRIORITY = (
     "tsdb_fetch_keep_last",
     "tsdb_glob_fetch",
     "window_running_revenue",
-    # --- re-certs: oldest driver evidence (r3, the two oldest) ----------------
-    "agg_grouping_sets",
-    "agg_median_quantity",
+    # --- new round-8 certs: LLM-corpus governance (batch73) -------------------
+    "text_pii_scan",
+    "llm_contamination_report",
 )
 
 
