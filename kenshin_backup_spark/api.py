@@ -298,6 +298,81 @@ class Engine:
         rows = cat.distinct().limit(limit).collect()
         return sorted(r.metric for r in rows)
 
+    def _tag_pairs(self):
+        """Distinct (tag, value) pairs across every written series'
+        graphite-1.1 path (``name;tag=value;...``). One job: the catalog
+        scan dedupes names map-side, tags explode from the tiny distinct
+        name set — never from the point data."""
+        from pyspark.sql import functions as F
+
+        scans = []
+        for p in self.policies:
+            if p.name not in self._written:
+                continue
+            lad = self._ladder(p)
+            finest = min(a.step_seconds for a in lad.archives)
+            scans.append(
+                self.spark.read.parquet(lad.level_path(finest)).select(
+                    "metric"
+                )
+            )
+        if not scans:
+            return None
+        cat = scans[0]
+        for s in scans[1:]:
+            cat = cat.unionByName(s)
+        names = cat.distinct()
+        pair = F.split(F.col("__kv"), "=", 2)
+        return (
+            names.select(
+                F.explode(
+                    F.slice(
+                        F.split(F.col("metric"), ";"),
+                        2,
+                        F.greatest(
+                            F.size(F.split(F.col("metric"), ";")) - 1,
+                            F.lit(0),
+                        ),
+                    )
+                ).alias("__kv")
+            )
+            .where(F.col("__kv").contains("="))
+            .select(
+                pair[0].alias("tag"),
+                F.coalesce(pair[1], F.lit("")).alias("value"),
+            )
+            .distinct()
+        )
+
+    def tags(self, *, limit: int = 10_000) -> list[str]:
+        """Graphite ``/tags`` catalog: the distinct tag KEYS present in
+        any written series path (graphite-1.1 ``name;tag=value`` form).
+        Untagged catalogs return ``[]``. Driver list bounded by
+        ``limit`` (the graphite API returns a list; same inherent-list
+        contract as :meth:`metrics`)."""
+        pairs = self._tag_pairs()
+        if pairs is None:
+            return []
+        rows = pairs.select("tag").distinct().limit(limit).collect()
+        return sorted(r.tag for r in rows)
+
+    def tag_values(self, tag: str, *, limit: int = 10_000) -> list[str]:
+        """Graphite ``/tags/<tag>``: the distinct values recorded for one
+        tag key across the catalog (driver list bounded by ``limit``)."""
+        from pyspark.sql import functions as F
+
+        pairs = self._tag_pairs()
+        if pairs is None:
+            return []
+        rows = (
+            pairs.where(F.col("tag") == tag)
+            .select("value")
+            .distinct()
+            .limit(limit)
+            .collect()
+        )
+        return sorted(r.value for r in rows)
+
     def find(
         self, query: str = "*", *, limit: int = 100_000
     ) -> list[tuple[str, bool, bool]]:

@@ -269,3 +269,45 @@ def test_engine_delete_metrics(spark, tmp_path):
     assert eng.fetch("*", b.lo, b.hi + 1).count() == 0
     receipt4 = eng.delete("*")
     assert receipt4["two"] == {3600: 0, 86400: 0}
+
+
+def test_engine_tag_catalog(spark, tmp_path):
+    """Graphite /tags surface: tag keys and per-key values enumerate
+    from written graphite-1.1 paths; untagged stores return []."""
+    eng = Engine(
+        spark,
+        str(tmp_path / "tagstore"),
+        policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
+    )
+    ev = load_table(spark, SF, "events")
+    pts = ev.select(
+        F.concat(
+            F.lit("disk.used;dc="),
+            F.when(F.col("event_type") == "click", "east").otherwise("west"),
+            F.lit(";host=h"),
+            (F.xxhash64("event_id") % 3).cast("string"),
+        ).alias("metric"),
+        "ts",
+        "value",
+    )
+    eng.write(pts)
+    assert eng.tags() == ["dc", "host"]
+    assert eng.tag_values("dc") == ["east", "west"]
+    assert set(eng.tag_values("host")) <= {"h-2", "h-1", "h0", "h1", "h2"}
+    assert eng.tag_values("nope") == []
+
+    # untagged store → no tags
+    plain = Engine(
+        spark,
+        str(tmp_path / "plainstore"),
+        policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
+    )
+    plain.write(ev.select(F.col("event_type").alias("metric"), "ts", "value"))
+    assert plain.tags() == []
+    # nothing written at all → []
+    empty = Engine(
+        spark,
+        str(tmp_path / "emptystore"),
+        policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
+    )
+    assert empty.tags() == [] and empty.tag_values("dc") == []
