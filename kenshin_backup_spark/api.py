@@ -120,6 +120,56 @@ class Engine:
                 build_ladder(sub, self._ladder(p))
                 self._written.add(p.name)
 
+    def write_events(
+        self,
+        events: DataFrame,
+        *,
+        when_col: str = "when",
+        what_col: str = "what",
+        tags_col: str = "tags",
+    ) -> None:
+        """Record operational EVENTS (deploys, incidents — graphite's
+        events API): rows of (when: timestamp-or-epoch-seconds, what:
+        free text, tags: array<string>). Stored date-partitioned next to
+        the metric ladders; the ``events(*tags)`` render function reads
+        them back. Re-writing replaces the store (same contract as
+        :meth:`write`)."""
+        when = F.col(when_col)
+        # accept timestamps or epoch seconds
+        when_s = (
+            F.unix_timestamp(when).cast("long")
+            if dict(events.dtypes)[when_col].startswith("timestamp")
+            else when.cast("long")
+        )
+        (
+            events.select(
+                when_s.alias("when"),
+                F.col(what_col).cast("string").alias("what"),
+                F.col(tags_col).cast("array<string>").alias("tags"),
+            )
+            .withColumn(
+                "date", F.to_date(F.timestamp_seconds(F.col("when")))
+            )
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .parquet(f"{self.root}/_events")
+        )
+
+    def _events_fn(self, tags: list[str]) -> DataFrame:
+        """Events matching ALL requested tags (graphite find_events
+        semantics), as ``when`` epoch-seconds rows."""
+        import os
+
+        path = f"{self.root}/_events"
+        if not os.path.isdir(path):
+            raise ValueError(
+                "no event store written — call Engine.write_events first"
+            )
+        ev = self.spark.read.parquet(path)
+        for t in tags:
+            ev = ev.where(F.array_contains(F.col("tags"), t))
+        return ev.select("when")
+
     # -- read path ------------------------------------------------------------
 
     def fetch(
@@ -184,8 +234,12 @@ class Engine:
             )
 
         # the request window also feeds the generator functions
-        # (time/sin/randomWalk/constantLine/threshold)
-        return _render(target, fetch_fn, from_ts=from_ts, until_ts=until_ts)
+        # (time/sin/randomWalk/constantLine/threshold) and events()
+        return _render(
+            target, fetch_fn,
+            from_ts=from_ts, until_ts=until_ts,
+            events_fn=self._events_fn,
+        )
 
     def render_many(
         self,

@@ -2809,3 +2809,46 @@ def reduce_series(
         .cast("double")
         .alias("value"),
     )
+
+
+def events_series(
+    events_when: DataFrame, name: str, from_ts: int, until_ts: int
+) -> DataFrame:
+    """graphite ``events(*tags)`` series shape: a DENSE per-second grid
+    over the request window (graphite hardcodes step=1) whose value at
+    second t is the number of matching events at t, 0 elsewhere —
+    users wrap it in ``drawAsInfinite`` for the classic deploy-marker
+    panel. ``events_when`` carries one row per matching event with an
+    epoch-seconds ``when`` column.
+
+    The grid is ``spark.range`` (distributed, bounded by the REQUEST
+    window — a 30-day window is ~2.6 M rows, proportional to the window
+    the user asked for, never to stored data) left-joined with the
+    per-second event counts (a tiny aggregate — broadcast)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession for events()")
+    if until_ts <= from_ts:
+        raise ValueError("events window needs from < until")
+    counts = (
+        events_when.select(F.col("when").cast("long").alias("bucket_ts"))
+        .where(
+            (F.col("bucket_ts") >= int(from_ts))
+            & (F.col("bucket_ts") < int(until_ts))
+        )
+        .groupBy("bucket_ts")
+        .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    )
+    grid = spark.range(int(from_ts), int(until_ts)).select(
+        F.col("id").cast("long").alias("bucket_ts")
+    )
+    return (
+        grid.join(F.broadcast(counts), "bucket_ts", "left")
+        .select(
+            F.lit(name).alias("metric"),
+            "bucket_ts",
+            F.coalesce(F.col("__n"), F.lit(0.0)).alias("value"),
+        )
+    )

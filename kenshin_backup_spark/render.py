@@ -438,6 +438,9 @@ def _registry() -> dict[str, Callable]:
         "randomWalkFunction": None,
         "constantLine": None,
         "threshold": None,
+        # events(*tags): needs the request window AND the caller's event
+        # store (events_fn) — intercepted in render()
+        "events": None,
     }
 
 
@@ -479,6 +482,7 @@ def render(
     *,
     from_ts: int | None = None,
     until_ts: int | None = None,
+    events_fn: Callable[[list[str]], DataFrame] | None = None,
 ) -> DataFrame:
     """Parse and evaluate one render target; leaves resolve via
     ``fetch_fn(glob)`` → canonical series frame. ``fetch_fn(None)`` must
@@ -536,6 +540,21 @@ def render(
                 dfs.append(ev(a))
             else:
                 scalars.append(a[1])
+        if name == "events":
+            # graphite events(*tags): per-second event-count series from
+            # the caller's event store; '*' (or no args) matches all
+            if dfs:
+                raise ValueError("events takes only tag strings")
+            if events_fn is None or from_ts is None or until_ts is None:
+                raise ValueError(
+                    "events needs an event store and the request window: "
+                    "render(..., from_ts=, until_ts=, events_fn=)"
+                )
+            tags = [str(s) for s in scalars if str(s) != "*"]
+            label = ", ".join(str(s) for s in scalars)
+            return sf.events_series(
+                events_fn(tags), f"events({label})", from_ts, until_ts
+            )
         if name in _GENERATORS:
             if dfs or not scalars:
                 raise ValueError(

@@ -311,3 +311,53 @@ def test_engine_tag_catalog(spark, tmp_path):
         policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
     )
     assert empty.tags() == [] and empty.tag_values("dc") == []
+
+
+def test_engine_events_render(spark, tmp_path):
+    """graphite events(): per-second event-count series from the engine's
+    event store, composable with drawAsInfinite."""
+    import pytest
+
+    eng = Engine(
+        spark,
+        str(tmp_path / "evstore"),
+        policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
+    )
+    eng.write(_points(spark))
+    rows = [
+        (1000, "deploy api", ["deploy", "api"]),
+        (1000, "deploy web", ["deploy", "web"]),
+        (1005, "incident", ["incident"]),
+    ]
+    ev = spark.createDataFrame(
+        rows, "when long, what string, tags array<string>"
+    )
+    eng.write_events(ev)
+
+    out = eng.render("events('deploy')", 995, 1010)
+    got = {r.bucket_ts: r.value for r in out.collect()}
+    assert len(got) == 15  # dense [995, 1010) per-second grid
+    assert got[1000] == 2.0 and got[1005] == 0.0 and got[999] == 0.0
+    assert {r.metric for r in out.collect()} == {"events('deploy')"} or \
+        {r.metric for r in out.collect()} == {"events(deploy)"}
+
+    both = eng.render("events('deploy', 'api')", 995, 1010)
+    b = {r.bucket_ts: r.value for r in both.collect()}
+    assert b[1000] == 1.0  # ALL tags must match
+
+    star = eng.render("events('*')", 995, 1010)
+    s = {r.bucket_ts: r.value for r in star.collect()}
+    assert s[1000] == 2.0 and s[1005] == 1.0
+
+    inf = eng.render("drawAsInfinite(events('incident'))", 995, 1010)
+    assert {r.metric for r in inf.collect()} == {
+        "drawAsInfinite(events(incident))"}
+
+    # no event store written → clear error
+    bare = Engine(
+        spark,
+        str(tmp_path / "noev"),
+        policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
+    )
+    with pytest.raises(ValueError, match="event store"):
+        bare.render("events('deploy')", 0, 10)
