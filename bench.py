@@ -87,6 +87,17 @@ def _best_prior() -> dict[str, float]:
     return best
 
 
+def _gate(best_sec: float) -> float:
+    """Regression threshold vs the all-time best: 1.5x PLUS a 0.4 s
+    absolute slack. Sub-second queries jitter +-0.3-0.4 s run-to-run
+    (fixed scheduling/codegen overhead; measured across five round-8
+    sessions), and the bests come from PRIOR testdata generations, so a
+    pure ratio flags phantom regressions on every query whose best is
+    under ~0.8 s while the slack is invisible on the multi-second
+    queries a real regression would move."""
+    return 1.5 * best_sec + 0.4
+
+
 def main() -> None:
     from kenshin_backup_spark import queries as registry
     from kenshin_backup_spark.session import get_spark
@@ -155,7 +166,7 @@ def main() -> None:
     # transient slow pair can't masquerade as a regression.
     best = _best_prior()
     for name, sec in list(timings.items()):
-        if name in best and best[name] > 0 and sec > 1.5 * best[name]:
+        if name in best and best[name] > 0 and sec > _gate(best[name]):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             try:
@@ -196,7 +207,7 @@ def main() -> None:
     regressed = {
         name: round(sec / best[name], 2)
         for name, sec in timings.items()
-        if name in best and best[name] > 0 and sec > 1.5 * best[name]
+        if name in best and best[name] > 0 and sec > _gate(best[name])
     }
     if regressed:
         out["regressed"] = regressed
