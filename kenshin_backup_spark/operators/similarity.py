@@ -352,6 +352,123 @@ def srp_topk(
     )
 
 
+def ivf_topk_seeded(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF ANN top-k with a DETERMINISTIC coarse quantizer — the same
+    inverted-file layout as :func:`ivf_topk` (cells as the join key,
+    queries probe ``nprobe`` cells, exact scoring only inside probed
+    cells) but with every stage integer-exact, so unlike the k-means
+    variant the whole pipeline is DuckDB-oracle-checkable:
+
+    - **Quantizer "training"** is seed selection, not iteration: the
+      centroids are the ``n_centroids`` corpus vectors with the smallest
+      ``md5(id)`` (a deterministic pseudo-random draw both engines
+      compute identically), ranked into cids by that order.
+    - **Assignment / routing** use squared L2 on the quantized vectors
+      via ``n2_v + n2_c − 2·dot(v,c)`` — every term an exact BIGINT
+      (|q|≤~1e5, 64 dims ⇒ well under 2^53), ties → lower cid.
+    - **Scoring** is the exact quantized cosine of the other X3 paths.
+
+    Plan shape (the 100 TB layout): the centroid table is a bounded
+    driver collect (guarded) re-emitted as ONE SQL literal, so candidate
+    assignment is a pure scan-side projection — the corpus NEVER
+    shuffles for assignment; the probe→cell join broadcasts the tiny
+    routed-query side onto the assigned corpus; the only window is
+    per-query top-k over probed-cell candidates. Recall is approximate
+    (unprobed cells may hide true neighbors — seed quality is a real
+    trade vs k-means) but deterministic; exact twin: :func:`cosine_topk`.
+    """
+    if n_centroids > 4096:
+        raise ValueError(
+            f"n_centroids={n_centroids} exceeds the broadcast-dim contract "
+            "(centroids are driver-collected and inlined as a plan literal)"
+        )
+    from kenshin_backup_spark.operators.scalepat import global_topk
+
+    def prep(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias("id"), quantize_vec(vec_col).alias("v"))
+            .withColumn("n2", qdot(F.col("v"), F.col("v")))
+            # zero-norm guard: see cosine_topk
+            .where(F.col("n2") > 0)
+        )
+
+    # persist: the candidate base feeds the centroid-pick job AND the
+    # assignment projection (house multi-consumer rule)
+    base = prep(candidates).transform(persist_tracked)
+
+    # Seed pick: bounded TakeOrderedAndProject (never a global sort), then
+    # a driver-side collect of n_centroids quantized vectors — the bound is
+    # the guarded n_centroids, never data volume.
+    seeds = (
+        global_topk(
+            base.withColumn("__h", F.md5(F.col("id").cast("string"))),
+            [F.asc("__h"), F.asc("id")],
+            n_centroids,
+        )
+        .select("__h", "id", "v", "n2")
+        .collect()
+    )
+    seeds.sort(key=lambda r: (r["__h"], r["id"]))
+
+    # One SQL literal for the centroid table (per-element F.lit would cost
+    # n_centroids×dim py4j round-trips — see _srp_band_keys).
+    cents_sql = (
+        "array("
+        + ",".join(
+            f"named_struct('cid', {i + 1}L, 'cn2', {r['n2']}L, "
+            "'cv', array(" + ",".join(f"{int(x)}L" for x in r["v"]) + "))"
+            for i, r in enumerate(seeds)
+        )
+        + ")"
+    )
+    # exact squared-L2 to centroid s, as a struct so array_min/array_sort
+    # tie-break on the lower cid lexicographically
+    d2_struct = (
+        f"transform({cents_sql}, s -> struct("
+        "n2 + s.cn2 - 2 * aggregate(zip_with(v, s.cv, (x, y) -> x * y), 0L, "
+        "(acc, t) -> acc + t) AS d2, s.cid AS cid))"
+    )
+
+    assigned = base.selectExpr(
+        "id AS neighbor_id",
+        "v AS cv",
+        "n2 AS cn",
+        f"array_min({d2_struct}).cid AS cid",
+    )
+    routed = prep(queries).selectExpr(
+        "id AS query_id",
+        "v AS qv",
+        "n2 AS qn",
+        f"explode(transform(slice(array_sort({d2_struct}), 1, {nprobe}), "
+        "s -> s.cid)) AS cid",
+    )
+
+    # Each candidate lives in exactly ONE cell (rn=1 assignment), so the
+    # probe join cannot duplicate a (query, neighbor) pair — no distinct.
+    paired = routed.join(assigned, "cid").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = (
+        qdot(F.col("qv"), F.col("cv"))
+        / F.sqrt(F.col("qn").cast("double") * F.col("cn").cast("double"))
+    ).cast("double")
+    scored = paired.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,

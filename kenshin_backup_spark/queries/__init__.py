@@ -91,6 +91,7 @@ from kenshin_backup_spark.queries import (
     batch71,
     batch72,
     batch73,
+    batch74,
     llm,
     relational,
     relational2,
@@ -175,6 +176,7 @@ _MODULES = (
     batch71,
     batch72,
     batch73,
+    batch74,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
@@ -196,9 +198,12 @@ _MODULES = (
 #: 3. re-certs: 7 for code this round CHANGED (ladder delete/fetch gained
 #:    the layout-manifest guard → the two ladder maintenance certs;
 #:    Engine.render now threads the request window → the five
-#:    graphite_render_* certs), then the 32 oracle-backed rows with the
-#:    OLDEST driver evidence (all r1/r2 greens plus the two oldest r3
-#:    rows) re-verified under the current engine.
+#:    graphite_render_* certs), then the oracle-backed rows with the
+#:    OLDEST driver evidence (the r1/r2 greens) re-verified under the
+#:    current engine — three of those slots later yielded to the
+#:    round-8-late certs (batch73's governance pair, batch74's seeded
+#:    IVF); the displaced rows keep exact-cell parity coverage in
+#:    tests/test_oracle_parity.py.
 #: The 9 rows-only-by-design queries (approx_distinct_parts,
 #: approx_event_percentiles, emb_intrinsic_dimension, emb_kmeans_clusters,
 #: emb_mmr_rerank, events_rolling_wau_hll, graph_pagerank_docs,
@@ -247,7 +252,6 @@ _PRIORITY = (
     "join_outer_customer_orders",
     "scalar_array_ops",
     "scalar_datetime_orders",
-    "scalar_math_funcs",
     "scalar_string_part_names",
     "source_csv_roundtrip",
     "text_stats_by_lang",
@@ -262,6 +266,11 @@ _PRIORITY = (
     # --- new round-8 certs: LLM-corpus governance (batch73) -------------------
     "text_pii_scan",
     "llm_contamination_report",
+    # --- new round-8 cert: oracle-checkable IVF ANN (batch74; exact-parity
+    # green at sf0.001 AND sf0.01 before rotation; displaced the
+    # scalar_math_funcs r2 re-cert, which keeps exact-cell parity coverage
+    # in tests/test_oracle_parity.py) ------------------------------------------
+    "emb_ann_ivf_seeded",
 )
 
 
