@@ -92,6 +92,7 @@ from kenshin_backup_spark.queries import (
     batch72,
     batch73,
     batch74,
+    batch75,
     llm,
     relational,
     relational2,
@@ -177,6 +178,7 @@ _MODULES = (
     batch72,
     batch73,
     batch74,
+    batch75,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
@@ -250,7 +252,6 @@ _PRIORITY = (
     "graphite_groupbynode_sum",
     "join_anti_customers_no_orders",
     "join_outer_customer_orders",
-    "scalar_array_ops",
     "scalar_datetime_orders",
     "scalar_string_part_names",
     "source_csv_roundtrip",
@@ -266,11 +267,13 @@ _PRIORITY = (
     # --- new round-8 certs: LLM-corpus governance (batch73) -------------------
     "text_pii_scan",
     "llm_contamination_report",
-    # --- new round-8 cert: oracle-checkable IVF ANN (batch74; exact-parity
-    # green at sf0.001 AND sf0.01 before rotation; displaced the
-    # scalar_math_funcs r2 re-cert, which keeps exact-cell parity coverage
-    # in tests/test_oracle_parity.py) ------------------------------------------
+    # --- new round-8 certs: oracle-checkable IVF ANN (batch74) and exact
+    # LTTB (batch75) — both exact-parity green at sf0.001 AND sf0.01 before
+    # rotation; displaced the scalar_math_funcs / scalar_array_ops r2
+    # re-certs, which keep exact-cell parity coverage in
+    # tests/test_oracle_parity.py --------------------------------------------
     "emb_ann_ivf_seeded",
+    "tsdb_downsample_lttb_exact",
 )
 
 
