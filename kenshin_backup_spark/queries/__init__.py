@@ -206,12 +206,14 @@ _MODULES = (
 #:    round-8-late certs (batch73's governance pair, batch74's seeded
 #:    IVF); the displaced rows keep exact-cell parity coverage in
 #:    tests/test_oracle_parity.py.
-#: The 9 rows-only-by-design queries (approx_distinct_parts,
+#: The 8 rows-only-by-design queries (approx_distinct_parts,
 #: approx_event_percentiles, emb_intrinsic_dimension, emb_kmeans_clusters,
-#: emb_mmr_rerank, events_rolling_wau_hll, graph_pagerank_docs,
-#: tsdb_downsample_lttb, tsdb_holt_linear_forecast) still never hold
-#: window slots. Every row that rotates out keeps exact-cell parity
-#: coverage in tests/test_oracle_parity.py.
+#: events_rolling_wau_hll, graph_pagerank_docs, tsdb_downsample_lttb,
+#: tsdb_holt_linear_forecast) still never hold window slots
+#: (emb_mmr_rerank left this list in round 8 — its greedy trace gained a
+#: bit-exact recursive-CTE oracle, see batch41._MMR_SQL). Every row that
+#: rotates out keeps exact-cell parity coverage in
+#: tests/test_oracle_parity.py.
 _PRIORITY = (
     # --- the last 8 never-full-green (burn-down completion) ------------------
     "agg_grouping_flags",
@@ -252,7 +254,6 @@ _PRIORITY = (
     "graphite_groupbynode_sum",
     "join_anti_customers_no_orders",
     "join_outer_customer_orders",
-    "scalar_datetime_orders",
     "scalar_string_part_names",
     "source_csv_roundtrip",
     "text_stats_by_lang",
@@ -267,13 +268,16 @@ _PRIORITY = (
     # --- new round-8 certs: LLM-corpus governance (batch73) -------------------
     "text_pii_scan",
     "llm_contamination_report",
-    # --- new round-8 certs: oracle-checkable IVF ANN (batch74) and exact
-    # LTTB (batch75) — both exact-parity green at sf0.001 AND sf0.01 before
-    # rotation; displaced the scalar_math_funcs / scalar_array_ops r2
+    # --- new round-8 certs: oracle-checkable IVF ANN (batch74), exact LTTB
+    # (batch75), and the in-place MMR oracle upgrade (batch41._MMR_SQL —
+    # certifying now keeps the burn-down closed) — all exact-parity green
+    # at sf0.001 AND sf0.01 before rotation; displaced the
+    # scalar_math_funcs / scalar_array_ops / scalar_datetime_orders r2
     # re-certs, which keep exact-cell parity coverage in
     # tests/test_oracle_parity.py --------------------------------------------
     "emb_ann_ivf_seeded",
     "tsdb_downsample_lttb_exact",
+    "emb_mmr_rerank",
 )
 
 

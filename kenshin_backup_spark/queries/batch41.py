@@ -14,8 +14,11 @@ diversified reranking, and quality-weighted deterministic sampling.
   cosine top-20 into a diversified top-5 (λ = 0.7). Greedy and
   sequentially dependent like LTTB, but per-query state is ≤ 20
   candidates — trivially bounded. All similarities derive from the house
-  quantized integer dot products, so the rerank is deterministic;
-  property tests pin rank-1 = cosine top-1 and diversity ≤ plain top-5.
+  quantized integer dot products and every float op is IEEE-identical
+  across engines, so since round 8 the greedy trace is replayed
+  bit-for-bit by a recursive-CTE DuckDB oracle (``_MMR_SQL``); property
+  tests additionally pin rank-1 = cosine top-1 and diversity ≤ plain
+  top-5.
 - ``llm_quality_weighted_sample`` — sampling proportional to a quality
   score with NO randomness: keep a doc iff
   ``md5(doc_id) mod 1e6 < floor(weight·1e6)`` — the hash plays the
@@ -185,6 +188,94 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The λ literals are CAST(… AS DOUBLE) — DuckDB parses bare ``0.7`` as
+#: DECIMAL, and decimal ``1.0 - 0.7`` converts to the double 0.299999…,
+#: one ulp away from Python's ``1.0 - 0.7`` (0.30000000000000004). The
+#: relevance denominator is ``sqrt(a·b)`` (mirroring ``cosine_topk``)
+#: while the pairwise-sim denominator is ``sqrt(a)·sqrt(b)`` (mirroring
+#: the pandas ``np.outer(norms, norms)``) — the two are NOT the same
+#: double, and each side of the harness must use its own.
+_MMR_SQL = f"""
+WITH RECURSIVE
+q0 AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+  FROM embeddings
+),
+q AS (
+  SELECT id, v, list_dot_product(v, v) AS n2
+  FROM q0 WHERE list_dot_product(v, v) > 0
+),
+scored AS (
+  SELECT qa.id AS query_id, qb.id AS neighbor_id,
+         CAST(list_dot_product(qa.v, qb.v)
+              / sqrt(CAST(qa.n2 AS DOUBLE) * CAST(qb.n2 AS DOUBLE))
+              AS DOUBLE) AS rel
+  FROM q qa JOIN q qb ON qa.id < {_MMR_QUERIES} AND qa.id != qb.id
+),
+top20 AS (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rel DESC, neighbor_id
+             ) AS rn
+    FROM scored
+  ) WHERE rn <= {_MMR_CAND}
+),
+pairsim AS (
+  SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+         list_dot_product(va.v, vb.v)
+           / (sqrt(CAST(va.n2 AS DOUBLE)) * sqrt(CAST(vb.n2 AS DOUBLE))) AS sim
+  FROM top20 a
+  JOIN top20 b ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+  JOIN q va ON va.id = a.neighbor_id
+  JOIN q vb ON vb.id = b.neighbor_id
+),
+-- lockstep greedy: state = (query, rank, selected list); the per-step
+-- argmax is the row_number window in the recursive term, ties -> lower id
+rec AS (
+  SELECT query_id, CAST(1 AS BIGINT) AS rank, neighbor_id,
+         rel AS relevance,
+         CAST({_MMR_LAMBDA} AS DOUBLE) * rel
+           - (CAST(1.0 AS DOUBLE) - CAST({_MMR_LAMBDA} AS DOUBLE))
+             * CAST(0.0 AS DOUBLE) AS mmr_score,
+         [neighbor_id] AS sel
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rel DESC, neighbor_id
+             ) AS rn
+    FROM top20
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT query_id, rank + 1, pick, pick_rel, pick_score,
+         list_append(sel, pick)
+  FROM (
+    SELECT r.query_id, r.rank, r.sel, c.neighbor_id AS pick,
+           c.rel AS pick_rel,
+           CAST({_MMR_LAMBDA} AS DOUBLE) * c.rel
+             - (CAST(1.0 AS DOUBLE) - CAST({_MMR_LAMBDA} AS DOUBLE))
+               * MAX(p.sim) AS pick_score,
+           ROW_NUMBER() OVER (
+             PARTITION BY r.query_id
+             ORDER BY CAST({_MMR_LAMBDA} AS DOUBLE) * c.rel
+                        - (CAST(1.0 AS DOUBLE) - CAST({_MMR_LAMBDA} AS DOUBLE))
+                          * MAX(p.sim) DESC,
+                      c.neighbor_id
+           ) AS rn
+    FROM rec r
+    JOIN top20 c
+      ON c.query_id = r.query_id AND NOT list_contains(r.sel, c.neighbor_id)
+    JOIN pairsim p
+      ON p.query_id = r.query_id AND p.ida = c.neighbor_id
+     AND list_contains(r.sel, p.idb)
+    WHERE r.rank < {_MMR_K}
+    GROUP BY r.query_id, r.rank, r.sel, c.neighbor_id, c.rel
+  ) WHERE rn = 1
+)
+SELECT query_id, rank, neighbor_id, relevance, mmr_score FROM rec
+"""
+
+
 # --- quality-weighted deterministic sampling --------------------------------
 
 
@@ -240,7 +331,14 @@ QUERIES = {
 }
 
 ORACLE = {
-    # LTTB and MMR are sequential greedy algorithms (no SQL oracle) —
-    # rows-only by contract, pinned by tests/test_properties.py instead.
+    # The float LTTB stays rows-only (float triangle areas give the greedy
+    # no cross-engine guarantee; see batch75 for the exact-integer twin,
+    # which IS oracle-checked). MMR gained a full oracle in round 8: its
+    # arithmetic was already exact-mirrorable (integer dots; IEEE-identical
+    # score ops), so the recursive CTE below replays the greedy trace
+    # bit-for-bit — the λ literals are CAST to DOUBLE because DuckDB parses
+    # bare 0.7 as DECIMAL and (1.0 - 0.7) would become a DIFFERENT double
+    # constant (0.299999…) than Python's 1.0 - 0.7 (0.30000000000000004).
+    "emb_mmr_rerank": _MMR_SQL,
     "llm_quality_weighted_sample": _QWS_SQL,
 }
