@@ -93,6 +93,7 @@ from kenshin_backup_spark.queries import (
     batch73,
     batch74,
     batch75,
+    batch76,
     llm,
     relational,
     relational2,
@@ -179,6 +180,7 @@ _MODULES = (
     batch73,
     batch74,
     batch75,
+    batch76,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
@@ -264,7 +266,6 @@ _PRIORITY = (
     "tsdb_derivative",
     "tsdb_fetch_keep_last",
     "tsdb_glob_fetch",
-    "window_running_revenue",
     # --- new round-8 certs: LLM-corpus governance (batch73) -------------------
     "text_pii_scan",
     "llm_contamination_report",
@@ -278,6 +279,10 @@ _PRIORITY = (
     "emb_ann_ivf_seeded",
     "tsdb_downsample_lttb_exact",
     "emb_mmr_rerank",
+    # --- new round-8 cert: quantized integer PageRank (batch76; exact-parity
+    # green at sf0.001 AND sf0.01; displaced the window_running_revenue r2
+    # re-cert, which keeps parity + scalepat plan-gate coverage) --------------
+    "graph_pagerank_quantized",
 )
 
 
