@@ -208,14 +208,16 @@ _MODULES = (
 #:    round-8-late certs (batch73's governance pair, batch74's seeded
 #:    IVF); the displaced rows keep exact-cell parity coverage in
 #:    tests/test_oracle_parity.py.
-#: The 8 rows-only-by-design queries (approx_distinct_parts,
+#: The 7 rows-only-by-design queries (approx_distinct_parts,
 #: approx_event_percentiles, emb_intrinsic_dimension, emb_kmeans_clusters,
-#: events_rolling_wau_hll, graph_pagerank_docs, tsdb_downsample_lttb,
-#: tsdb_holt_linear_forecast) still never hold window slots
-#: (emb_mmr_rerank left this list in round 8 — its greedy trace gained a
-#: bit-exact recursive-CTE oracle, see batch41._MMR_SQL). Every row that
-#: rotates out keeps exact-cell parity coverage in
-#: tests/test_oracle_parity.py.
+#: events_rolling_wau_hll, graph_pagerank_docs, tsdb_downsample_lttb)
+#: still never hold window slots. emb_mmr_rerank and
+#: tsdb_holt_linear_forecast left this list in round 8 — their
+#: sequential traces gained bit-exact recursive-CTE oracles
+#: (batch41._MMR_SQL, batch16._HOLT_SQL); the float PageRank and LTTB
+#: gained oracle-checked twins (batch76, batch75) while remaining
+#: rows-only themselves. Every row that rotates out keeps exact-cell
+#: parity coverage in tests/test_oracle_parity.py.
 _PRIORITY = (
     # --- the last 8 never-full-green (burn-down completion) ------------------
     "agg_grouping_flags",
@@ -257,7 +259,6 @@ _PRIORITY = (
     "join_anti_customers_no_orders",
     "join_outer_customer_orders",
     "scalar_string_part_names",
-    "source_csv_roundtrip",
     "text_stats_by_lang",
     "tpch_q10_returned_items",
     "tpch_q17_small_quantity",
@@ -283,6 +284,10 @@ _PRIORITY = (
     # green at sf0.001 AND sf0.01; displaced the window_running_revenue r2
     # re-cert, which keeps parity + scalepat plan-gate coverage) --------------
     "graph_pagerank_quantized",
+    # --- round-8 in-place upgrade: Holt linear forecast gained a recursive
+    # oracle (batch16._HOLT_SQL) — certifying now keeps the burn-down
+    # closed; displaced the source_csv_roundtrip r2 re-cert ------------------
+    "tsdb_holt_linear_forecast",
 )
 
 

@@ -1,6 +1,7 @@
 """Batch-16 queries: z-score anomaly flagging (the alerting operator),
 the SQL-text entry path over registered views, and Holt linear-trend
-forecasting (the graphite holtWinters family, rows-only).
+forecasting (the graphite holtWinters family — oracle-backed since
+round 8 via a recursive-CTE replay of the recurrence, see _HOLT_SQL).
 
 Variance for the z-score uses a SECOND quantization scale (1e3) so the
 sum of squares stays inside BIGINT: value ≤ ~1e3 → q3 = floor(v·1e3) ≤
@@ -125,14 +126,16 @@ GROUP BY n_name
 """
 
 
-# --- Holt linear-trend forecast (rows-only) -------------------------------
+# --- Holt linear-trend forecast (oracle-backed since r8) -------------------
 
 def tsdb_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graphite holtWinters family: double-exponential (Holt linear)
     smoothing per metric over hourly sums, forecasting one step ahead.
     The level/trend recurrence is inherently sequential → grouped
     applyInPandas (Arrow-batched, one group per metric — the same
-    per-series layout the stateful streaming twin uses); rows-only check."""
+    per-series layout the stateful streaming twin uses). Oracle-backed
+    since round 8: each step is plain IEEE arithmetic over deterministic
+    inputs, replayed bit-for-bit by _HOLT_SQL's recursive CTE."""
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
@@ -174,6 +177,48 @@ def tsdb_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Holt's recurrence is sequential but every step is three plain IEEE
+#: binary ops over deterministic inputs (y = exact BIGINT sum / 1e6 in
+#: both engines; DuckDB's HUGEINT sum converts exactly below 2^53), so a
+#: recursive CTE replays the trace bit-for-bit — upgraded in place from
+#: rows-only in round 8. Literal hygiene (same lesson as batch41's MMR
+#: oracle): every float constant is CAST(… AS DOUBLE), and (1−α)/(1−β)
+#: are written as the SUBTRACTION, not a pre-folded literal, so DuckDB
+#: performs the identical IEEE op Python's ``1 - alpha`` performs.
+_HOLT_SQL = f"""
+WITH RECURSIVE
+hourly AS (
+  SELECT event_type AS metric, ({_ES}//3600)*3600 AS bucket_ts,
+         SUM(CAST(FLOOR(value*1000000) AS BIGINT)) / 1000000.0 AS y
+  FROM events GROUP BY 1,2
+),
+pts AS (
+  SELECT metric, bucket_ts, y,
+         ROW_NUMBER() OVER (PARTITION BY metric ORDER BY bucket_ts) - 1 AS i
+  FROM hourly
+),
+-- lockstep per-series recurrence: level seeds at y0, trend at 0
+rec AS (
+  SELECT metric, i, bucket_ts, y, y AS level, CAST(0.0 AS DOUBLE) AS trend
+  FROM pts WHERE i = 0
+  UNION ALL
+  SELECT metric, i, bucket_ts, y, new_level,
+         CAST(0.3 AS DOUBLE) * (new_level - old_level)
+           + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * old_trend AS trend
+  FROM (
+    SELECT p.metric, p.i, p.bucket_ts, p.y,
+           CAST(0.5 AS DOUBLE) * p.y
+             + (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+               * (r.level + r.trend) AS new_level,
+           r.level AS old_level, r.trend AS old_trend
+    FROM rec r JOIN pts p ON p.metric = r.metric AND p.i = r.i + 1
+  )
+)
+SELECT metric, bucket_ts, y, level, trend, level + trend AS forecast_next
+FROM rec
+"""
+
+
 QUERIES = {
     "tsdb_anomaly_zscore": tsdb_anomaly_zscore,
     "sql_api_revenue_by_nation": sql_api_revenue_by_nation,
@@ -183,5 +228,5 @@ QUERIES = {
 ORACLE = {
     "tsdb_anomaly_zscore": _ZSCORE_SQL,
     "sql_api_revenue_by_nation": _SQLAPI_SQL,
-    # tsdb_holt_linear_forecast: sequential recurrence → rows-only.
+    "tsdb_holt_linear_forecast": _HOLT_SQL,
 }
