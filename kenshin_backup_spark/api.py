@@ -220,12 +220,17 @@ class Engine:
         until_ts: int,
         *,
         now_ts: int | None = None,
+        max_data_points: int | None = None,
     ) -> DataFrame:
         """Evaluate a graphite render-target expression (the reference
         consumers' query language) over this store — e.g.
         ``summarize(scale({click,view}, 0.001), '1h', 'max')``. Leaves
         fetch through :meth:`fetch`; the whole nested expression compiles
-        into one Catalyst plan (see :mod:`kenshin_backup_spark.render`)."""
+        into one Catalyst plan (see :mod:`kenshin_backup_spark.render`).
+        ``max_data_points`` applies graphite's pixel-budget consolidation
+        (the ``maxDataPoints`` request parameter every Grafana panel
+        sends; kernel from the series' ``consolidateBy`` wrap, default
+        average — see seriesfns.consolidate_points)."""
         from kenshin_backup_spark.render import render as _render
 
         def fetch_fn(glob: str | None) -> DataFrame:
@@ -239,6 +244,7 @@ class Engine:
             target, fetch_fn,
             from_ts=from_ts, until_ts=until_ts,
             events_fn=self._events_fn,
+            max_data_points=max_data_points,
         )
 
     def render_many(
@@ -248,6 +254,7 @@ class Engine:
         until_ts: int,
         *,
         now_ts: int | None = None,
+        max_data_points: int | None = None,
     ) -> DataFrame:
         """Evaluate SEVERAL render targets in one call — the shape of a
         real graphite render request (``&target=a&target=b...``); every
@@ -267,7 +274,10 @@ class Engine:
 
         out: DataFrame | None = None
         for t in targets:
-            part = self.render(t, from_ts, until_ts, now_ts=now_ts).select(
+            part = self.render(
+                t, from_ts, until_ts,
+                now_ts=now_ts, max_data_points=max_data_points,
+            ).select(
                 F.lit(t).alias("target"), "metric", "bucket_ts", "value"
             )
             out = part if out is None else out.unionByName(part)

@@ -1816,12 +1816,12 @@ def smart_summarize(
 
 def consolidate_by(df: DataFrame, func: str) -> DataFrame:
     """graphite ``consolidateBy(func)``: a RENDER-TIME hint — it sets
-    which kernel the webapp uses when squeezing points into pixels
-    (maxDataPoints consolidation). This engine returns full-resolution
-    frames and never pixel-consolidates, so data passes through
-    untouched; the name is wrapped with graphite's literal format string
-    ``'consolidateBy(%s,"%s")'`` (no space after the comma) so legends
-    match."""
+    which kernel squeezes points into pixels when the caller passes a
+    ``maxDataPoints`` budget (see :func:`consolidate_points`, which
+    parses the hint back off the wrapped name). Data passes through
+    untouched here; the name is wrapped with graphite's literal format
+    string ``'consolidateBy(%s,"%s")'`` (no space after the comma) so
+    legends match."""
     if func not in ("sum", "average", "avg", "min", "max", "first", "last"):
         raise ValueError(f"bad consolidateBy func {func!r}")
     return df.withColumn(
@@ -1829,6 +1829,108 @@ def consolidate_by(df: DataFrame, func: str) -> DataFrame:
         F.concat(
             F.lit("consolidateBy("), F.col("metric"), F.lit(f',"{func}")')
         ),
+    )
+
+
+#: kernels graphite's TimeSeries.__consolidate accepts (1.1 adds
+#: first/last to the 1.0 four); 'avg' is this engine's accepted alias
+_CONSOLIDATE_RE = r'consolidateBy\(.+,"(average|avg|sum|min|max|first|last)"\)$'
+
+
+def consolidate_points(df: DataFrame, max_data_points: int) -> DataFrame:
+    """Graphite ``maxDataPoints`` consolidation (render/views.py): when a
+    series carries more grid points than the caller's pixel budget —
+    every Grafana panel sends ``maxDataPoints`` — squeeze each series to
+    at most ``max_data_points`` points by merging runs of
+    ``valuesPerPoint = ceil(n / maxDataPoints)`` adjacent slots with the
+    series' consolidation kernel.
+
+    Semantics transcribed from graphite-web:
+
+    - band alignment: the start is nudged to
+      ``start + spp + start%step - start%spp`` (``spp = vpp·step``) so
+      consolidated bands land on absolute epoch multiples of ``spp`` and
+      don't jitter between refreshes; slots before the nudged start are
+      dropped. (graphite's ``del`` loop drops ``valuesToLose−1`` points —
+      a known off-by-one; this engine drops ALL pre-band points so
+      values and timestamps stay aligned. Documented deviation.)
+    - kernels: ``average`` (default) / ``sum`` / ``min`` / ``max`` /
+      ``first`` / ``last``, applied over the band's non-gap values;
+      an all-gap band stays a gap. No dangling trailing gap point is
+      synthesized (graphite's generator emits one when the point count
+      divides evenly — documented deviation).
+    - the kernel comes from the series' ``consolidateBy`` legend wrap
+      (``consolidateBy(name,"max")``) when it is the outermost wrap;
+      graphite keeps the hint on the series object, so a rename AFTER
+      ``consolidateBy`` resets this engine to ``average`` (documented
+      deviation — Grafana emits consolidateBy outermost).
+    - per-series grid: ``n`` and ``step`` come from each series' own
+      frame (count / span of its regular grid) rather than graphite's
+      global min-start/max-end envelope; series from one render share
+      the request window, so the two agree (documented deviation).
+
+    Scale: one shuffle total — the per-series (n, start, end) windows
+    hash-partition on ``metric`` and the band aggregation groups on
+    (metric, band), which the metric partitioning already clusters, so
+    Catalyst inserts no second Exchange. Band state is O(1) per group;
+    nothing collects to the driver."""
+    if max_data_points < 1:
+        raise ValueError(f"maxDataPoints must be >= 1, got {max_data_points}")
+    w = W.partitionBy("metric")
+    n = F.count(F.lit(1)).over(w)
+    start = F.min("bucket_ts").over(w)
+    step = F.when(
+        n > 1,
+        F.floor((F.max("bucket_ts").over(w) - start) / (n - F.lit(1))),
+    ).otherwise(F.lit(1)).cast("long")
+    vpp = (
+        F.when(F.lit(max_data_points) < n, F.ceil(n / F.lit(max_data_points)))
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+    spp = vpp * step
+    nstart = F.when(
+        vpp > 1, start + spp + start % step - start % spp
+    ).otherwise(start)
+    func = F.regexp_extract(F.col("metric"), _CONSOLIDATE_RE, 1)
+    banded = (
+        df.withColumn("__spp", spp)
+        .withColumn("__nstart", nstart)
+        .withColumn("__func", F.when(func == "avg", "average").otherwise(func))
+        .where(F.col("bucket_ts") >= F.col("__nstart"))
+        .withColumn(
+            "__band_ts",
+            F.col("__nstart")
+            + F.floor(
+                (F.col("bucket_ts") - F.col("__nstart")) / F.col("__spp")
+            ).cast("long")
+            * F.col("__spp"),
+        )
+    )
+    # min_by/max_by ignore rows whose ordering key is NULL, so gap slots
+    # never win first/last; an all-gap band yields NULL in every kernel
+    nn_ts = F.when(F.col("value").isNotNull(), F.col("bucket_ts"))
+    out = banded.groupBy("metric", "__band_ts").agg(
+        F.first("__func").alias("__f"),
+        F.avg("value").alias("__avg"),
+        F.sum("value").alias("__sum"),
+        F.min("value").alias("__min"),
+        F.max("value").alias("__max"),
+        F.min_by("value", nn_ts).alias("__first"),
+        F.max_by("value", nn_ts).alias("__last"),
+    )
+    value = (
+        F.when(F.col("__f") == "sum", F.col("__sum"))
+        .when(F.col("__f") == "min", F.col("__min"))
+        .when(F.col("__f") == "max", F.col("__max"))
+        .when(F.col("__f") == "first", F.col("__first"))
+        .when(F.col("__f") == "last", F.col("__last"))
+        .otherwise(F.col("__avg"))
+    )
+    return out.select(
+        "metric",
+        F.col("__band_ts").alias("bucket_ts"),
+        value.cast("double").alias("value"),
     )
 
 

@@ -94,6 +94,7 @@ from kenshin_backup_spark.queries import (
     batch74,
     batch75,
     batch76,
+    batch77,
     llm,
     relational,
     relational2,
@@ -181,6 +182,7 @@ _MODULES = (
     batch74,
     batch75,
     batch76,
+    batch77,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
@@ -266,7 +268,12 @@ _PRIORITY = (
     "tpch_q6_forecast_revenue",
     "tsdb_derivative",
     "tsdb_fetch_keep_last",
-    "tsdb_glob_fetch",
+    # --- new round-8 cert: graphite maxDataPoints consolidation (batch77;
+    # exact-parity green at sf0.001 AND sf0.01 before rotation; displaced
+    # the tsdb_glob_fetch r2 re-cert, which keeps exact-cell parity
+    # coverage in tests/test_oracle_parity.py and glob coverage via every
+    # graphite_render_* cert's brace-glob fetches) ---------------------------
+    "graphite_render_maxdatapoints",
     # --- new round-8 certs: LLM-corpus governance (batch73) -------------------
     "text_pii_scan",
     "llm_contamination_report",

@@ -483,6 +483,7 @@ def render(
     from_ts: int | None = None,
     until_ts: int | None = None,
     events_fn: Callable[[list[str]], DataFrame] | None = None,
+    max_data_points: int | None = None,
 ) -> DataFrame:
     """Parse and evaluate one render target; leaves resolve via
     ``fetch_fn(glob)`` → canonical series frame. ``fetch_fn(None)`` must
@@ -491,7 +492,10 @@ def render(
     deviation — graphite-web raises; see seriesfns.divide_series).
     ``from_ts``/``until_ts`` carry the request window the generator
     functions (time/sin/randomWalk/constantLine/threshold) synthesize
-    over; targets without generators don't need them."""
+    over; targets without generators don't need them.
+    ``max_data_points`` applies graphite's pixel-budget consolidation to
+    the evaluated result (every Grafana request sends it; see
+    seriesfns.consolidate_points for the transcribed semantics)."""
     reg = _registry()
 
     def gen(name: str, scalars: list) -> DataFrame:
@@ -639,6 +643,8 @@ def render(
         return reg[name](dfs, scalars)
 
     out = ev(_Parser(_tokenize(target)).parse())
+    if max_data_points is not None:
+        out = sf.consolidate_points(out, int(max_data_points))
     # internal bookkeeping columns (e.g. sortBy*'s __series_order) exist
     # for downstream composition only — never in the final result
     internal = [c for c in out.columns if c.startswith("__")]

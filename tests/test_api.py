@@ -361,3 +361,65 @@ def test_engine_events_render(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="event store"):
         bare.render("events('deploy')", 0, 10)
+
+
+def test_engine_render_max_data_points(spark, tmp_path):
+    """maxDataPoints consolidation end-to-end (the Grafana request
+    shape): the budget caps per-series point counts, the consolidateBy
+    wrap picks the kernel, bands are absolute-epoch aligned, and the
+    no-budget render stays full-resolution."""
+    eng = _engine(spark, tmp_path)
+    pts = _points(spark)
+    eng.write(pts)
+
+    es = F.unix_timestamp("ts").cast("long")
+    b = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
+    lo, hi = b.lo - b.lo % 3600, b.hi + 1
+
+    full = eng.render("view", lo, hi).collect()
+    n = len(full)
+    assert n > 12  # the month-long events fixture has a real hourly grid
+
+    mdp = 12
+    got = eng.render("view", lo, hi, max_data_points=mdp).collect()
+    assert 0 < len(got) <= mdp
+    # bands: absolute multiples of spp, strictly inside the window
+    import math
+
+    vpp = math.ceil(n / mdp)
+    spp = vpp * 3600
+    assert all(r.bucket_ts % spp == 0 for r in got)
+    # default kernel = average of each band's non-gap values; bands start
+    # at the nudged start (start is hour- and spp-unaligned-safe)
+    start = min(r.bucket_ts for r in full)
+    nstart = start + spp + start % 3600 - start % spp
+    by_band = {}
+    for r in full:
+        if r.bucket_ts >= nstart:
+            band = nstart + ((r.bucket_ts - nstart) // spp) * spp
+            by_band.setdefault(band, []).append(r.value)
+    for g in got:
+        usable = [v for v in by_band.get(g.bucket_ts, []) if v is not None]
+        if not usable:
+            assert g.value is None
+        else:
+            assert abs(g.value - sum(usable) / len(usable)) < 1e-9
+
+    # kernel hint through the target language + render_many passthrough
+    many = eng.render_many(
+        ['consolidateBy(view,"max")', "view"], lo, hi, max_data_points=mdp
+    )
+    counts = {
+        r.target: r.cnt
+        for r in many.groupBy("target").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert all(c <= mdp for c in counts.values())
+    mx = {
+        r.bucket_ts: r.value
+        for r in many.where(F.col("target") == 'consolidateBy(view,"max")')
+        .collect()
+    }
+    for band, vals in by_band.items():
+        usable = [v for v in vals if v is not None]
+        if usable and band in mx:
+            assert abs(mx[band] - max(usable)) < 1e-9

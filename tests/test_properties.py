@@ -1024,3 +1024,96 @@ def test_holt_winters_default_season_and_bands(spark):
             assert abs(ab[60 * i] - (v - lo)) < 1e-9
         else:
             assert ab[60 * i] == 0.0
+
+
+def _graphite_consolidate(vals, start, step, mdp, func):
+    """Transcription of graphite-web's maxDataPoints consolidation
+    (render/views.py band nudge + TimeSeries.__consolidate kernels) with
+    consolidate_points' two documented deviations: ALL pre-band points
+    are dropped (graphite's del-loop drops valuesToLose−1 — the known
+    off-by-one) and no dangling trailing gap point is synthesized.
+    Returns {band_ts: value}."""
+    import math
+
+    n = len(vals)
+    if mdp >= n:
+        return {start + i * step: v for i, v in enumerate(vals)}
+    vpp = int(math.ceil(n / mdp))
+    spp = vpp * step
+    nstart = start + spp + start % step - start % spp
+    bands: dict[int, list] = {}
+    for i, v in enumerate(vals):
+        ts = start + i * step
+        if ts < nstart:
+            continue
+        b = nstart + ((ts - nstart) // spp) * spp
+        bands.setdefault(b, []).append(v)
+    out = {}
+    for b, chunk in bands.items():
+        usable = [v for v in chunk if v is not None]
+        if not usable:
+            out[b] = None
+        elif func == "sum":
+            out[b] = float(sum(usable))
+        elif func == "min":
+            out[b] = float(min(usable))
+        elif func == "max":
+            out[b] = float(max(usable))
+        elif func == "first":
+            out[b] = usable[0]
+        elif func == "last":
+            out[b] = usable[-1]
+        else:
+            out[b] = float(sum(usable)) / len(usable)
+    return out
+
+
+def test_consolidate_points_matches_graphite_reference_many_cases(spark):
+    """Random gappy series × random (start, step, kernel):
+    consolidate_points(mdp) equals the transcribed graphite consolidation
+    for every kernel, band-by-band — including unaligned starts (the
+    nudge formula), all-gap bands, the consolidateBy legend-wrap kernel
+    parse, and the rename-resets-to-average deviation (a wrap that is
+    not the OUTERMOST suffix is ignored). Integer-valued doubles keep
+    sum/average order-independent so equality is exact. One Spark job
+    per mdp value."""
+    from kenshin_backup_spark.operators import seriesfns as S
+
+    rng = random.Random(777)
+    for mdp in (3, 7, 50):
+        rows, expect = [], {}
+        for case in range(30):
+            n = rng.randint(1, 120)
+            step = rng.choice([10, 60, 300])
+            start = rng.randint(0, 100_000)
+            vals = [
+                None if rng.random() < 0.35 else float(rng.randint(-9, 9))
+                for _ in range(n)
+            ]
+            func = rng.choice(
+                ["average", "avg", "sum", "min", "max", "first", "last",
+                 None, "nested"]
+            )
+            if func is None:
+                metric = f"m{case}"
+                eff = "average"
+            elif func == "nested":
+                # wrap not outermost -> kernel resets to average
+                metric = f'scale(consolidateBy(m{case},"max"),1)'
+                eff = "average"
+            else:
+                metric = f'consolidateBy(m{case},"{func}")'
+                eff = "average" if func == "avg" else func
+            rows += [(metric, start + step * i, v) for i, v in enumerate(vals)]
+            for b, v in _graphite_consolidate(
+                vals, start, step, mdp, eff
+            ).items():
+                expect[(metric, b)] = v
+        df = spark.createDataFrame(
+            rows, "metric string, bucket_ts long, value double"
+        )
+        got = {
+            (r["metric"], r["bucket_ts"]): r["value"]
+            for r in S.consolidate_points(df, mdp).collect()
+        }
+        assert got == expect, f"mdp={mdp}"
