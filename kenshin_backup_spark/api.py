@@ -172,11 +172,23 @@ class Engine:
 
     # -- read path ------------------------------------------------------------
 
+    @staticmethod
+    def _resolve_window(
+        from_ts: int | str, until_ts: int | str, now_ts: int | None
+    ) -> tuple[int, int]:
+        """Resolve graphite at-time strings to epoch seconds (ints pass
+        through untouched). Relative forms need the injected ``now_ts`` —
+        :func:`kenshin_backup_spark.attime.parse_at_time` raises a clear
+        error otherwise, keeping the engine clock-free."""
+        from kenshin_backup_spark.attime import parse_at_time
+
+        return parse_at_time(from_ts, now_ts), parse_at_time(until_ts, now_ts)
+
     def fetch(
         self,
         metric_glob: str | None,
-        from_ts: int,
-        until_ts: int,
+        from_ts: int | str,
+        until_ts: int | str,
         *,
         now_ts: int | None = None,
         kernel: str | None = None,
@@ -186,7 +198,12 @@ class Engine:
         ``(metric, bucket_ts, value, n_points)``. ``kernel`` defaults to
         each policy's configured aggregation. ``metric_glob=None`` fetches
         the whole catalog (tagged-metric selection needs this: ``*`` is a
-        one-component glob and would drop dotted bare names)."""
+        one-component glob and would drop dotted bare names).
+        ``from_ts``/``until_ts`` also accept graphite's at-time strings
+        (``'-24h'``, ``'now'``, ``'midnight'``, ``'17:00_20240115'`` … —
+        see :mod:`kenshin_backup_spark.attime`); relative forms resolve
+        against the injected ``now_ts``."""
+        from_ts, until_ts = self._resolve_window(from_ts, until_ts, now_ts)
         if now_ts is None:
             now_ts = until_ts
         out: DataFrame | None = None
@@ -216,8 +233,8 @@ class Engine:
     def render(
         self,
         target: str,
-        from_ts: int,
-        until_ts: int,
+        from_ts: int | str,
+        until_ts: int | str,
         *,
         now_ts: int | None = None,
         max_data_points: int | None = None,
@@ -230,8 +247,13 @@ class Engine:
         ``max_data_points`` applies graphite's pixel-budget consolidation
         (the ``maxDataPoints`` request parameter every Grafana panel
         sends; kernel from the series' ``consolidateBy`` wrap, default
-        average — see seriesfns.consolidate_points)."""
+        average — see seriesfns.consolidate_points). ``from_ts``/
+        ``until_ts`` also accept graphite at-time strings (``'-24h'``,
+        ``'now'``, ``'midnight'`` …) resolved against ``now_ts`` — the
+        full request-parameter surface a graphite consumer sends."""
         from kenshin_backup_spark.render import render as _render
+
+        from_ts, until_ts = self._resolve_window(from_ts, until_ts, now_ts)
 
         def fetch_fn(glob: str | None) -> DataFrame:
             return self.fetch(glob, from_ts, until_ts, now_ts=now_ts).select(
@@ -250,8 +272,8 @@ class Engine:
     def render_many(
         self,
         targets: list[str] | tuple[str, ...],
-        from_ts: int,
-        until_ts: int,
+        from_ts: int | str,
+        until_ts: int | str,
         *,
         now_ts: int | None = None,
         max_data_points: int | None = None,

@@ -167,6 +167,16 @@ SHOWCASE = [
         "(3 series), never the data volume; the rolling window "
         "partitions by metric.",
     ),
+    (
+        "graphite_render_maxdatapoints",
+        "maxDataPoints consolidation (round 8): the per-series "
+        "(count, start, end) windows hash-partition on metric and the "
+        "band group-by REUSES that clustering — one Exchange for the "
+        "whole consolidation, band state O(1) per group, nothing "
+        "collected to the driver. The kernel dispatch (six CASE arms "
+        "over the consolidateBy legend wrap) is codegen'd column "
+        "arithmetic.",
+    ),
 ]
 
 FOOTER = """
