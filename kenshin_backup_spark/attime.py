@@ -145,11 +145,17 @@ def _parse_reference(ref: str, now_ts: int | None) -> dt.datetime:
             int(ref[:4]), int(ref[4:6]), int(ref[6:8]), hour, minute,
             tzinfo=UTC,
         )
-    if "/" in ref:  # MM/DD/YY or MM/DD/YYYY — absolute (%y pivot)
+    if "/" in ref:  # MM/DD/YY or MM/DD/YYYY — absolute
         m, d, y = ref.split("/")
         year = int(y)
         if year < 100:
-            year += 1900 if year >= 69 else 2000
+            # graphite's pivot (attime.py): year += 1900, then
+            # year < 1970 → +100 — so 00-69 → 2000s and 70-99 → 1900s.
+            # strptime's %y pivot puts 69 in 1969; graphite puts it in
+            # 2069 (ADVICE r8 — match graphite exactly).
+            year += 1900
+            if year < 1970:
+                year += 100
         return dt.datetime(year, int(m), int(d), hour, minute, tzinfo=UTC)
 
     base = _need_now(now_ts, ref or "time-of-day").replace(

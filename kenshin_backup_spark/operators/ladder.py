@@ -62,7 +62,10 @@ class Ladder:
         try:
             with open(self.manifest_path()) as fh:
                 return int(json.load(fh)["metric_buckets"])
-        except (OSError, ValueError, KeyError):
+        except (OSError, ValueError, KeyError, TypeError):
+            # TypeError: a manifest with "metric_buckets": null — corrupt
+            # manifests of every shape fall through to directory-shape
+            # inference rather than hard-failing the read path (ADVICE r8)
             pass
         seen_level = False
         for a in self.archives:

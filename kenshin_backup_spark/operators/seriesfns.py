@@ -1837,7 +1837,9 @@ def consolidate_by(df: DataFrame, func: str) -> DataFrame:
 _CONSOLIDATE_RE = r'consolidateBy\(.+,"(average|avg|sum|min|max|first|last)"\)$'
 
 
-def consolidate_points(df: DataFrame, max_data_points: int) -> DataFrame:
+def consolidate_points(
+    df: DataFrame, max_data_points: int, func_hint: str | None = None
+) -> DataFrame:
     """Graphite ``maxDataPoints`` consolidation (render/views.py): when a
     series carries more grid points than the caller's pixel budget —
     every Grafana panel sends ``maxDataPoints`` — squeeze each series to
@@ -1854,16 +1856,28 @@ def consolidate_points(df: DataFrame, max_data_points: int) -> DataFrame:
       dropped. (graphite's ``del`` loop drops ``valuesToLose−1`` points —
       a known off-by-one; this engine drops ALL pre-band points so
       values and timestamps stay aligned. Documented deviation.)
+      When the nudge would pass the series' LAST point (tiny budgets:
+      ``max_data_points`` of 1-2 can push ``nstart`` beyond the end,
+      which would erase the series), the nudge is clamped back to the
+      raw start — the bands are then start-aligned rather than
+      epoch-aligned, but at least one consolidated point always
+      survives, matching graphite's keep-one behavior (ADVICE r8;
+      documented deviation: graphite's del-loop yields a differently
+      phased single point in this corner).
     - kernels: ``average`` (default) / ``sum`` / ``min`` / ``max`` /
       ``first`` / ``last``, applied over the band's non-gap values;
       an all-gap band stays a gap. No dangling trailing gap point is
       synthesized (graphite's generator emits one when the point count
       divides evenly — documented deviation).
-    - the kernel comes from the series' ``consolidateBy`` legend wrap
-      (``consolidateBy(name,"max")``) when it is the outermost wrap;
-      graphite keeps the hint on the series object, so a rename AFTER
-      ``consolidateBy`` resets this engine to ``average`` (documented
-      deviation — Grafana emits consolidateBy outermost).
+    - the kernel: ``func_hint`` (when given) wins for EVERY series in
+      the frame — the render evaluator threads it from a
+      ``consolidateBy``/``cumulative`` call through the name-only /
+      sort / filter wrappers (see render._HINT_PRESERVING), so
+      ``alias(consolidateBy(m,"max"),'x')`` keeps the max kernel the
+      way graphite's series-object hint does (ADVICE r8). Without a
+      hint, the kernel is parsed per-series from the outermost
+      ``consolidateBy(name,"…")`` legend wrap; a rename that erased
+      the wrap outside an evaluator falls back to ``average``.
     - per-series grid: ``n`` and ``step`` come from each series' own
       frame (count / span of its regular grid) rather than graphite's
       global min-start/max-end envelope; series from one render share
@@ -1879,9 +1893,9 @@ def consolidate_points(df: DataFrame, max_data_points: int) -> DataFrame:
     w = W.partitionBy("metric")
     n = F.count(F.lit(1)).over(w)
     start = F.min("bucket_ts").over(w)
+    end = F.max("bucket_ts").over(w)
     step = F.when(
-        n > 1,
-        F.floor((F.max("bucket_ts").over(w) - start) / (n - F.lit(1))),
+        n > 1, F.floor((end - start) / (n - F.lit(1)))
     ).otherwise(F.lit(1)).cast("long")
     vpp = (
         F.when(F.lit(max_data_points) < n, F.ceil(n / F.lit(max_data_points)))
@@ -1889,10 +1903,21 @@ def consolidate_points(df: DataFrame, max_data_points: int) -> DataFrame:
         .cast("long")
     )
     spp = vpp * step
-    nstart = F.when(
-        vpp > 1, start + spp + start % step - start % spp
-    ).otherwise(start)
-    func = F.regexp_extract(F.col("metric"), _CONSOLIDATE_RE, 1)
+    # clamp: a nudge past the last point would return ZERO rows for the
+    # series (mdp=1 on an spp-aligned start) — fall back to the raw
+    # start so at least one band survives (ADVICE r8, docstring note)
+    raw_nstart = start + spp + start % step - start % spp
+    nstart = F.when((vpp > 1) & (raw_nstart <= end), raw_nstart).otherwise(
+        start
+    )
+    if func_hint is not None:
+        if func_hint not in (
+            "sum", "average", "avg", "min", "max", "first", "last"
+        ):
+            raise ValueError(f"bad consolidation hint {func_hint!r}")
+        func = F.lit("average" if func_hint == "avg" else func_hint)
+    else:
+        func = F.regexp_extract(F.col("metric"), _CONSOLIDATE_RE, 1)
     banded = (
         df.withColumn("__spp", spp)
         .withColumn("__nstart", nstart)

@@ -95,6 +95,7 @@ from kenshin_backup_spark.queries import (
     batch75,
     batch76,
     batch77,
+    batch78,
     llm,
     relational,
     relational2,
@@ -183,118 +184,97 @@ _MODULES = (
     batch75,
     batch76,
     batch77,
+    batch78,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
-#: entries, so this ordering is evidence policy. Round-8 re-curation —
-#: the burn-down is DONE (every oracle-backed query has a full
-#: rows+schema+hash driver row once this window certifies), so slots now
-#: split three ways:
-#: 1. the LAST 8 never-full-green queries (COVERAGE.md's r8 queue —
-#:    the deferred low-risk relational/scalar family);
-#: 2. the 5 NEW round-8 certs — batch72's render tier and batch73's
-#:    LLM-corpus governance pair (regex PII scan; n-gram benchmark
-#:    contamination via a broadcast posting join) — all exact-parity
-#:    green at sf0.001 and sf0.01 before rotation. Of batch72:
-#:    the generic render family
-#:    (highest/aggregate-median), the map/reduce-over-nodes tier
-#:    (reduceSeries/applyByNode) and the generator functions
-#:    (time() + sumSeriesLists) — all exact-parity green at sf0.001 and
-#:    sf0.01 before rotation;
-#: 3. re-certs: 7 for code this round CHANGED (ladder delete/fetch gained
-#:    the layout-manifest guard → the two ladder maintenance certs;
-#:    Engine.render now threads the request window → the five
-#:    graphite_render_* certs), then the oracle-backed rows with the
-#:    OLDEST driver evidence (the r1/r2 greens) re-verified under the
-#:    current engine — three of those slots later yielded to the
-#:    round-8-late certs (batch73's governance pair, batch74's seeded
-#:    IVF); the displaced rows keep exact-cell parity coverage in
-#:    tests/test_oracle_parity.py.
-#: The 7 rows-only-by-design queries (approx_distinct_parts,
-#: approx_event_percentiles, emb_intrinsic_dimension, emb_kmeans_clusters,
-#: events_rolling_wau_hll, graph_pagerank_docs, tsdb_downsample_lttb)
-#: still never hold window slots. emb_mmr_rerank and
-#: tsdb_holt_linear_forecast left this list in round 8 — their
-#: sequential traces gained bit-exact recursive-CTE oracles
-#: (batch41._MMR_SQL, batch16._HOLT_SQL); the float PageRank and LTTB
-#: gained oracle-checked twins (batch76, batch75) while remaining
-#: rows-only themselves. Every row that rotates out keeps exact-cell
-#: parity coverage in tests/test_oracle_parity.py.
+#: entries, so this ordering is evidence policy. Round-9 re-curation —
+#: the burn-down closed in r8 (every oracle-backed query has a full
+#: rows+schema+hash driver row), so from here windows hold, in priority
+#: order (COVERAGE.md's standing rule):
+#: 1. re-certs of every query whose code THIS round changed — round 9
+#:    touched the render evaluator (consolidateBy-hint threading +
+#:    quoted-bool coercion, ADVICE r8) and
+#:    seriesfns.consolidate_points (tiny-budget nudge clamp), so all
+#:    nine graphite_render_* certs re-rotate; ladder.py's manifest
+#:    except-tuple fix re-rotates the two ladder maintenance certs
+#:    (attime.py's %y-pivot fix has no certified query surface — the
+#:    Engine string-window integration is pytest-covered);
+#: 2. the NEW round-9 certs (batch78): the ADVICE-r8 medium fix
+#:    certified end-to-end (rename-after-consolidateBy keeps its
+#:    kernel — a hash match that FAILS on the pre-fix average
+#:    fallback) plus TPC-H Q14/Q18, completing the 22-query TPC-H
+#:    sweep — all exact-parity green at sf0.001 AND sf0.01 before
+#:    rotation;
+#: 3. the six r2 rows displaced by round-8-late certs
+#:    (COVERAGE.md's r9 displaced queue);
+#: 4. the next-oldest evidence: the full r3 cohort (29 rows) + the
+#:    alphabetically-first r4 row to fill slot 50.
+#: The 9 rows-only-by-design queries (approx_distinct_parts,
+#: approx_event_percentiles, emb_intrinsic_dimension,
+#: emb_kmeans_clusters, emb_mmr_rerank*, events_rolling_wau_hll,
+#: graph_pagerank_docs, tsdb_downsample_lttb,
+#: tsdb_holt_linear_forecast*) never hold window slots (*certified via
+#: their exact twins/upgrades in r8 — no re-cert due). Every row that
+#: rotates out keeps exact-cell parity coverage in
+#: tests/test_oracle_parity.py.
 _PRIORITY = (
-    # --- the last 8 never-full-green (burn-down completion) ------------------
-    "agg_grouping_flags",
-    "scalar_bitwise_shift",
-    "scalar_date_family2",
-    "scalar_split_part_family",
-    "scalar_string_family3",
-    "window_suffix_revenue",
-    "join_cross_grid",
-    "join_null_safe_status",
-    # --- new round-8 certs: wave-4 render tier (batch72) ---------------------
+    # --- 1. re-certs: code changed this round (render evaluator +
+    # consolidate_points + ladder manifest guard) ------------------------------
+    "graphite_render_maxdatapoints",
     "graphite_render_generic",
     "graphite_render_mapreduce",
     "graphite_render_timegen",
-    # --- re-certs: code changed this round ------------------------------------
-    "tsdb_ladder_roundtrip",
-    "tsdb_ladder_coarse_fetch",
     "graphite_render_pipeline",
     "graphite_render_ratio",
     "graphite_render_seriesbytag",
     "graphite_render_bandmath",
     "graphite_render_rollstats",
-    # --- re-certs: oldest driver evidence (r1) --------------------------------
-    "agg_cube_priority_status",
-    "agg_distinct_counts",
-    "agg_rollup_flag_status",
-    "pivot_status_by_priority",
-    "text_fingerprints",
-    "text_langid_heuristic",
-    "tpch_q4_order_priority",
-    "tsdb_moving_avg",
-    "window_lag_lead_orders",
-    "window_ntile_quartiles",
-    # --- re-certs: oldest driver evidence (r2) --------------------------------
-    "dedup_ngram_jaccard",
-    "emb_knn_label_vote",
-    "graphite_exclude_average",
-    "graphite_groupbynode_sum",
-    "join_anti_customers_no_orders",
-    "join_outer_customer_orders",
-    "scalar_string_part_names",
-    "text_stats_by_lang",
-    "tpch_q10_returned_items",
-    "tpch_q17_small_quantity",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tsdb_derivative",
-    "tsdb_fetch_keep_last",
-    # --- new round-8 cert: graphite maxDataPoints consolidation (batch77;
-    # exact-parity green at sf0.001 AND sf0.01 before rotation; displaced
-    # the tsdb_glob_fetch r2 re-cert, which keeps exact-cell parity
-    # coverage in tests/test_oracle_parity.py and glob coverage via every
-    # graphite_render_* cert's brace-glob fetches) ---------------------------
-    "graphite_render_maxdatapoints",
-    # --- new round-8 certs: LLM-corpus governance (batch73) -------------------
-    "text_pii_scan",
-    "llm_contamination_report",
-    # --- new round-8 certs: oracle-checkable IVF ANN (batch74), exact LTTB
-    # (batch75), and the in-place MMR oracle upgrade (batch41._MMR_SQL —
-    # certifying now keeps the burn-down closed) — all exact-parity green
-    # at sf0.001 AND sf0.01 before rotation; displaced the
-    # scalar_math_funcs / scalar_array_ops / scalar_datetime_orders r2
-    # re-certs, which keep exact-cell parity coverage in
-    # tests/test_oracle_parity.py --------------------------------------------
-    "emb_ann_ivf_seeded",
-    "tsdb_downsample_lttb_exact",
-    "emb_mmr_rerank",
-    # --- new round-8 cert: quantized integer PageRank (batch76; exact-parity
-    # green at sf0.001 AND sf0.01; displaced the window_running_revenue r2
-    # re-cert, which keeps parity + scalepat plan-gate coverage) --------------
-    "graph_pagerank_quantized",
-    # --- round-8 in-place upgrade: Holt linear forecast gained a recursive
-    # oracle (batch16._HOLT_SQL) — certifying now keeps the burn-down
-    # closed; displaced the source_csv_roundtrip r2 re-cert ------------------
-    "tsdb_holt_linear_forecast",
+    "tsdb_ladder_roundtrip",
+    "tsdb_ladder_coarse_fetch",
+    # --- 2. new round-9 certs (batch78) ---------------------------------------
+    "graphite_render_alias_consolidate",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume",
+    # --- 3. the r2 rows displaced by round-8-late certs ------------------------
+    "scalar_math_funcs",
+    "scalar_array_ops",
+    "scalar_datetime_orders",
+    "window_running_revenue",
+    "source_csv_roundtrip",
+    "tsdb_glob_fetch",
+    # --- 4. next-oldest evidence: the r3 cohort --------------------------------
+    "agg_grouping_sets",
+    "agg_median_quantity",
+    "dedup_simhash_md5",
+    "emb_cosine_topk",
+    "events_rolling_wau",
+    "events_transition_matrix",
+    "funnel_signup_click_purchase",
+    "graphite_deviant_rank",
+    "join_semi_discounted_orders",
+    "llm_corpus_curation",
+    "range_join_value_bands",
+    "scalar_json_event_props",
+    "scd2_user_state",
+    "setops_customer_cohorts",
+    "source_bucketed_join",
+    "source_partitioned_pruning",
+    "streaming_session_windows",
+    "text_char_ngram_langid",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_multi_exists",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier",
+    "tpch_q9_profit_by_nation_year",
+    "tsdb_anomaly_mad",
+    "tsdb_interpolate_linear",
+    "tsdb_policy_assign",
+    "tsdb_time_weighted_avg",
+    "window_first_last_nth",
+    "window_range_7day_sum",
+    # --- 4b. slot 50: the alphabetically-first r4 row --------------------------
+    "asof_purchase_last_click",
 )
 
 

@@ -1,0 +1,239 @@
+"""Batch-78 queries (round 9): the consolidation-hint fix certified
+end-to-end, plus the two TPC-H stragglers (Q14, Q18) that complete the
+22-query sweep.
+
+``graphite_render_alias_consolidate`` drives the ADVICE-r8 medium fix:
+the ``consolidateBy`` kernel is EVALUATOR STATE (graphite keeps it on
+the series object), so it must survive a rename. The target::
+
+    aliasSub(consolidateBy({click,...},"max"),'$','.peak')
+
+renames every series to ``consolidateBy(<m>,"max").peak`` — the legend
+wrap is no longer the outermost suffix, so the pre-fix legend-text parse
+would silently fall back to AVERAGE; the hash match against the
+max-kernel oracle certifies the hint threading in
+``render._HINT_PRESERVING`` (see seriesfns.consolidate_points). Store,
+grid and band arithmetic mirror the batch77 cert (hourly MAX store of
+floored events, ``max_data_points=36`` → valuesPerPoint ≈ 20, the
+consolidation path ACTIVE at both certified SFs).
+
+``tpch_q14_promo_revenue``: promotion revenue share per ship month —
+the CASE-inside-aggregate pattern. The share divides the two exact
+quantized BIGINT sums once in DOUBLE (identical op order both engines).
+
+``tpch_q18_large_volume``: customers with orders over a quantity
+threshold (Q18's large-volume-customer shape). The lineitem aggregate
+groups on its natural key, the HAVING filter collapses it ~50×, and
+the survivors join orders on the same key (co-partitioned shuffle);
+customer is broadcast. At 100 TB: one natural-key shuffle of lineitem,
+everything after operates on the filtered minority.
+
+Scale notes (100 TB): the render cert adds consolidate_points' single
+Exchange (metric-hash windows reused by the band group-by). Q14 is a
+scan + broadcast join + 12-group aggregate (map-side combinable). Q18
+never shuffles more than lineitem once on l_orderkey.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kenshin_backup_spark.api import Engine
+from kenshin_backup_spark.functions.deterministic import (
+    EPOCH_S_SQL,
+    QSUM_SQL,
+    qsum,
+)
+from kenshin_backup_spark.operators.policies import Policy
+from kenshin_backup_spark.sources import load_table
+from kenshin_backup_spark.sources.tables import staged_path
+
+_ES = EPOCH_S_SQL.format(x="ts")
+_MDP = 36
+_T_ALIASED = (
+    "aliasSub(consolidateBy({click,error,purchase,signup,view},'max'),"
+    "'$','.peak')"
+)
+
+
+def graphite_render_alias_consolidate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rename-after-consolidateBy keeps the max kernel (see module
+    docstring — the hash match fails on any average fallback)."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_type").alias("metric"),
+        "ts",
+        F.floor("value").cast("double").alias("value"),
+    )
+    eng = Engine(
+        spark,
+        staged_path(sf_dir, "mdp_store", tables=("events",)),
+        policies=[Policy(name="hourly", pattern=".*", steps=(3600,),
+                         agg="max")],
+    )
+    eng.write(pts)
+    es = F.unix_timestamp("ts").cast("long")
+    b = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
+    lo = b.lo - b.lo % 86400
+    out = eng.render(_T_ALIASED, lo, b.hi + 1, max_data_points=_MDP)
+    return out.select(
+        "metric",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+_ALIAS_MDP_SQL = f"""
+WITH bounds AS (
+  SELECT (MIN({_ES}) - MIN({_ES}) % 86400) AS lo,
+         ((MAX({_ES}) + 1) // 3600) * 3600 AS hi
+  FROM events
+),
+grid AS (
+  SELECT UNNEST(generate_series(lo, hi, 3600)) AS h FROM bounds
+),
+mets AS (
+  SELECT UNNEST(['click','error','purchase','signup','view']) AS metric
+),
+hourly AS (
+  SELECT event_type AS metric,
+         CAST((({_ES}) // 3600) * 3600 AS BIGINT) AS h,
+         CAST(MAX(FLOOR(value)) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT m.metric, CAST(g.h AS BIGINT) AS h, hr.v
+  FROM grid g
+  CROSS JOIN mets m
+  LEFT JOIN hourly hr ON hr.h = g.h AND hr.metric = m.metric
+),
+consts AS (
+  SELECT lo,
+         CAST(CEIL(CAST((hi - lo) // 3600 + 1 AS DOUBLE) / {_MDP})
+              AS BIGINT) * 3600 AS spp
+  FROM bounds
+),
+consts2 AS (
+  SELECT spp, lo + spp + lo % 3600 - lo % spp AS nstart FROM consts
+),
+banded AS (
+  SELECT s.metric,
+         c.nstart + ((s.h - c.nstart) // c.spp) * c.spp AS band,
+         s.v
+  FROM series s CROSS JOIN consts2 c
+  WHERE s.h >= c.nstart
+)
+SELECT 'consolidateBy(' || metric || ',"max").peak' AS metric,
+       CAST(band AS BIGINT) AS bucket_ts,
+       CAST(MAX(v) AS DOUBLE) AS value
+FROM banded GROUP BY 1, 2
+"""
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share per ship month (TPC-H Q14 generalized
+    from one month to a monthly report — same CASE-in-aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev_l = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+    ).cast("long")
+    promo_l = F.when(F.col("p_type") == "PROMO", rev_l).otherwise(
+        F.lit(0).cast("long")
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(promo_l).alias("__p"),
+            F.sum(rev_l).alias("__t"),
+        )
+    )
+    pct = (
+        F.col("__p").cast("double") / F.col("__t").cast("double")
+    ) * F.lit(100.0)
+    return agg.select(
+        "ship_month",
+        (F.col("__p").cast("double") / F.lit(1000000.0)).alias("promo_rev"),
+        (F.col("__t").cast("double") / F.lit(1000000.0)).alias("total_rev"),
+        pct.cast("double").alias("promo_pct"),
+    ).orderBy("ship_month")
+
+
+_Q14_SQL = """
+WITH agg AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                                       * 1000000) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS p,
+         CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                             * 1000000) AS BIGINT)) AS BIGINT) AS t
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT ship_month,
+       CAST(p AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS promo_rev,
+       CAST(t AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS total_rev,
+       (CAST(p AS DOUBLE) / CAST(t AS DOUBLE)) * CAST(100.0 AS DOUBLE)
+         AS promo_pct
+FROM agg ORDER BY ship_month
+"""
+
+
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers: orders whose total quantity exceeds 250
+    (TPC-H Q18 with the threshold tuned to the testdata's quantity
+    distribution — 25 survivors at sf0.001, ~200 at sf0.01)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(qsum(F.col("l_quantity"), "sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+_Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         {QSUM_SQL.format(x="l_quantity")} AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING {QSUM_SQL.format(x="l_quantity")} > 250
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+QUERIES = {
+    "graphite_render_alias_consolidate": graphite_render_alias_consolidate,
+    "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+    "tpch_q18_large_volume": tpch_q18_large_volume,
+}
+
+ORACLE = {
+    "graphite_render_alias_consolidate": _ALIAS_MDP_SQL,
+    "tpch_q14_promo_revenue": _Q14_SQL,
+    "tpch_q18_large_volume": _Q18_SQL,
+}

@@ -158,6 +158,41 @@ class _Parser:
 
 # --- evaluator --------------------------------------------------------------
 
+#: functions that graphite-web implements by returning / mutating the
+#: SAME TimeSeries objects — renames, display attributes, sorts and
+#: filters — so the series' consolidationFunc hint survives them. The
+#: evaluator threads the consolidateBy/cumulative hint through these to
+#: consolidate_points (ADVICE r8: alias(consolidateBy(m,"max"),'x')
+#: must keep the max kernel). Value transforms (scale, movingAverage,
+#: sumSeries, …) reset the hint to average here; graphite's IN-PLACE
+#: mutators technically keep it, but resetting is the conservative,
+#: documented deviation — Grafana always re-emits consolidateBy.
+_HINT_PRESERVING = frozenset({
+    "alias", "aliasByMetric", "aliasByNode", "aliasByTags", "aliasSub",
+    "substr", "legendValue", "cactiStyle",
+    "alpha", "color", "dashed", "drawAsInfinite", "lineWidth",
+    "secondYAxis", "stacked", "areaBetween",
+    "sortBy", "sortByMaxima", "sortByMinima", "sortByName", "sortByTotal",
+    "limit",
+    "averageAbove", "averageBelow", "averageOutsidePercentile",
+    "currentAbove", "currentBelow", "exclude", "grep", "filterSeries",
+    "highest", "highestAverage", "highestCurrent", "highestMax",
+    "lowest", "lowestAverage", "lowestCurrent",
+    "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
+    "mostDeviant", "removeEmptySeries", "unique",
+})
+
+
+def _to_bool(x) -> bool:
+    """Coerce a parsed scalar to bool the way graphite's param parser
+    does: the STRINGS 'false'/'0'/'' (any case) are False — a quoted
+    'false' in ``sortBy(x,'avg','false')`` must not reverse the sort
+    (ADVICE r8). Bare-token true/false literals arrive as real bools."""
+    if isinstance(x, str):
+        return x.strip().lower() not in ("false", "0", "")
+    return bool(x)
+
+
 def _need(args, n_min, n_max, name):
     if not (n_min <= len(args) <= n_max):
         raise ValueError(f"{name}: expected {n_min}..{n_max} args, got {len(args)}")
@@ -370,7 +405,7 @@ def _registry() -> dict[str, Callable]:
         "highestMax": lambda d, s: sf.highest_max(d[0], int(s[0])),
         "sortBy": lambda d, s: sf.sort_by(
             d[0], str(s[0]) if s else "average",
-            bool(s[1]) if len(s) > 1 else False,
+            _to_bool(s[1]) if len(s) > 1 else False,
         ),
         "filterSeries": lambda d, s: sf.filter_series(
             d[0], str(s[0]), str(s[1]), float(s[2])
@@ -495,8 +530,33 @@ def render(
     over; targets without generators don't need them.
     ``max_data_points`` applies graphite's pixel-budget consolidation to
     the evaluated result (every Grafana request sends it; see
-    seriesfns.consolidate_points for the transcribed semantics)."""
+    seriesfns.consolidate_points for the transcribed semantics). The
+    consolidation kernel set by ``consolidateBy``/``cumulative`` is
+    threaded through the name-only/sort/filter wrappers in
+    :data:`_HINT_PRESERVING` as evaluator state — like graphite's
+    series-object hint, it survives a rename such as
+    ``alias(consolidateBy(m,"max"),'x')`` (ADVICE r8)."""
     reg = _registry()
+    # consolidation hints keyed by the frame OBJECT (id); _keepalive
+    # pins every evaluated frame so an id is never recycled mid-parse
+    hints: dict[int, str] = {}
+    _keepalive: list[DataFrame] = []
+
+    def _hinted(name, scalars, dfs, result: DataFrame) -> DataFrame:
+        _keepalive.append(result)
+        if name == "consolidateBy":
+            f = str(scalars[0])
+            hints[id(result)] = "average" if f == "avg" else f
+        elif name == "cumulative":
+            # graphite: cumulative(series) == consolidateBy(series,'sum')
+            hints[id(result)] = "sum"
+        elif (
+            name in _HINT_PRESERVING
+            and len(dfs) == 1
+            and id(dfs[0]) in hints
+        ):
+            hints[id(result)] = hints[id(dfs[0])]
+        return result
 
     def gen(name: str, scalars: list) -> DataFrame:
         if from_ts is None or until_ts is None:
@@ -640,11 +700,13 @@ def render(
             _need(dfs, 1, len(dfs), name)
         else:
             _need(dfs, 1, 1, name)
-        return reg[name](dfs, scalars)
+        return _hinted(name, scalars, dfs, reg[name](dfs, scalars))
 
     out = ev(_Parser(_tokenize(target)).parse())
     if max_data_points is not None:
-        out = sf.consolidate_points(out, int(max_data_points))
+        out = sf.consolidate_points(
+            out, int(max_data_points), func_hint=hints.get(id(out))
+        )
     # internal bookkeeping columns (e.g. sortBy*'s __series_order) exist
     # for downstream composition only — never in the final result
     internal = [c for c in out.columns if c.startswith("__")]

@@ -41,8 +41,12 @@ def test_epoch_and_absolute_forms_need_no_now():
     assert parse_at_time("20240115") == _utc(2024, 1, 15)
     assert parse_at_time("17:00_20240115") == _utc(2024, 1, 15, 17, 0)
     assert parse_at_time("01/15/2024") == _utc(2024, 1, 15)
-    assert parse_at_time("01/15/24") == _utc(2024, 1, 15)  # %y pivot
+    assert parse_at_time("01/15/24") == _utc(2024, 1, 15)
     assert parse_at_time("01/15/99") == _utc(1999, 1, 15)
+    # graphite's pivot is year+=1900 then <1970 → +100, so the boundary
+    # sits at 70, NOT strptime's %y pivot at 69 (ADVICE r8): 69 → 2069
+    assert parse_at_time("06/15/69") == _utc(2069, 6, 15)
+    assert parse_at_time("06/15/70") == _utc(1970, 6, 15)
 
 
 def test_relative_forms():

@@ -345,3 +345,17 @@ def test_layout_manifest_guards_bucket_pruning(spark, tmp_path):
     build_ladder(pts, bkt)  # rewrites manifest
     with open(bkt.manifest_path()) as fh:
         assert json.load(fh)["metric_buckets"] == 8
+
+    # 5) corrupt manifests of EVERY shape fall through to directory
+    #    inference instead of raising (ADVICE r8: a null metric_buckets
+    #    was a TypeError escaping the except tuple)
+    for corrupt in (
+        '{"metric_buckets": null}',
+        '{"metric_buckets": "eight"}',
+        "{}",
+        "not json",
+    ):
+        with open(bkt.manifest_path(), "w") as fh:
+            fh.write(corrupt)
+        assert bkt.on_disk_metric_buckets() == -1  # inferred from mbucket=
+        assert bkt.verified_bucketed() is False

@@ -590,3 +590,61 @@ def test_map_reduce_apply_by_node(spark):
         _render(
             "reduceSeries(srv.*.disk.*, 'mod', 3, 'used', 'total')", fetch
         )
+
+
+# --- round-9 ADVICE fixes ----------------------------------------------------
+
+
+def test_sortby_quoted_false_is_false(spark):
+    """ADVICE r8: graphite's param parser treats the STRING 'false' as
+    False — sortBy(x,'max','false') must sort ascending, same as the
+    bare-token false and the omitted default."""
+    fetch = _fetch_fn(spark)
+    for target in (
+        "limit(sortBy(cpu.*, 'max', 'false'), 1)",
+        "limit(sortBy(cpu.*, 'max', '0'), 1)",
+        "limit(sortBy(cpu.*, 'max', false), 1)",
+        "limit(sortBy(cpu.*, 'max'), 1)",
+    ):
+        kept = {r.metric for r in render(target, fetch).collect()}
+        assert kept == {"cpu.load"}, target  # max 8 < cpu.idle's 9
+    # and a TRUE (quoted or bare) still reverses
+    for target in (
+        "limit(sortBy(cpu.*, 'max', 'true'), 1)",
+        "limit(sortBy(cpu.*, 'max', true), 1)",
+    ):
+        kept = {r.metric for r in render(target, fetch).collect()}
+        assert kept == {"cpu.idle"}, target
+
+
+def test_consolidation_hint_survives_rename(spark):
+    """ADVICE r8 (medium): the consolidateBy kernel is evaluator state —
+    it survives renames/sorts/filters the way graphite's series-object
+    hint does, instead of being re-parsed off the legend text."""
+    fetch = _fetch_fn(spark)
+    # cpu.load = [1,4,2,8,5,3] hourly; mdp=2 → vpp=3, spp=10800,
+    # nstart=10800 → one band over [8,5,3]: max=8, avg would be 16/3
+    for target in (
+        "aliasSub(consolidateBy(cpu.load,'max'),'^cpu','box')",
+        "alias(consolidateBy(cpu.load,'max'),'box.load')",
+        "sortByName(consolidateBy(cpu.load,'max'))",
+        "limit(sortBy(consolidateBy(cpu.load,'max'),'average'),1)",
+    ):
+        got = render(target, fetch, max_data_points=2).collect()
+        assert len(got) == 1, target
+        assert got[0].bucket_ts == 10800 and got[0].value == 8.0, target
+    # cumulative sets the sum hint (graphite: consolidateBy(x,'sum'))
+    got = render("alias(cumulative(cpu.load),'x')", fetch,
+                 max_data_points=2).collect()
+    assert len(got) == 1 and got[0].value == 16.0
+    # a value transform resets the evaluator hint, but scale doesn't
+    # rename — the legend wrap is still outermost, so the per-series
+    # parse dispatches max anyway (matches graphite's in-place scale,
+    # which preserves the series hint)
+    got = render("scale(consolidateBy(cpu.load,'max'),1)", fetch,
+                 max_data_points=2).collect()
+    assert len(got) == 1 and got[0].value == 8.0
+    # no rename at all: the legend-wrap parse still dispatches max
+    got = render("consolidateBy(cpu.load,'max')", fetch,
+                 max_data_points=2).collect()
+    assert len(got) == 1 and got[0].value == 8.0

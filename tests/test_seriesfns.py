@@ -942,3 +942,28 @@ def test_combine_series_lists(spark):
     import pytest as _p
     with _p.raises(ValueError):
         S.combine_series_lists(a, b, "mod")
+
+
+def test_consolidate_points_tiny_budget_clamp(spark):
+    """ADVICE r8: a band nudge past the last point must not erase the
+    series — mdp=1 on an spp-aligned start clamps back to the raw start
+    and keeps ONE consolidated point (start-aligned; documented
+    deviation from graphite's differently-phased del-loop point)."""
+    df = _series(spark, [("m", 3600 * i, float(v))
+                         for i, v in enumerate([1, 4, 2, 8, 5, 3])])
+    # mdp=1: vpp=6, spp=21600, raw nstart=21600 > last ts 18000 → clamp
+    got = S.consolidate_points(df, 1).collect()
+    assert len(got) == 1
+    assert got[0].bucket_ts == 0
+    assert abs(got[0].value - 23.0 / 6.0) < 1e-12
+    # mdp=2 stays on the graphite nudge (no clamp): nstart=10800 ≤ end
+    got2 = S.consolidate_points(df, 2).collect()
+    assert [(r.bucket_ts, r.value) for r in got2] == [(10800, 16.0 / 3.0)]
+    # the func_hint parameter dispatches the kernel for unwrapped names
+    got3 = S.consolidate_points(df, 2, func_hint="max").collect()
+    assert [(r.bucket_ts, r.value) for r in got3] == [(10800, 8.0)]
+    got4 = S.consolidate_points(df, 1, func_hint="sum").collect()
+    assert [(r.bucket_ts, r.value) for r in got4] == [(0, 23.0)]
+    import pytest as _p
+    with _p.raises(ValueError):
+        S.consolidate_points(df, 2, func_hint="median")
