@@ -1837,8 +1837,23 @@ def consolidate_by(df: DataFrame, func: str) -> DataFrame:
 _CONSOLIDATE_RE = r'consolidateBy\(.+,"(average|avg|sum|min|max|first|last)"\)$'
 
 
+def set_xfiles_factor(df: DataFrame, xff: float) -> DataFrame:
+    """graphite ``xFilesFactor()`` / ``setXFilesFactor()``: a RENDER-TIME
+    hint like :func:`consolidate_by` — it sets the minimum non-gap
+    fraction a ``maxDataPoints`` consolidation band needs to emit a
+    value (see :func:`consolidate_points`). Data and names pass through
+    untouched (graphite renames nothing here); the render evaluator
+    carries the hint as frame state."""
+    if not (0.0 <= float(xff) <= 1.0):
+        raise ValueError(f"xFilesFactor must be in [0,1], got {xff!r}")
+    return df
+
+
 def consolidate_points(
-    df: DataFrame, max_data_points: int, func_hint: str | None = None
+    df: DataFrame,
+    max_data_points: int,
+    func_hint: str | None = None,
+    x_files_factor: float | None = None,
 ) -> DataFrame:
     """Graphite ``maxDataPoints`` consolidation (render/views.py): when a
     series carries more grid points than the caller's pixel budget —
@@ -1869,6 +1884,12 @@ def consolidate_points(
       an all-gap band stays a gap. No dangling trailing gap point is
       synthesized (graphite's generator emits one when the point count
       divides evenly — documented deviation).
+    - ``x_files_factor`` (the render-time ``xFilesFactor()`` hint,
+      threaded by the evaluator like ``func_hint``): a band whose
+      non-gap count is below ``xff · band_slots`` becomes a gap —
+      graphite's ``TimeSeries.__consolidate`` float compare, band size
+      counted INCLUDING gap slots. ``None``/0 keeps graphite's default
+      any-usable-point behavior.
     - the kernel: ``func_hint`` (when given) wins for EVERY series in
       the frame — the render evaluator threads it from a
       ``consolidateBy``/``cumulative`` call through the name-only /
@@ -1943,6 +1964,8 @@ def consolidate_points(
         F.max("value").alias("__max"),
         F.min_by("value", nn_ts).alias("__first"),
         F.max_by("value", nn_ts).alias("__last"),
+        F.count(F.lit(1)).alias("__slots"),
+        F.count("value").alias("__nn"),
     )
     value = (
         F.when(F.col("__f") == "sum", F.col("__sum"))
@@ -1952,6 +1975,18 @@ def consolidate_points(
         .when(F.col("__f") == "last", F.col("__last"))
         .otherwise(F.col("__avg"))
     )
+    if x_files_factor is not None:
+        xff = float(x_files_factor)
+        if not (0.0 <= xff <= 1.0):
+            raise ValueError(f"xFilesFactor must be in [0,1], got {xff}")
+        # graphite TimeSeries.__consolidate: the band is a gap when
+        # len(usable) < xff * len(values) (float compare, band size
+        # INCLUDES the gap slots)
+        value = F.when(
+            F.col("__nn").cast("double")
+            < F.lit(xff) * F.col("__slots").cast("double"),
+            F.lit(None).cast("double"),
+        ).otherwise(value)
     return out.select(
         "metric",
         F.col("__band_ts").alias("bucket_ts"),

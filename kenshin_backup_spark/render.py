@@ -374,6 +374,15 @@ def _registry() -> dict[str, Callable]:
             d[0], parse_interval(s[0]), str(s[1]) if len(s) > 1 else "sum"
         ),
         "consolidateBy": lambda d, s: sf.consolidate_by(d[0], str(s[0])),
+        # render-time xFilesFactor hint: passthrough here, carried as
+        # evaluator state to consolidate_points (same rail as the
+        # consolidateBy kernel — closes the SCALE.md r8 non-goal)
+        "xFilesFactor": lambda d, s: sf.set_xfiles_factor(
+            d[0], float(s[0])
+        ),
+        "setXFilesFactor": lambda d, s: sf.set_xfiles_factor(
+            d[0], float(s[0])
+        ),
         "cactiStyle": lambda d, s: sf.cacti_style(d[0]),
         # display-only passthroughs (opacity / paired-area fill hints)
         "alpha": lambda d, s: d[0],
@@ -537,25 +546,27 @@ def render(
     series-object hint, it survives a rename such as
     ``alias(consolidateBy(m,"max"),'x')`` (ADVICE r8)."""
     reg = _registry()
-    # consolidation hints keyed by the frame OBJECT (id); _keepalive
-    # pins every evaluated frame so an id is never recycled mid-parse
-    hints: dict[int, str] = {}
+    # consolidation state (kernel + xFilesFactor) keyed by the frame
+    # OBJECT (id); _keepalive pins every evaluated frame so an id is
+    # never recycled mid-parse
+    hints: dict[int, dict] = {}
     _keepalive: list[DataFrame] = []
 
     def _hinted(name, scalars, dfs, result: DataFrame) -> DataFrame:
         _keepalive.append(result)
+        parent = hints.get(id(dfs[0]), {}) if len(dfs) == 1 else {}
         if name == "consolidateBy":
             f = str(scalars[0])
-            hints[id(result)] = "average" if f == "avg" else f
+            hints[id(result)] = dict(
+                parent, func="average" if f == "avg" else f
+            )
         elif name == "cumulative":
             # graphite: cumulative(series) == consolidateBy(series,'sum')
-            hints[id(result)] = "sum"
-        elif (
-            name in _HINT_PRESERVING
-            and len(dfs) == 1
-            and id(dfs[0]) in hints
-        ):
-            hints[id(result)] = hints[id(dfs[0])]
+            hints[id(result)] = dict(parent, func="sum")
+        elif name in ("xFilesFactor", "setXFilesFactor"):
+            hints[id(result)] = dict(parent, xff=float(scalars[0]))
+        elif name in _HINT_PRESERVING and parent:
+            hints[id(result)] = parent
         return result
 
     def gen(name: str, scalars: list) -> DataFrame:
@@ -704,8 +715,12 @@ def render(
 
     out = ev(_Parser(_tokenize(target)).parse())
     if max_data_points is not None:
+        state = hints.get(id(out), {})
         out = sf.consolidate_points(
-            out, int(max_data_points), func_hint=hints.get(id(out))
+            out,
+            int(max_data_points),
+            func_hint=state.get("func"),
+            x_files_factor=state.get("xff"),
         )
     # internal bookkeeping columns (e.g. sortBy*'s __series_order) exist
     # for downstream composition only — never in the final result

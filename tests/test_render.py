@@ -648,3 +648,42 @@ def test_consolidation_hint_survives_rename(spark):
     got = render("consolidateBy(cpu.load,'max')", fetch,
                  max_data_points=2).collect()
     assert len(got) == 1 and got[0].value == 8.0
+
+
+def test_xfilesfactor_render_hint(spark):
+    """Render-time xFilesFactor (SCALE.md r8 non-goal, closed r9): the
+    hint rides the same evaluator state as the consolidateBy kernel —
+    a maxDataPoints band below the non-gap fraction becomes a gap, and
+    the hint survives renames and composes with consolidateBy in either
+    order."""
+    rows = [("g.a", 3600 * i, v)
+            for i, v in enumerate([1.0, None, None, 8.0, None, 3.0])]
+    base = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+
+    def fetch(glob):
+        from kenshin_backup_spark.functions.deterministic import glob_to_regex
+        return base.where(F.col("metric").rlike(glob_to_regex(glob)))
+
+    # mdp=2 → vpp=3, spp=10800, nstart=10800 → ONE band over
+    # [8, None, 3]: slots=3, non-gap=2
+    got = render("xFilesFactor(g.a, 0.5)", fetch, max_data_points=2).collect()
+    assert [(r.bucket_ts, r.value) for r in got] == [(10800, 5.5)]
+    # 2 < 0.7*3 → the band gaps out; the hint survives an alias
+    for target in ("xFilesFactor(g.a, 0.7)",
+                   "alias(xFilesFactor(g.a, 0.7), 'x')"):
+        got = render(target, fetch, max_data_points=2).collect()
+        assert [(r.bucket_ts, r.value) for r in got] == [(10800, None)], target
+    # composes with consolidateBy in either order (state merges)
+    got = render("xFilesFactor(consolidateBy(g.a,'max'), 0.5)", fetch,
+                 max_data_points=2).collect()
+    assert [(r.bucket_ts, r.value) for r in got] == [(10800, 8.0)]
+    got = render("consolidateBy(xFilesFactor(g.a, 0.7),'max')", fetch,
+                 max_data_points=2).collect()
+    assert [(r.bucket_ts, r.value) for r in got] == [(10800, None)]
+    # no budget → full-resolution passthrough regardless of xff
+    got = render("xFilesFactor(g.a, 0.99)", fetch).collect()
+    assert len(got) == 6
+    with pytest.raises(ValueError, match="xFilesFactor"):
+        render("xFilesFactor(g.a, 1.5)", fetch)
