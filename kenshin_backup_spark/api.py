@@ -246,7 +246,9 @@ class Engine:
         into one Catalyst plan (see :mod:`kenshin_backup_spark.render`).
         ``max_data_points`` applies graphite's pixel-budget consolidation
         (the ``maxDataPoints`` request parameter every Grafana panel
-        sends; kernel from the series' ``consolidateBy`` wrap, default
+        sends; kernel and gap tolerance come from the target's
+        ``consolidateBy``/``cumulative``/``xFilesFactor`` calls,
+        threaded as evaluator state that survives renames — default
         average — see seriesfns.consolidate_points). ``from_ts``/
         ``until_ts`` also accept graphite at-time strings (``'-24h'``,
         ``'now'``, ``'midnight'`` …) resolved against ``now_ts`` — the

@@ -179,7 +179,12 @@ _HINT_PRESERVING = frozenset({
     "highest", "highestAverage", "highestCurrent", "highestMax",
     "lowest", "lowestAverage", "lowestCurrent",
     "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
-    "mostDeviant", "removeEmptySeries", "unique",
+    "mostDeviant", "removeEmptySeries",
+    # multi-input passthroughs: graphite returns the same series
+    # objects through these, so the hint survives when EVERY input
+    # branch carries the same one (the all-equal rule in _hinted);
+    # mixed/partial hints drop to the per-series legend fallback
+    "group", "unique", "areaBetween",
 })
 
 
@@ -554,7 +559,15 @@ def render(
 
     def _hinted(name, scalars, dfs, result: DataFrame) -> DataFrame:
         _keepalive.append(result)
-        parent = hints.get(id(dfs[0]), {}) if len(dfs) == 1 else {}
+        states = [hints.get(id(d), {}) for d in dfs]
+        # single input: its state; several: only a state EVERY branch
+        # shares survives (graphite's per-series hints can differ across
+        # branches — a frame-level state must not guess)
+        parent = (
+            states[0]
+            if states and all(s == states[0] for s in states)
+            else {}
+        )
         if name == "consolidateBy":
             f = str(scalars[0])
             hints[id(result)] = dict(

@@ -376,6 +376,12 @@ def test_render_fuzz_random_compositions(spark):
         "multiplySeriesLists({X}, {X})",
         "divideSeriesLists({X}, {X})",
         "aggregateSeriesLists({X}, {X}, 'sum')",
+        # round-9: consolidation-state carriers (hints are render-time
+        # state; here they must at least parse, evaluate and pass data)
+        "xFilesFactor({X}, 0.5)",
+        "setXFilesFactor(alias({X}, 'xf'), 0.25)",
+        "sortByName(consolidateBy({X}, 'first'))",
+        "group(consolidateBy({X}, 'max'), consolidateBy({X}, 'max'))",
     ]
     rng = random.Random(20260814)
     fetch = _fetch_fn(spark)
@@ -687,3 +693,46 @@ def test_xfilesfactor_render_hint(spark):
     assert len(got) == 6
     with pytest.raises(ValueError, match="xFilesFactor"):
         render("xFilesFactor(g.a, 1.5)", fetch)
+
+
+def test_consolidation_hint_group_all_equal_rule(spark):
+    """Multi-input passthroughs (group/unique) keep a hint only when
+    EVERY branch carries the same one — graphite's per-series hints can
+    differ across branches, so a frame-level state must not guess."""
+    fetch = _fetch_fn(spark)
+    # both branches max → the union consolidates with max.
+    # cpu.load band [8,5,3] → 8; cpu.idle = [9,6,7,1,2,4] → band
+    # [1,2,4] → 4. aliasSub erases the legend wrap on both.
+    got = render(
+        "aliasSub(group(consolidateBy(cpu.load,'max'),"
+        "consolidateBy(cpu.idle,'max')),'$','.r')",
+        fetch, max_data_points=2,
+    ).collect()
+    vals = {r.metric: r.value for r in got}
+    assert vals == {
+        'consolidateBy(cpu.load,"max").r': 8.0,
+        'consolidateBy(cpu.idle,"max").r': 4.0,
+    }
+    # mixed hints → the frame-level state drops; the legend fallback
+    # still dispatches per series (wraps are outermost here)
+    got2 = render(
+        "group(consolidateBy(cpu.load,'max'),consolidateBy(cpu.idle,'min'))",
+        fetch, max_data_points=2,
+    ).collect()
+    vals2 = {r.metric: r.value for r in got2}
+    assert vals2 == {
+        'consolidateBy(cpu.load,"max")': 8.0,
+        'consolidateBy(cpu.idle,"min")': 1.0,
+    }
+    # mixed hints + a rename: frame state is empty and the wrap is
+    # gone → documented average fallback
+    got3 = render(
+        "aliasSub(group(consolidateBy(cpu.load,'max'),"
+        "consolidateBy(cpu.idle,'min')),'$','.r')",
+        fetch, max_data_points=2,
+    ).collect()
+    vals3 = {r.metric: round(r.value, 9) for r in got3}
+    assert vals3 == {
+        'consolidateBy(cpu.load,"max").r': round(16.0 / 3.0, 9),
+        'consolidateBy(cpu.idle,"min").r': round(7.0 / 3.0, 9),
+    }
