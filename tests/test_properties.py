@@ -1117,3 +1117,70 @@ def test_consolidate_points_matches_graphite_reference_many_cases(spark):
             for r in S.consolidate_points(df, mdp).collect()
         }
         assert got == expect, f"mdp={mdp}"
+
+
+def test_consolidate_points_xff_matches_graphite_reference(spark):
+    """Random gappy series × random (kernel, xFilesFactor):
+    consolidate_points(mdp, func_hint, x_files_factor) equals the
+    transcribed graphite consolidation with the TimeSeries.__consolidate
+    xFilesFactor gate (len(usable) < xff * len(values) → gap, band size
+    counted INCLUDING gap slots) — the round-9 render-time xff hint.
+    func_hint dispatch is pinned at the same time (names carry no
+    legend wrap here). One Spark job per (mdp, xff) pair."""
+    from kenshin_backup_spark.operators import seriesfns as S
+
+    rng = random.Random(909)
+    for mdp, xff in ((3, 0.25), (3, 0.9), (7, 0.5), (7, 1.0)):
+        rows, expect = [], {}
+        for case in range(20):
+            n = rng.randint(2, 100)
+            step = rng.choice([10, 60])
+            start = rng.randint(0, 50_000)
+            vals = [
+                None if rng.random() < 0.5 else float(rng.randint(-9, 9))
+                for _ in range(n)
+            ]
+            func = rng.choice(
+                ["average", "sum", "min", "max", "first", "last"]
+            )
+            metric = f"c{case}_{func}"
+            base = _graphite_consolidate(vals, start, step, mdp, func)
+            if mdp < n:
+                # re-derive each band's slot/usable counts for the gate
+                import math
+                vpp = int(math.ceil(n / mdp))
+                spp = vpp * step
+                nstart = start + spp + start % step - start % spp
+                last = start + (n - 1) * step
+                if vpp > 1 and nstart > last:
+                    nstart = start  # the round-9 clamp
+                counts = {}
+                for i, v in enumerate(vals):
+                    ts = start + i * step
+                    if ts < nstart:
+                        continue
+                    b = nstart + ((ts - nstart) // spp) * spp
+                    tot, use = counts.get(b, (0, 0))
+                    counts[b] = (tot + 1, use + (v is not None))
+                for b, v in base.items():
+                    tot, use = counts[b]
+                    expect[(metric, b)] = None if use < xff * tot else v
+            else:
+                for b, v in base.items():
+                    expect[(metric, b)] = v
+            rows += [
+                (metric, start + step * i, v) for i, v in enumerate(vals)
+            ]
+            # the direct call dispatches via func_hint per frame, so
+            # group frames by kernel: run one consolidate per func below
+        df = spark.createDataFrame(
+            rows, "metric string, bucket_ts long, value double"
+        )
+        got = {}
+        for func in ("average", "sum", "min", "max", "first", "last"):
+            sub = df.where(df.metric.endswith(f"_{func}"))
+            for r in S.consolidate_points(
+                sub, mdp, func_hint=func, x_files_factor=xff
+            ).collect():
+                got[(r["metric"], r["bucket_ts"])] = r["value"]
+        assert got == expect, f"mdp={mdp} xff={xff}"
