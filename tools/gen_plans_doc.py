@@ -177,6 +177,21 @@ SHOWCASE = [
         "over the consolidateBy legend wrap) is codegen'd column "
         "arithmetic.",
     ),
+    (
+        "graphite_render_alias_consolidate",
+        "Consolidation-hint threading (round 9): the rename erases the "
+        "legend wrap, so the kernel arrives as EVALUATOR STATE and the "
+        "plan dispatches on a LITERAL — the per-row regexp_extract "
+        "disappears entirely from the hinted path. Same single "
+        "consolidation Exchange as the maxdatapoints cert.",
+    ),
+    (
+        "tpch_q18_large_volume",
+        "Large-volume customers (round 9): lineitem shuffles ONCE on its "
+        "natural key for the quantity aggregate, the HAVING filter "
+        "collapses it ~50x before the orders join, and customer joins "
+        "as BroadcastHashJoin.",
+    ),
 ]
 
 FOOTER = """
