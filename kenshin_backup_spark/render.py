@@ -159,14 +159,15 @@ class _Parser:
 # --- evaluator --------------------------------------------------------------
 
 #: functions that graphite-web implements by returning / mutating the
-#: SAME TimeSeries objects — renames, display attributes, sorts and
-#: filters — so the series' consolidationFunc hint survives them. The
-#: evaluator threads the consolidateBy/cumulative hint through these to
-#: consolidate_points (ADVICE r8: alias(consolidateBy(m,"max"),'x')
-#: must keep the max kernel). Value transforms (scale, movingAverage,
-#: sumSeries, …) reset the hint to average here; graphite's IN-PLACE
-#: mutators technically keep it, but resetting is the conservative,
-#: documented deviation — Grafana always re-emits consolidateBy.
+#: SAME TimeSeries objects — renames, display attributes, sorts,
+#: filters, and the in-place per-point value mutators — so the series'
+#: consolidationFunc / xFilesFactor hints survive them. The evaluator
+#: threads consolidateBy/cumulative/xFilesFactor state through these
+#: to consolidate_points (ADVICE r8: alias(consolidateBy(m,"max"),'x')
+#: must keep the max kernel). Functions that CONSTRUCT new TimeSeries
+#: in graphite (derivative/perSecond/moving*/summarize/timeShift and
+#: every multi-series combine) reset the hint to default exactly as
+#: graphite does.
 _HINT_PRESERVING = frozenset({
     "alias", "aliasByMetric", "aliasByNode", "aliasByTags", "aliasSub",
     "substr", "legendValue", "cactiStyle",
@@ -180,11 +181,20 @@ _HINT_PRESERVING = frozenset({
     "lowest", "lowestAverage", "lowestCurrent",
     "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
     "mostDeviant", "removeEmptySeries",
+    # graphite's in-place per-point value mutators (functions.py writes
+    # series[i] = ... on the same object and only renames it)
+    "scale", "scaleToSeconds", "offset", "offsetToZero", "absolute",
+    "invert", "logarithm", "squareRoot", "sigmoid", "logit", "pow",
+    "round", "add", "minMax", "transformNull", "keepLastValue",
+    "interpolate", "isNonNull",
+    "removeAboveValue", "removeBelowValue",
+    "removeAbovePercentile", "removeBelowPercentile",
+    "removeBetweenPercentile",
     # multi-input passthroughs: graphite returns the same series
     # objects through these, so the hint survives when EVERY input
     # branch carries the same one (the all-equal rule in _hinted);
     # mixed/partial hints drop to the per-series legend fallback
-    "group", "unique", "areaBetween",
+    "group", "unique",
 })
 
 

@@ -643,13 +643,21 @@ def test_consolidation_hint_survives_rename(spark):
     got = render("alias(cumulative(cpu.load),'x')", fetch,
                  max_data_points=2).collect()
     assert len(got) == 1 and got[0].value == 16.0
-    # a value transform resets the evaluator hint, but scale doesn't
-    # rename — the legend wrap is still outermost, so the per-series
-    # parse dispatches max anyway (matches graphite's in-place scale,
-    # which preserves the series hint)
-    got = render("scale(consolidateBy(cpu.load,'max'),1)", fetch,
-                 max_data_points=2).collect()
-    assert len(got) == 1 and got[0].value == 8.0
+    # graphite's scale mutates the series IN PLACE, so the hint
+    # survives it — and it survives a rename stacked on top, where the
+    # legend wrap is no longer outermost and the fallback parse would
+    # have averaged
+    for target in ("scale(consolidateBy(cpu.load,'max'),1)",
+                   "alias(scale(consolidateBy(cpu.load,'max'),1),'x')"):
+        got = render(target, fetch, max_data_points=2).collect()
+        assert len(got) == 1 and got[0].value == 8.0, target
+    # a NEW-TimeSeries function (summarize/moving*/derivative family)
+    # resets the hint exactly as graphite does; delay() shifts values
+    # by one slot ([_,1,4,2,8,5] → band [2,8,5]) and its rename erases
+    # the wrap → default average
+    got = render("alias(delay(consolidateBy(cpu.load,'max'),1),'x')",
+                 fetch, max_data_points=2).collect()
+    assert len(got) == 1 and abs(got[0].value - 5.0) < 1e-12
     # no rename at all: the legend-wrap parse still dispatches max
     got = render("consolidateBy(cpu.load,'max')", fetch,
                  max_data_points=2).collect()
