@@ -725,11 +725,14 @@ def n_percentile(df: DataFrame, p: float) -> DataFrame:
     )
 
 
-def _percentile_per_series(df: DataFrame, p: float) -> DataFrame:
+def _percentile_per_series(
+    df: DataFrame, p: float, interpolate: bool = False
+) -> DataFrame:
     """(metric, __pv) — graphite-web's ``_getPercentile`` element per
     series (shared by nPercentile / removeAbove- / removeBelowPercentile):
     NIST rank ``fr = (p/100)·(n+1)``, ``rank = int(fr) + ceil(frac)``
-    (= ``ceil(fr)``), clamped to ``[1, n]`` — no interpolation. Round-6
+    (= ``ceil(fr)``), clamped to ``[1, n]``; ``interpolate=True`` uses
+    graphite's linear blend instead (:func:`_interp_pick`). Round-6
     fix: the previous ``ceil(n·p/100)`` rank diverged from graphite for
     even-length series (p50 over {1,2,3,4} is 3 in graphite, not 2).
     Both engines evaluate the identical IEEE double ``ceil`` — the new
@@ -748,7 +751,7 @@ def _percentile_per_series(df: DataFrame, p: float) -> DataFrame:
             "metric",
             F.when(
                 F.size("__vals") > 0,
-                F.element_at("__vals", _nist_rank(F.size("__vals"), p)),
+                _pick(F.col("__vals"), p, interpolate),
             ).alias("__pv"),
         )
     )
@@ -761,10 +764,37 @@ def _nist_rank(n: Column, p: float) -> Column:
     return F.greatest(F.lit(1), F.least(n, F.ceil(fr).cast("int")))
 
 
-def remove_above_percentile(df: DataFrame, p: float) -> DataFrame:
-    """graphite ``removeAbovePercentile(p)``: values above the series'
-    p-th percentile become gaps."""
-    per = _percentile_per_series(df, p)
+def _interp_pick(arr: Column, p: float) -> Column:
+    """graphite ``_getPercentile(..., interpolate=True)`` over a sorted
+    array column: ``fr = (p/100)·(n+1)``, ``rank = int(fr)``,
+    ``frac = fr − rank``, then ``base + frac·(next − base)`` with
+    graphite's exact op order (``percentile + rankFraction·
+    (sortedPoints[rank] − percentile)``), except when ``rank == n``
+    (graphite skips interpolation there). Indexes are clamped to
+    ``[1, n]`` — graphite would IndexError at p=100 where ``frac`` is 0
+    anyway, so the clamp is behavior-neutral (documented guard)."""
+    n = F.size(arr)
+    fr = (n + F.lit(1)).cast("double") * F.lit(float(p) / 100.0)
+    rank = F.floor(fr).cast("int")
+    frac = fr - rank.cast("double")
+    base = F.element_at(arr, F.greatest(F.lit(1), F.least(n, rank)))
+    nxt = F.element_at(arr, F.greatest(F.lit(1), F.least(n, rank + 1)))
+    return F.when(rank != n, base + frac * (nxt - base)).otherwise(base)
+
+
+def _pick(arr: Column, p: float, interpolate: bool) -> Column:
+    """Dispatch the graphite percentile pick for a sorted array col."""
+    if interpolate:
+        return _interp_pick(arr, p)
+    return F.element_at(arr, _nist_rank(F.size(arr), p))
+
+
+def remove_above_percentile(
+    df: DataFrame, p: float, interpolate: bool = False
+) -> DataFrame:
+    """graphite ``removeAbovePercentile(p[, interpolate])``: values above
+    the series' p-th percentile become gaps."""
+    per = _percentile_per_series(df, p, interpolate)
     return (
         df.join(F.broadcast(per), "metric")
         .withColumn(
@@ -774,10 +804,12 @@ def remove_above_percentile(df: DataFrame, p: float) -> DataFrame:
     )
 
 
-def remove_below_percentile(df: DataFrame, p: float) -> DataFrame:
-    """graphite ``removeBelowPercentile(p)``: values below the series'
-    p-th percentile become gaps."""
-    per = _percentile_per_series(df, p)
+def remove_below_percentile(
+    df: DataFrame, p: float, interpolate: bool = False
+) -> DataFrame:
+    """graphite ``removeBelowPercentile(p[, interpolate])``: values below
+    the series' p-th percentile become gaps."""
+    per = _percentile_per_series(df, p, interpolate)
     return (
         df.join(F.broadcast(per), "metric")
         .withColumn(
@@ -900,12 +932,16 @@ def moving_median(
 
 
 def percentile_of_series(
-    df: DataFrame, p: float, name: str = "percentileOfSeries"
+    df: DataFrame,
+    p: float,
+    name: str = "percentileOfSeries",
+    interpolate: bool = False,
 ) -> DataFrame:
-    """graphite ``percentileOfSeries(seriesList, p)``: ONE output series
-    whose value at each bucket is the p-th percentile ACROSS the input
-    series at that bucket, using graphite-web's ``_getPercentile`` NIST
-    rank (:func:`_nist_rank` — no interpolation), gaps excluded.
+    """graphite ``percentileOfSeries(seriesList, p[, interpolate])``: ONE
+    output series whose value at each bucket is the p-th percentile
+    ACROSS the input series at that bucket, using graphite-web's
+    ``_getPercentile`` NIST rank (:func:`_nist_rank`) or its linear
+    interpolation (:func:`_interp_pick`), gaps excluded.
 
     Bounded-collect contract: per-bucket fan-in is ≤ |series matched by
     the selection glob| — the sorted array is bounded by the glob's
@@ -922,7 +958,7 @@ def percentile_of_series(
     return g.select(
         "metric",
         "bucket_ts",
-        F.when(n > 0, F.element_at("__vals", _nist_rank(n, p)))
+        F.when(n > 0, _pick(F.col("__vals"), p, interpolate))
         .cast("double")
         .alias("value"),
     )

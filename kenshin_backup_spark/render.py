@@ -242,7 +242,8 @@ def _registry() -> dict[str, Callable]:
         "movingMax": lambda d, s: _moving(sf.moving_max, d[0], s[0]),
         "movingMedian": lambda d, s: _moving(sf.moving_median, d[0], s[0]),
         "percentileOfSeries": lambda d, s: sf.percentile_of_series(
-            d[0], float(s[0])
+            d[0], float(s[0]),
+            interpolate=_to_bool(s[1]) if len(s) > 1 else False,
         ),
         "weightedAverage": lambda d, s: sf.weighted_average(
             d[0], d[1], *[int(x) for x in s]
@@ -263,9 +264,13 @@ def _registry() -> dict[str, Callable]:
             d[0], float(s[0])
         ),
         "group": lambda d, s: sf.group_series(d),
-        "summarize": lambda d, s: sf.summarize(
-            d[0], parse_interval(s[0]), str(s[1]) if len(s) > 1 else "sum"
-        ),
+        # graphite summarize(series, interval, func, alignToFrom=false):
+        # alignToFrom buckets from the window start instead of the epoch
+        # — exactly smartSummarize's frame-model semantics
+        "summarize": lambda d, s: (
+            sf.smart_summarize if len(s) > 2 and _to_bool(s[2])
+            else sf.summarize
+        )(d[0], parse_interval(s[0]), str(s[1]) if len(s) > 1 else "sum"),
         "highestCurrent": lambda d, s: sf.highest_current(d[0], int(s[0])),
         # canonical-frame variants: ordering rides along as
         # __series_order so limit() composes (top-N-by-total idiom);
@@ -308,10 +313,12 @@ def _registry() -> dict[str, Callable]:
         "maximumBelow": lambda d, s: sf.maximum_below(d[0], float(s[0])),
         "nPercentile": lambda d, s: sf.n_percentile(d[0], float(s[0])),
         "removeAbovePercentile": lambda d, s: sf.remove_above_percentile(
-            d[0], float(s[0])
+            d[0], float(s[0]),
+            interpolate=_to_bool(s[1]) if len(s) > 1 else False,
         ),
         "removeBelowPercentile": lambda d, s: sf.remove_below_percentile(
-            d[0], float(s[0])
+            d[0], float(s[0]),
+            interpolate=_to_bool(s[1]) if len(s) > 1 else False,
         ),
         "timeSlice": lambda d, s: sf.time_slice(
             d[0], parse_interval(s[0]), parse_interval(s[1])

@@ -1184,3 +1184,62 @@ def test_consolidate_points_xff_matches_graphite_reference(spark):
             ).collect():
                 got[(r["metric"], r["bucket_ts"])] = r["value"]
         assert got == expect, f"mdp={mdp} xff={xff}"
+
+
+def _graphite_get_percentile(points, n, interpolate=False):
+    """Literal transcription of graphite-web render.functions
+    _getPercentile (both branches)."""
+    import math
+
+    sortedPoints = sorted(p for p in points if p is not None)
+    if len(sortedPoints) == 0:
+        return None
+    fractionalRank = (n / 100.0) * (len(sortedPoints) + 1)
+    rank = int(fractionalRank)
+    rankFraction = fractionalRank - rank
+    if not interpolate:
+        rank += int(math.ceil(rankFraction))
+    if rank == 0:
+        percentile = sortedPoints[0]
+    elif rank - 1 == len(sortedPoints):
+        percentile = sortedPoints[-1]
+    else:
+        percentile = sortedPoints[rank - 1]
+    if interpolate and rank != len(sortedPoints):
+        nxt = sortedPoints[min(rank, len(sortedPoints) - 1)]
+        percentile = percentile + rankFraction * (nxt - percentile)
+    return percentile
+
+
+def test_percentile_interpolate_matches_graphite_reference(spark):
+    """Random per-bucket value sets × random p: percentileOfSeries with
+    interpolate=True/False equals graphite's _getPercentile transcription
+    exactly (identical IEEE op order: base + frac·(next − base))."""
+    from kenshin_backup_spark.operators import seriesfns as S
+
+    rng = random.Random(4242)
+    for interpolate in (False, True):
+        for p in (10.0, 37.5, 50.0, 90.0, 99.0):
+            # 40 buckets; per bucket 1-9 series values with gaps
+            rows, expect = [], {}
+            for b in range(40):
+                vals = [
+                    None if rng.random() < 0.3
+                    else float(rng.randint(-50, 50))
+                    for _ in range(rng.randint(1, 9))
+                ]
+                for i, v in enumerate(vals):
+                    rows.append((f"s{i}", b * 60, v))
+                expect[b * 60] = _graphite_get_percentile(
+                    vals, p, interpolate
+                )
+            df = spark.createDataFrame(
+                rows, "metric string, bucket_ts long, value double"
+            )
+            got = {
+                r.bucket_ts: r.value
+                for r in S.percentile_of_series(
+                    df, p, interpolate=interpolate
+                ).collect()
+            }
+            assert got == expect, f"p={p} interpolate={interpolate}"

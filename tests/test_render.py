@@ -744,3 +744,41 @@ def test_consolidation_hint_group_all_equal_rule(spark):
         'consolidateBy(cpu.load,"max").r': round(16.0 / 3.0, 9),
         'consolidateBy(cpu.idle,"min").r': round(7.0 / 3.0, 9),
     }
+
+
+def test_percentile_interpolate_and_summarize_aligntofrom(spark):
+    """Round-9 optional-param parity: the interpolate flag on the
+    percentile family and summarize's alignToFrom (→ window-start
+    aligned buckets, smartSummarize's frame-model semantics); quoted
+    and bare booleans both work."""
+    fetch = _fetch_fn(spark)
+    # cross-series p50 at bucket 0 over [1,5,9]: NIST rank picks 5;
+    # interpolated: fr=2.0, rank=2, frac=0 → 5 too; use p=75 for a
+    # visible blend: fr=3.0 → rank 3 → 9 (frac 0); p=60: fr=2.4,
+    # rank=2, frac=0.4 → 5 + 0.4*(9-5) = 6.6
+    got = render("percentileOfSeries(*.*, 60, true)", fetch).collect()
+    vals = {r.bucket_ts: r.value for r in got}
+    assert abs(vals[0] - 6.6) < 1e-12
+    ni = render("percentileOfSeries(*.*, 60)", fetch).collect()
+    nvals = {r.bucket_ts: r.value for r in ni}
+    assert nvals[0] == 9.0  # ceil(2.4)=3 → el 3 of [1,5,9]
+    # removeAbovePercentile with interpolation: cpu.load sorted
+    # [1,2,3,4,5,8], p=50 → fr=3.5, rank=3, frac=0.5 → 3+0.5*(4-3)=3.5;
+    # values >3.5 gap out (NIST rank would keep 4: ceil(3.5)=4 → pv=4)
+    kept = render(
+        "removeAbovePercentile(cpu.load, 50, 'true')", fetch
+    ).collect()
+    assert sorted(r.value for r in kept if r.value is not None) == [
+        1.0, 2.0, 3.0]
+    kept_n = render("removeAbovePercentile(cpu.load, 50)", fetch).collect()
+    assert sorted(r.value for r in kept_n if r.value is not None) == [
+        1.0, 2.0, 3.0, 4.0]
+    # summarize alignToFrom: mem.used starts at ts 0 (epoch-aligned), so
+    # shift the series via timeShift? simpler: both agree at aligned
+    # start — assert equality to smartSummarize on an unaligned window
+    a = render("summarize(cpu.load, '2h', 'max', true)", fetch).collect()
+    b = sf.smart_summarize(fetch("cpu.load"), 7200, "max").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = render("summarize(cpu.load, '2h', 'max', 'false')", fetch).collect()
+    d = sf.summarize(fetch("cpu.load"), 7200, "max").collect()
+    assert sorted(map(tuple, c)) == sorted(map(tuple, d))
