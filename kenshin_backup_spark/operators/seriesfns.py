@@ -87,19 +87,58 @@ def derivative(df: DataFrame) -> DataFrame:
     )
 
 
-def non_negative_derivative(df: DataFrame) -> DataFrame:
-    """graphite ``nonNegativeDerivative()``: drop negative diffs (counter
-    wraps read as gaps)."""
-    d = F.col("value") - F.lag("value").over(_w())
-    return df.withColumn("value", F.when(d >= 0, d).cast("double"))
+def _non_negative_delta(
+    max_value: float | None, min_value: float | None
+) -> Column:
+    """Transcription of graphite-web's ``_nonNegativeDelta(new, old,
+    maxValue, minValue)`` as a Column over the lagged pair: out-of-range
+    new values → gap; ``new >= old`` → plain delta; otherwise wrap math
+    when a counter ceiling is known (``max − old + new [− min] + 1``),
+    reset-to-min when only a floor is known, gap when neither."""
+    new, old = F.col("value"), F.lag("value").over(_w())
+    out = F.when(new.isNull() | old.isNull(), F.lit(None).cast("double"))
+    if max_value is not None:
+        out = out.when(new > float(max_value), F.lit(None).cast("double"))
+    if min_value is not None:
+        out = out.when(new < float(min_value), F.lit(None).cast("double"))
+    out = out.when(new >= old, new - old)
+    if max_value is not None and min_value is not None:
+        out = out.otherwise(
+            F.lit(float(max_value)) - old + new - F.lit(float(min_value))
+            + F.lit(1.0)
+        )
+    elif max_value is not None:
+        out = out.otherwise(F.lit(float(max_value)) - old + new + F.lit(1.0))
+    elif min_value is not None:
+        out = out.otherwise(new - F.lit(float(min_value)))
+    return out
 
 
-def per_second(df: DataFrame) -> DataFrame:
-    """graphite ``perSecond()``: rate of a counter."""
-    dv = F.col("value") - F.lag("value").over(_w())
+def non_negative_derivative(
+    df: DataFrame,
+    max_value: float | None = None,
+    min_value: float | None = None,
+) -> DataFrame:
+    """graphite ``nonNegativeDerivative([maxValue[, minValue]])``: drop
+    negative diffs; with a known counter ceiling/floor, wraps and resets
+    become the true positive delta (:func:`_non_negative_delta`)."""
+    return df.withColumn(
+        "value", _non_negative_delta(max_value, min_value).cast("double")
+    )
+
+
+def per_second(
+    df: DataFrame,
+    max_value: float | None = None,
+    min_value: float | None = None,
+) -> DataFrame:
+    """graphite ``perSecond([maxValue[, minValue]])``: counter rate — the
+    non-negative (wrap-aware, like :func:`non_negative_derivative`)
+    delta divided by the slot's time step."""
+    dv = _non_negative_delta(max_value, min_value)
     dt = F.col("bucket_ts") - F.lag("bucket_ts").over(_w())
     return df.withColumn(
-        "value", F.when((dv >= 0) & (dt > 0), dv / dt).cast("double")
+        "value", F.when(dt > 0, dv / dt).cast("double")
     )
 
 
@@ -112,7 +151,11 @@ def integral(df: DataFrame) -> DataFrame:
     )
 
 
-def moving_average(df: DataFrame, window_points: int) -> DataFrame:
+def moving_average(
+    df: DataFrame,
+    window_points: int,
+    x_files_factor: float | None = None,
+) -> DataFrame:
     """graphite ``movingAverage(n)`` (quantized-exact), point-count form:
     the mean of the n points STRICTLY BEFORE each point — graphite's
     movingWindow slices ``series[i-n:i]``, excluding the current point
@@ -127,12 +170,17 @@ def moving_average(df: DataFrame, window_points: int) -> DataFrame:
     avg = (
         F.sum(q).over(w) / (F.lit(float(QUANT)) * F.count(q).over(w))
     ).cast("double")
-    return df.withColumn(
-        "value", F.when(F.row_number().over(_w()) > int(window_points), avg)
+    ok = _xff_window_gate(
+        w, F.row_number().over(_w()) > int(window_points), x_files_factor
     )
+    return df.withColumn("value", F.when(ok, avg))
 
 
-def moving_average_time(df: DataFrame, window_seconds: int) -> DataFrame:
+def moving_average_time(
+    df: DataFrame,
+    window_seconds: int,
+    x_files_factor: float | None = None,
+) -> DataFrame:
     """graphite ``movingAverage(series, '2h')``, interval form: the mean
     over the TIME window strictly before each point (slots in
     ``[t - window, t - 1]`` — on a regular grid with step | window,
@@ -151,10 +199,12 @@ def moving_average_time(df: DataFrame, window_seconds: int) -> DataFrame:
     avg = (
         F.sum(q).over(w) / (F.lit(float(QUANT)) * F.count(q).over(w))
     ).cast("double")
-    return df.withColumn(
-        "value",
-        F.when(F.col("bucket_ts") >= first + int(window_seconds), avg),
+    ok = _xff_window_gate(
+        w,
+        F.col("bucket_ts") >= first + int(window_seconds),
+        x_files_factor,
     )
+    return df.withColumn("value", F.when(ok, avg))
 
 
 def summarize(df: DataFrame, interval_seconds: int, func: str = "sum") -> DataFrame:
@@ -834,16 +884,36 @@ def time_slice(df: DataFrame, start_ts: int, end_ts: int) -> DataFrame:
 # --- round-6 catalog widening: rolling family + cross-series percentile ----
 
 
+def _xff_window_gate(w: W, ok: Column, x_files_factor) -> Column:
+    """AND graphite's moving-family ``xFilesFactor`` clause onto the
+    enough-history condition: a window whose non-gap count is below
+    ``xff · window_slots`` yields a gap (graphite 1.1 movingWindow's
+    ``non_null < xFilesFactor * windowSize`` float compare; slots are
+    the canonical grid rows in the frame, so gap slots count toward
+    the denominator exactly as in graphite's fixed windowSize)."""
+    if x_files_factor is None:
+        return ok
+    xff = float(x_files_factor)
+    if not (0.0 <= xff <= 1.0):
+        raise ValueError(f"xFilesFactor must be in [0,1], got {xff!r}")
+    return ok & ~(
+        F.count("value").over(w).cast("double")
+        < F.lit(xff) * F.count(F.lit(1)).over(w).cast("double")
+    )
+
+
 def _moving_frame(
     df: DataFrame,
     window_points: int | None,
     window_seconds: int | None,
+    x_files_factor: float | None = None,
 ) -> tuple[W, Column]:
     """Shared graphite movingWindow frame: (window_spec, enough_history)
     for the STRICTLY-BEFORE window (``series[i-n:i]``, excluding the
     current point) in point-count or time-interval form. Points without a
     full preceding window stay NULL (graphite omits them; it fetches
-    preview data instead)."""
+    preview data instead). ``x_files_factor`` additionally gaps windows
+    with too few non-gap values (:func:`_xff_window_gate`)."""
     if (window_points is None) == (window_seconds is None):
         raise ValueError("exactly one of window_points/window_seconds")
     if window_points is not None:
@@ -857,18 +927,20 @@ def _moving_frame(
         )
         first = F.min("bucket_ts").over(W.partitionBy("metric"))
         ok = F.col("bucket_ts") >= first + int(window_seconds)
-    return w, ok
+    return w, _xff_window_gate(w, ok, x_files_factor)
 
 
 def moving_sum(
     df: DataFrame,
     window_points: int | None = None,
     window_seconds: int | None = None,
+    x_files_factor: float | None = None,
 ) -> DataFrame:
     """graphite ``movingSum()`` (quantized-exact safeSum over the
     strictly-before window; all-gap windows stay NULL)."""
     q = F.floor(F.col("value") * QUANT).cast("long")
-    w, ok = _moving_frame(df, window_points, window_seconds)
+    w, ok = _moving_frame(df, window_points, window_seconds,
+                          x_files_factor)
     val = (F.sum(q).over(w) / F.lit(float(QUANT))).cast("double")
     return df.withColumn("value", F.when(ok, val))
 
@@ -877,9 +949,11 @@ def moving_min(
     df: DataFrame,
     window_points: int | None = None,
     window_seconds: int | None = None,
+    x_files_factor: float | None = None,
 ) -> DataFrame:
     """graphite ``movingMin()`` (exact — min needs no quantization)."""
-    w, ok = _moving_frame(df, window_points, window_seconds)
+    w, ok = _moving_frame(df, window_points, window_seconds,
+                          x_files_factor)
     return df.withColumn("value", F.when(ok, F.min("value").over(w)))
 
 
@@ -887,9 +961,11 @@ def moving_max(
     df: DataFrame,
     window_points: int | None = None,
     window_seconds: int | None = None,
+    x_files_factor: float | None = None,
 ) -> DataFrame:
     """graphite ``movingMax()`` (exact)."""
-    w, ok = _moving_frame(df, window_points, window_seconds)
+    w, ok = _moving_frame(df, window_points, window_seconds,
+                          x_files_factor)
     return df.withColumn("value", F.when(ok, F.max("value").over(w)))
 
 
@@ -897,6 +973,7 @@ def moving_median(
     df: DataFrame,
     window_points: int | None = None,
     window_seconds: int | None = None,
+    x_files_factor: float | None = None,
 ) -> DataFrame:
     """graphite ``movingMedian()``: safeMedian over the strictly-before
     window — sorted non-gap values; odd count → middle element, even →
@@ -906,7 +983,8 @@ def moving_median(
     Bounded-collect contract: the per-point sorted array holds at most
     ``window_points`` values (or window_seconds/step in the interval
     form) — bounded by the WINDOW ARGUMENT, never the series length."""
-    w, ok = _moving_frame(df, window_points, window_seconds)
+    w, ok = _moving_frame(df, window_points, window_seconds,
+                          x_files_factor)
     arr = F.array_sort(
         F.collect_list(
             F.when(F.col("value").isNotNull(), F.col("value"))
@@ -2369,10 +2447,13 @@ def multiply_series_with_wildcards(
 
 
 def moving_window(
-    df: DataFrame, window: int | str, func: str = "average"
+    df: DataFrame,
+    window: int | str,
+    func: str = "average",
+    x_files_factor: float | None = None,
 ) -> DataFrame:
-    """graphite ``movingWindow(window, func)``: the generic moving
-    aggregate — dispatches onto the strictly-before moving* family
+    """graphite ``movingWindow(window, func, xFilesFactor)``: the generic
+    moving aggregate — dispatches onto the strictly-before moving* family
     (point-count windows for ints, RANGE time windows for '2h'-style
     strings, the same dual dispatch the evaluator applies)."""
     fns_points = {
@@ -2389,9 +2470,11 @@ def moving_window(
 
         seconds = parse_interval(window)
         if func in ("average", "avg"):
-            return moving_average_time(df, seconds)
-        return fns_points[func](df, window_seconds=seconds)
-    return fns_points[func](df, int(window))
+            return moving_average_time(df, seconds, x_files_factor)
+        return fns_points[func](
+            df, window_seconds=seconds, x_files_factor=x_files_factor
+        )
+    return fns_points[func](df, int(window), x_files_factor=x_files_factor)
 
 
 def pow_series_combine(df: DataFrame, name: str = "powSeries") -> DataFrame:

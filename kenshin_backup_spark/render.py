@@ -226,21 +226,33 @@ def _registry() -> dict[str, Callable]:
             d[0], int(s[0]) if s else None
         ),
         "derivative": lambda d, s: sf.derivative(d[0]),
-        "nonNegativeDerivative": lambda d, s: sf.non_negative_derivative(d[0]),
-        "perSecond": lambda d, s: sf.per_second(d[0]),
+        "nonNegativeDerivative": lambda d, s: sf.non_negative_derivative(
+            d[0],
+            float(s[0]) if len(s) > 0 and s[0] is not None else None,
+            float(s[1]) if len(s) > 1 and s[1] is not None else None,
+        ),
+        "perSecond": lambda d, s: sf.per_second(
+            d[0],
+            float(s[0]) if len(s) > 0 and s[0] is not None else None,
+            float(s[1]) if len(s) > 1 and s[1] is not None else None,
+        ),
         "integral": lambda d, s: sf.integral(d[0]),
         # graphite accepts a point count OR a quoted interval ('2h') —
         # strings route to the RANGE-frame time variant (fuzz-found gap)
         "movingAverage": lambda d, s: (
-            sf.moving_average_time(d[0], parse_interval(s[0]))
+            sf.moving_average_time(d[0], parse_interval(s[0]), _xff(s, 1))
             if isinstance(s[0], str)
-            else sf.moving_average(d[0], int(s[0]))
+            else sf.moving_average(d[0], int(s[0]), _xff(s, 1))
         ),
         # round-6: the rest of the rolling family, same dual dispatch
-        "movingSum": lambda d, s: _moving(sf.moving_sum, d[0], s[0]),
-        "movingMin": lambda d, s: _moving(sf.moving_min, d[0], s[0]),
-        "movingMax": lambda d, s: _moving(sf.moving_max, d[0], s[0]),
-        "movingMedian": lambda d, s: _moving(sf.moving_median, d[0], s[0]),
+        "movingSum": lambda d, s: _moving(sf.moving_sum, d[0], s[0],
+                                          _xff(s, 1)),
+        "movingMin": lambda d, s: _moving(sf.moving_min, d[0], s[0],
+                                          _xff(s, 1)),
+        "movingMax": lambda d, s: _moving(sf.moving_max, d[0], s[0],
+                                          _xff(s, 1)),
+        "movingMedian": lambda d, s: _moving(sf.moving_median, d[0], s[0],
+                                             _xff(s, 1)),
         "percentileOfSeries": lambda d, s: sf.percentile_of_series(
             d[0], float(s[0]),
             interpolate=_to_bool(s[1]) if len(s) > 1 else False,
@@ -423,7 +435,8 @@ def _registry() -> dict[str, Callable]:
             )
         ),
         "movingWindow": lambda d, s: sf.moving_window(
-            d[0], s[0], str(s[1]) if len(s) > 1 else "average"
+            d[0], s[0], str(s[1]) if len(s) > 1 else "average",
+            _xff(s, 2),
         ),
         "highest": lambda d, s: sf.highest(
             d[0], int(s[0]) if s else 1,
@@ -510,13 +523,20 @@ def _registry() -> dict[str, Callable]:
     }
 
 
-def _moving(fn, df, window):
+def _xff(scalars, i) -> float | None:
+    """Optional trailing xFilesFactor scalar for the moving family."""
+    return float(scalars[i]) if len(scalars) > i else None
+
+
+def _moving(fn, df, window, x_files_factor=None):
     """Dual dispatch shared by the rolling family: a quoted interval
     ('2h') routes to the RANGE-frame time variant, a bare number to the
     point-count variant (graphite accepts both)."""
     if isinstance(window, str):
-        return fn(df, window_seconds=parse_interval(window))
-    return fn(df, window_points=int(window))
+        return fn(df, window_seconds=parse_interval(window),
+                  x_files_factor=x_files_factor)
+    return fn(df, window_points=int(window),
+              x_files_factor=x_files_factor)
 
 
 #: Functions taking TWO series expressions (minuend/dividend first).

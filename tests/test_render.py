@@ -382,6 +382,17 @@ def test_render_fuzz_random_compositions(spark):
         "setXFilesFactor(alias({X}, 'xf'), 0.25)",
         "sortByName(consolidateBy({X}, 'first'))",
         "group(consolidateBy({X}, 'max'), consolidateBy({X}, 'max'))",
+        # round-9: optional-parameter tail
+        "percentileOfSeries({X}, 75, true)",
+        "removeAbovePercentile({X}, 80, 'true')",
+        "removeBelowPercentile({X}, 20, true)",
+        "summarize({X}, '2h', 'avg', true)",
+        "movingAverage({X}, 2, 0.5)",
+        "movingSum({X}, '2h', 0.5)",
+        "movingMedian({X}, 3, 1.0)",
+        "movingWindow({X}, 2, 'max', 0.5)",
+        "nonNegativeDerivative({X}, 100)",
+        "perSecond({X}, 100, 0)",
     ]
     rng = random.Random(20260814)
     fetch = _fetch_fn(spark)

@@ -967,3 +967,83 @@ def test_consolidate_points_tiny_budget_clamp(spark):
     import pytest as _p
     with _p.raises(ValueError):
         S.consolidate_points(df, 2, func_hint="median")
+
+
+def test_moving_family_xfilesfactor_gate(spark):
+    """graphite 1.1 moving*(…, xFilesFactor): windows whose non-gap
+    count is below xff·windowSize become gaps (float compare; gap slots
+    count toward windowSize). Checked against a hand-rolled strictly-
+    before window walk on a gappy series."""
+    vals = [1.0, None, None, 4.0, None, 6.0, 7.0, None, 9.0, 10.0]
+    df = _series(spark, [("m", 60 * i, v) for i, v in enumerate(vals)])
+    n = 4
+    for xff in (0.0, 0.5, 0.75, 1.0):
+        got = {
+            r.bucket_ts: r.value
+            for r in S.moving_sum(
+                df, window_points=n, x_files_factor=xff
+            ).collect()
+        }
+        for i in range(len(vals)):
+            if i < n:
+                assert got[60 * i] is None
+                continue
+            window = vals[i - n:i]
+            usable = [v for v in window if v is not None]
+            if not usable or len(usable) < xff * n:
+                assert got[60 * i] is None, (i, xff)
+            else:
+                assert got[60 * i] == float(sum(usable)), (i, xff)
+    # time-interval form applies the same gate
+    got_t = {
+        r.bucket_ts: r.value
+        for r in S.moving_sum(
+            df, window_seconds=240, x_files_factor=1.0
+        ).collect()
+    }
+    assert all(v is None for v in got_t.values())  # every window has gaps
+    import pytest as _p
+    with _p.raises(ValueError):
+        S.moving_average(df, 2, x_files_factor=1.5)
+
+
+def test_counter_wrap_max_min_values(spark):
+    """graphite _nonNegativeDelta transcription: wrap math with a known
+    ceiling (max−old+new+1), reset-to-min with a floor, out-of-range
+    new values gap, and the bare form keeps negatives as gaps."""
+    vals = [250.0, 253.0, 2.0, 300.0, 1.0]
+    df = _series(spark, [("c", 60 * i, v) for i, v in enumerate(vals)])
+    by_ts = lambda rows: [rows.get(60 * i) for i in range(5)]  # noqa: E731
+
+    bare = {r.bucket_ts: r.value
+            for r in S.non_negative_derivative(df).collect()}
+    assert by_ts(bare) == [None, 3.0, None, 298.0, None]
+
+    mx = {r.bucket_ts: r.value
+          for r in S.non_negative_derivative(df, max_value=255).collect()}
+    # 253→2 wraps: 255-253+2+1 = 5; 2→300 exceeds max → gap (out of
+    # range); 300→1: previous value out of range but NEW value legal:
+    # graphite compares new>=old → 1 < 300 → wrap: 255-300+1+1 = -43?
+    # graphite doesn't guard old — transcribed faithfully: -43.0
+    assert by_ts(mx) == [None, 3.0, 5.0, None, -43.0]
+
+    both = {
+        r.bucket_ts: r.value
+        for r in S.non_negative_derivative(
+            df, max_value=255, min_value=1
+        ).collect()
+    }
+    # wrap with floor: 255-253+(2-1)+1 = 4; 300 out of range → gap;
+    # 300→1: 255-300+(1-1)+1 = -44
+    assert by_ts(both) == [None, 3.0, 4.0, None, -44.0]
+
+    mn = {
+        r.bucket_ts: r.value
+        for r in S.non_negative_derivative(df, min_value=1).collect()
+    }
+    # no ceiling: negative delta = reset to floor → new - min
+    assert by_ts(mn) == [None, 3.0, 1.0, 298.0, 0.0]
+
+    ps = {r.bucket_ts: r.value
+          for r in S.per_second(df, max_value=255).collect()}
+    assert ps[120] == 5.0 / 60.0 and ps[180] is None
