@@ -281,15 +281,23 @@ def alias_by_node(df: DataFrame, *nodes: int) -> DataFrame:
     return df.withColumn("metric", F.concat_ws(".", *[_node(n) for n in nodes]))
 
 
-def group_by_node(df: DataFrame, node: int, func: str = "sum") -> DataFrame:
-    """graphite ``groupByNode(n, callback)``: merge all series sharing the
-    n-th name component, combining same-bucket values with ``func``
-    (sum/avg/max/min — quantized-exact for sum/avg).
+def group_by_node(
+    df: DataFrame, node: int, func: str = "average"
+) -> DataFrame:
+    """graphite ``groupByNode(n, callback='average')``: merge all series
+    sharing the n-th name component, combining same-bucket values with
+    ``func`` (sum/avg/max/min — quantized-exact for sum/avg). The
+    default callback is graphite's ``average`` (r9 fix — it was ``sum``
+    here; every in-repo caller passes the callback explicitly).
+    ``average`` normalizes to the combine kernel's ``avg``.
 
     One hash aggregate on (node, bucket_ts) — the merged key is coarser
     than the input key, so this is a shrinking map-side-combinable shuffle.
     """
-    return _combine(df.withColumn("metric", _node(node)), func)
+    return _combine(
+        df.withColumn("metric", _node(node)),
+        "avg" if func == "average" else func,
+    )
 
 
 def sum_series(df: DataFrame, name: str = "sumSeries") -> DataFrame:
@@ -443,11 +451,18 @@ def limit_series(df: DataFrame, n: int) -> DataFrame:
     return df.join(F.broadcast(keep.select("metric")), "metric")
 
 
-def as_percent(df: DataFrame) -> DataFrame:
-    """graphite ``asPercent()``: each series' value as a share of the
-    all-series total in the same bucket. The per-bucket total is computed
-    on quantized BIGINTs (associative → partial aggregation safe) and the
-    share is one double division — oracle-exact.
+def as_percent(
+    df: DataFrame, total: DataFrame | float | None = None
+) -> DataFrame:
+    """graphite ``asPercent([total])``: each series' value as a share of
+    the all-series total in the same bucket. ``total`` may be a constant
+    (``value/total·100``, gaps stay; a zero constant gaps everything —
+    safeDiv) or a series frame (per-bucket sum of the total frame's
+    values — graphite's seriesList-total form; NULL where the total is
+    0 or absent; the broadcast total is bounded by the render window's
+    bucket count, never the corpus). The default per-bucket total is computed on quantized
+    BIGINTs (associative → partial aggregation safe) and the share is
+    one double division — oracle-exact.
 
     Scale note: the total is a window over (bucket_ts), which shuffles by
     bucket — the same key the rollup that produced the frame already
@@ -460,7 +475,37 @@ def as_percent(df: DataFrame) -> DataFrame:
     value and added a ``pct`` column, which silently broke composition —
     found by the render fuzz test.)
     """
+    if isinstance(total, (int, float)):
+        t = float(total)
+        if t == 0.0:
+            return df.withColumn("value", F.lit(None).cast("double"))
+        return df.withColumn(
+            "value",
+            ((F.col("value") / F.lit(t)) * F.lit(100.0)).cast("double"),
+        )
     q = F.floor(F.col("value") * 1_000_000).cast("long")
+    if total is not None:  # a series frame: per-bucket quantized total
+        tot = total.groupBy("bucket_ts").agg(
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias(
+                "__tq"
+            )
+        )
+        return (
+            df.withColumn("__q", q)
+            .join(F.broadcast(tot), "bucket_ts", "left")
+            .withColumn(
+                "value",
+                F.when(
+                    F.col("__tq").isNotNull() & (F.col("__tq") != 0),
+                    (
+                        F.col("__q").cast("double")
+                        / F.col("__tq").cast("double")
+                    )
+                    * 100.0,
+                ),
+            )
+            .drop("__q", "__tq")
+        )
     w = W.partitionBy("bucket_ts")
     out = df.withColumn("__q", q).withColumn(
         "value",
@@ -1095,13 +1140,37 @@ def weighted_average(
     )
 
 
-def sort_by_name_series(df: DataFrame) -> DataFrame:
-    """graphite ``sortByName()`` in CANONICAL form: attach
-    ``__series_order`` = rank by metric name ascending (composes with
-    ``limit`` like the other sortBy* functions)."""
+def sort_by_name_series(
+    df: DataFrame, natural: bool = False, reverse: bool = False
+) -> DataFrame:
+    """graphite ``sortByName([natural[, reverse]])`` in CANONICAL form:
+    attach ``__series_order`` = rank by metric name (composes with
+    ``limit`` like the other sortBy* functions). ``natural=True`` sorts
+    digit runs numerically (``web2 < web10``) by left-padding each run
+    to 12 digits in the sort key — graphite splits into int/str segments;
+    identical ordering for runs up to 12 digits (documented bound)."""
     keys = df.drop("__series_order").select("metric").distinct()
+    if natural:
+        parts = F.split(F.col("metric"), r"(?<=\D)(?=\d)|(?<=\d)(?=\D)")
+        key = F.array_join(
+            F.transform(
+                parts,
+                lambda x: F.when(
+                    x.rlike("^[0-9]+$"), F.lpad(x, 12, "0")
+                ).otherwise(x),
+            ),
+            "",
+        )
+    else:
+        key = F.col("metric")
+    keys = keys.withColumn("__k", key)
     ranked = with_global_prefix(
-        keys, [F.asc("metric")], row_number_col="__series_order"
+        keys,
+        [
+            F.desc("__k") if reverse else F.asc("__k"),
+            F.asc("metric"),  # total-order tiebreaker
+        ],
+        row_number_col="__series_order",
     )
     return df.drop("__series_order").join(
         F.broadcast(ranked.select("metric", "__series_order")), "metric"
@@ -1138,14 +1207,27 @@ def scale_to_seconds(df: DataFrame, seconds: int) -> DataFrame:
     return df.withColumn("value", (F.col("value") * factor).cast("double"))
 
 
-def remove_empty_series(df: DataFrame) -> DataFrame:
-    """graphite ``removeEmptySeries()``: drop series whose window holds
-    no non-gap value (tiny per-series aggregate → broadcast semi join)."""
-    keep = (
-        df.groupBy("metric")
-        .agg(F.count("value").alias("__n"))
-        .where(F.col("__n") > 0)
+def remove_empty_series(
+    df: DataFrame, x_files_factor: float | None = None
+) -> DataFrame:
+    """graphite ``removeEmptySeries([xFilesFactor])``: drop series whose
+    window holds no non-gap value; with ``xFilesFactor``, keep only
+    series whose non-gap fraction is ``>= xff`` (graphite's ``xff``
+    helper — note xff=0 keeps even all-gap series, faithfully). Tiny
+    per-series aggregate → broadcast semi join."""
+    agg = df.groupBy("metric").agg(
+        F.count("value").alias("__n"), F.count(F.lit(1)).alias("__t")
     )
+    if x_files_factor is None:
+        keep = agg.where(F.col("__n") > 0)
+    else:
+        xff = float(x_files_factor)
+        if not (0.0 <= xff <= 1.0):
+            raise ValueError(f"xFilesFactor must be in [0,1], got {xff!r}")
+        keep = agg.where(
+            F.col("__n").cast("double") / F.col("__t").cast("double")
+            >= F.lit(xff)
+        )
     return df.join(F.broadcast(keep.select("metric")), "metric")
 
 

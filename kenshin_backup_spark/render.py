@@ -260,11 +260,17 @@ def _registry() -> dict[str, Callable]:
         "weightedAverage": lambda d, s: sf.weighted_average(
             d[0], d[1], *[int(x) for x in s]
         ),
-        "sortByName": lambda d, s: sf.sort_by_name_series(d[0]),
+        "sortByName": lambda d, s: sf.sort_by_name_series(
+            d[0],
+            _to_bool(s[0]) if len(s) > 0 else False,
+            _to_bool(s[1]) if len(s) > 1 else False,
+        ),
         # round-6 wave 2
         "aliasSub": lambda d, s: sf.alias_sub(d[0], str(s[0]), str(s[1])),
         "scaleToSeconds": lambda d, s: sf.scale_to_seconds(d[0], int(s[0])),
-        "removeEmptySeries": lambda d, s: sf.remove_empty_series(d[0]),
+        "removeEmptySeries": lambda d, s: sf.remove_empty_series(
+            d[0], float(s[0]) if s else None
+        ),
         "isNonNull": lambda d, s: sf.is_non_null(d[0]),
         "changed": lambda d, s: sf.changed(d[0]),
         "delay": lambda d, s: sf.delay(d[0], int(s[0])),
@@ -290,8 +296,9 @@ def _registry() -> dict[str, Callable]:
         "sortByMaxima": lambda d, s: sf.sort_by_maxima_series(d[0]),
         "sortByTotal": lambda d, s: sf.sort_by_total_series(d[0]),
         "aliasByNode": lambda d, s: sf.alias_by_node(d[0], *[int(x) for x in s]),
+        # default callback is graphite's "average" (r9 fix)
         "groupByNode": lambda d, s: sf.group_by_node(
-            d[0], int(s[0]), str(s[1]) if len(s) > 1 else "sum"
+            d[0], int(s[0]), str(s[1]) if len(s) > 1 else "average"
         ),
         "sumSeries": lambda d, s: sf.sum_series(d[0]),
         "averageSeries": lambda d, s: sf.average_series(d[0]),
@@ -299,7 +306,13 @@ def _registry() -> dict[str, Callable]:
         "grep": lambda d, s: sf.grep(d[0], str(s[0])),
         "mostDeviant": lambda d, s: sf.most_deviant(d[0], int(s[0])),
         "limit": lambda d, s: sf.limit_series(d[0], int(s[0])),
-        "asPercent": lambda d, s: sf.as_percent(d[0]),
+        # asPercent(series[, total]): total is a second series
+        # expression or a numeric constant (graphite's *nodes grouping
+        # form is not supported — documented)
+        "asPercent": lambda d, s: sf.as_percent(
+            d[0],
+            d[1] if len(d) > 1 else (float(s[0]) if s else None),
+        ),
         "minSeries": lambda d, s: sf.min_series(d[0]),
         "maxSeries": lambda d, s: sf.max_series(d[0]),
         "countSeries": lambda d, s: sf.count_series(d[0]),
@@ -547,7 +560,9 @@ _TWO_SERIES = frozenset({
 })
 
 #: Functions taking ANY number of series expressions (≥ 1).
-_MULTI_SERIES = frozenset({"group", "areaBetween", "unique", "powSeries"})
+_MULTI_SERIES = frozenset(
+    {"group", "areaBetween", "unique", "powSeries", "asPercent"}
+)
 
 
 SUPPORTED_FUNCTIONS = tuple(sorted(_registry()))

@@ -393,6 +393,11 @@ def test_render_fuzz_random_compositions(spark):
         "movingWindow({X}, 2, 'max', 0.5)",
         "nonNegativeDerivative({X}, 100)",
         "perSecond({X}, 100, 0)",
+        "removeEmptySeries({X}, 0.5)",
+        "sortByName({X}, true, true)",
+        "asPercent({X}, 100)",
+        "asPercent({X}, {X})",
+        "groupByNode({X}, 0)",
     ]
     rng = random.Random(20260814)
     fetch = _fetch_fn(spark)
@@ -793,3 +798,56 @@ def test_percentile_interpolate_and_summarize_aligntofrom(spark):
     c = render("summarize(cpu.load, '2h', 'max', 'false')", fetch).collect()
     d = sf.summarize(fetch("cpu.load"), 7200, "max").collect()
     assert sorted(map(tuple, c)) == sorted(map(tuple, d))
+
+
+def test_round9_param_tail_two(spark):
+    """removeEmptySeries(xFilesFactor), sortByName(natural, reverse),
+    asPercent(total), and groupByNode's graphite default callback
+    (average, not sum)."""
+    rows = [
+        ("web.s2", 0, 1.0), ("web.s2", 60, None),
+        ("web.s10", 0, 3.0), ("web.s10", 60, 4.0),
+        ("web.gap", 0, None), ("web.gap", 60, None),
+    ]
+    base = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+
+    def fetch(glob):
+        from kenshin_backup_spark.functions.deterministic import glob_to_regex
+        return base.where(F.col("metric").rlike(glob_to_regex(glob)))
+
+    # removeEmptySeries default drops only the all-gap series
+    kept = {r.metric for r in render("removeEmptySeries(web.*)", fetch)
+            .select("metric").distinct().collect()}
+    assert kept == {"web.s2", "web.s10"}
+    # xff=1.0 keeps only fully-populated series; xff=0 keeps even gaps
+    kept1 = {r.metric for r in render("removeEmptySeries(web.*, 1.0)", fetch)
+             .select("metric").distinct().collect()}
+    assert kept1 == {"web.s10"}
+    kept0 = {r.metric for r in render("removeEmptySeries(web.*, 0)", fetch)
+             .select("metric").distinct().collect()}
+    assert kept0 == {"web.s2", "web.s10", "web.gap"}
+
+    # sortByName natural: s2 < s10 numerically, s10 < s2 lexically
+    lex = render("limit(sortByName(web.s*), 1)", fetch)
+    assert {r.metric for r in lex.collect()} == {"web.s10"}
+    nat = render("limit(sortByName(web.s*, true), 1)", fetch)
+    assert {r.metric for r in nat.collect()} == {"web.s2"}
+    natrev = render("limit(sortByName(web.s*, true, true), 1)", fetch)
+    assert {r.metric for r in natrev.collect()} == {"web.s10"}
+
+    # asPercent with a constant total
+    pc = {(r.metric, r.bucket_ts): r.value
+          for r in render("asPercent(web.s10, 8)", fetch).collect()}
+    assert pc[("web.s10", 0)] == 37.5 and pc[("web.s10", 60)] == 50.0
+    # asPercent with a total series expression (per-bucket sum)
+    ps = {(r.metric, r.bucket_ts): r.value
+          for r in render("asPercent(web.s2, web.s*)", fetch).collect()}
+    assert ps[("web.s2", 0)] == 25.0  # 1 / (1+3) * 100
+    assert ps[("web.s2", 60)] is None  # gap stays a gap
+
+    # groupByNode default callback = average (graphite parity)
+    g = {r.bucket_ts: r.value
+         for r in render("groupByNode(web.s*, 0)", fetch).collect()}
+    assert g[0] == 2.0  # avg(1,3), not sum 4
