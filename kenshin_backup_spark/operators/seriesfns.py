@@ -2885,6 +2885,30 @@ def constant_line(
     )
 
 
+def vertical_line(
+    ts: int, label: str, from_ts: int, until_ts: int
+) -> DataFrame:
+    """graphite ``verticalLine(ts, label)``: a marker at ``ts`` inside
+    the request window; graphite raises when the timestamp falls outside
+    it. Emits ONE point (value 1.0) at ``ts`` — graphite's TimeSeries
+    carries two 1.0 values over ``[ts, ts+1)``; one grid slot is the
+    same drawn line (documented deviation)."""
+    from pyspark.sql import SparkSession
+
+    ts, lo, hi = int(ts), int(from_ts), int(until_ts)
+    if ts < lo:
+        raise ValueError("verticalLine timestamp is before start of range")
+    if ts > hi:
+        raise ValueError("verticalLine timestamp is after end of range")
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession for a generator function")
+    return spark.createDataFrame(
+        [(str(label), ts, 1.0)],
+        "metric string, bucket_ts long, value double",
+    )
+
+
 def threshold_series(
     value: float, from_ts: int, until_ts: int, label: str | None = None
 ) -> DataFrame:

@@ -437,6 +437,8 @@ def _registry() -> dict[str, Callable]:
         # evaluator special-case like seriesByTag: needs fetch_fn to
         # pull the substituted metric names
         "useSeriesAbove": None,
+        # generator special-case: at-time marker, handled in gen()
+        "verticalLine": None,
         # --- wave 4 (round 8): the generic family -------------------------
         "aggregate": lambda d, s: sf.aggregate_series(d[0], str(s[0])),
         "aggregateWithWildcards": lambda d, s: sf.aggregate_with_wildcards(
@@ -510,6 +512,14 @@ def _registry() -> dict[str, Callable]:
                 d[0], float(s[0]) if s else 3.0
             )
         ),
+        # graphite's confidence AREA is the bands with a filled display
+        # — identical data, names kept as the bands emit them (the fill
+        # is a UI concern; documented display-only deviation)
+        "holtWintersConfidenceArea": (
+            lambda d, s: sf.holt_winters_confidence_bands(
+                d[0], float(s[0]) if s else 3.0
+            )
+        ),
         # map/reduce over name nodes (wave 4d). mapSeries is an identity
         # in the frame model — the grouping key is derived from the
         # names, which the frame keeps (see seriesfns.reduce_series)
@@ -574,6 +584,7 @@ SUPPORTED_FUNCTIONS = tuple(sorted(_registry()))
 _GENERATORS = frozenset({
     "time", "timeFunction", "identity", "sin", "sinFunction",
     "randomWalk", "randomWalkFunction", "constantLine", "threshold",
+    "verticalLine",
 })
 
 
@@ -660,6 +671,14 @@ def render(
             )
         if name == "constantLine":
             return sf.constant_line(float(scalars[0]), from_ts, until_ts)
+        if name == "verticalLine":
+            # the timestamp is a graphite at-time string resolved against
+            # the window end (the injected "now" of the request)
+            from kenshin_backup_spark.attime import parse_at_time
+
+            ts = parse_at_time(scalars[0], now_ts=until_ts)
+            label = str(scalars[1]) if len(scalars) > 1 else "verticalLine"
+            return sf.vertical_line(ts, label, from_ts, until_ts)
         return sf.threshold_series(
             float(scalars[0]), from_ts, until_ts,
             str(scalars[1]) if len(scalars) > 1 else None,

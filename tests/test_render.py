@@ -851,3 +851,26 @@ def test_round9_param_tail_two(spark):
     g = {r.bucket_ts: r.value
          for r in render("groupByNode(web.s*, 0)", fetch).collect()}
     assert g[0] == 2.0  # avg(1,3), not sum 4
+
+
+def test_vertical_line_and_hw_confidence_area(spark):
+    """verticalLine: an at-time marker inside the window (1.0 at the
+    resolved ts; outside-window timestamps raise like graphite);
+    holtWintersConfidenceArea returns the bands' data (display-only
+    fill difference, documented)."""
+    fetch = _fetch_fn(spark)
+    got = render("verticalLine('-1h', 'deploy')", fetch,
+                 from_ts=0, until_ts=7200).collect()
+    assert [(r.metric, r.bucket_ts, r.value) for r in got] == [
+        ("deploy", 3600, 1.0)]
+    got2 = render("verticalLine('01/01/1970', 'epoch')", fetch,
+                  from_ts=0, until_ts=7200).collect()
+    assert got2[0].bucket_ts == 0 and got2[0].metric == "epoch"
+    with pytest.raises(ValueError, match="before start"):
+        render("verticalLine('-10h')", fetch, from_ts=7200, until_ts=10800)
+    with pytest.raises(ValueError, match="window"):
+        render("verticalLine('-1h')", fetch)  # no request window
+
+    area = render("holtWintersConfidenceArea(mem.used)", fetch).collect()
+    bands = render("holtWintersConfidenceBands(mem.used)", fetch).collect()
+    assert sorted(map(tuple, area)) == sorted(map(tuple, bands))
