@@ -62,6 +62,7 @@ _TOKEN = re.compile(
     | (?P<lparen>\()
     | (?P<rparen>\))
     | (?P<comma>,)
+    | (?P<eq>=)
     | (?P<glob>(?:\{[^}]*\}|[A-Za-z_*?\[\]])(?:\{[^}]*\}|[\w.\-*?\[\]])*)
     """,
     re.VERBOSE,
@@ -129,6 +130,21 @@ class _Parser:
 
     def arg(self):
         t = self.peek()
+        # keyword argument (graphite URL-target form):
+        #   summarize(x, '1h', alignToFrom=true)
+        # a glob token immediately followed by '=' is a parameter name
+        if (
+            t is not None
+            and t.kind == "glob"
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1].kind == "eq"
+        ):
+            self.take()  # name
+            self.take("eq")
+            value = self.arg()
+            if value[0] == "kw":
+                raise ValueError(f"nested keyword argument after {t.text}=")
+            return ("kw", t.text, value)
         if t.kind == "string":
             self.take()
             return ("str", t.text[1:-1])
@@ -562,6 +578,99 @@ def _moving(fn, df, window, x_files_factor=None):
               x_files_factor=x_files_factor)
 
 
+class _Required:
+    """Sentinel for a parameter that has no graphite default."""
+
+
+#: Keyword-argument support (graphite URL targets accept kwargs, e.g.
+#: ``summarize(x,'1h',alignToFrom=true)``): each entry lists the
+#: function's SCALAR parameters in positional order with their graphite
+#: defaults. Kwargs are resolved back to the positional scalar list,
+#: padding skipped positions with the defaults — which must therefore
+#: equal what the registry lambda does when the position is absent.
+#: Functions not listed reject kwargs with a clear error (their params
+#: are required/variadic and positional covers them).
+_KW_PARAMS: dict[str, tuple[tuple[str, object], ...]] = {
+    "summarize": (
+        ("intervalString", _Required), ("func", "sum"),
+        ("alignToFrom", False),
+    ),
+    "smartSummarize": (("intervalString", _Required), ("func", "sum")),
+    "movingAverage": (("windowSize", _Required), ("xFilesFactor", None)),
+    "movingSum": (("windowSize", _Required), ("xFilesFactor", None)),
+    "movingMin": (("windowSize", _Required), ("xFilesFactor", None)),
+    "movingMax": (("windowSize", _Required), ("xFilesFactor", None)),
+    "movingMedian": (("windowSize", _Required), ("xFilesFactor", None)),
+    "movingWindow": (
+        ("windowSize", _Required), ("func", "average"),
+        ("xFilesFactor", None),
+    ),
+    "percentileOfSeries": (("n", _Required), ("interpolate", False)),
+    "removeAbovePercentile": (("n", _Required), ("interpolate", False)),
+    "removeBelowPercentile": (("n", _Required), ("interpolate", False)),
+    "nonNegativeDerivative": (("maxValue", None), ("minValue", None)),
+    "perSecond": (("maxValue", None), ("minValue", None)),
+    "sortBy": (("func", "average"), ("reverse", False)),
+    "sortByName": (("natural", False), ("reverse", False)),
+    "removeEmptySeries": (("xFilesFactor", None),),
+    "keepLastValue": (("limit", None),),
+    "transformNull": (("default", 0),),
+    "groupByNode": (("nodeNum", _Required), ("callbackFunction", "average")),
+    "consolidateBy": (("consolidationFunc", _Required),),
+    "xFilesFactor": (("xFilesFactor", _Required),),
+    "setXFilesFactor": (("xFilesFactor", _Required),),
+    "highest": (("n", 1), ("func", "average")),
+    "lowest": (("n", 1), ("func", "average")),
+    "stdev": (("points", _Required), ("windowTolerance", 0.1)),
+    "holtWintersConfidenceBands": (("delta", 3.0),),
+    "holtWintersConfidenceArea": (("delta", 3.0),),
+    "holtWintersAberration": (("delta", 3.0),),
+    "verticalLine": (("ts", _Required), ("label", "verticalLine")),
+    "aliasSub": (("search", _Required), ("replace", _Required)),
+    "interpolate": (("limit", None),),
+}
+
+
+def _resolve_kwargs(
+    name: str, scalars: list, kwargs: dict[str, object]
+) -> list:
+    """Fold parsed keyword arguments back into the positional scalar
+    list using :data:`_KW_PARAMS` (python-style: kwargs may not repeat
+    a positionally-given parameter; skipped positions take the graphite
+    default; a skipped REQUIRED position is an error)."""
+    if not kwargs:
+        return scalars
+    if name not in _KW_PARAMS:
+        raise ValueError(
+            f"{name} does not accept keyword arguments "
+            f"(supported for: {', '.join(sorted(_KW_PARAMS))})"
+        )
+    params = _KW_PARAMS[name]
+    names = [n for n, _ in params]
+    for k in kwargs:
+        if k not in names:
+            raise ValueError(
+                f"{name} has no parameter {k!r}; parameters: "
+                f"{', '.join(names)}"
+            )
+        if names.index(k) < len(scalars):
+            raise ValueError(
+                f"{name}: parameter {k!r} given both positionally "
+                "and as a keyword"
+            )
+    last = max(names.index(k) for k in kwargs)
+    full = list(scalars)
+    for idx in range(len(scalars), last + 1):
+        pname, default = params[idx]
+        if pname in kwargs:
+            full.append(kwargs[pname])
+        elif default is _Required:
+            raise ValueError(f"{name}: missing required parameter {pname!r}")
+        else:
+            full.append(default)
+    return full
+
+
 #: Functions taking TWO series expressions (minuend/dividend first).
 _TWO_SERIES = frozenset({
     "diffSeries", "divideSeries", "weightedAverage", "fallbackSeries",
@@ -693,12 +802,31 @@ def render(
                 f"unsupported function {name!r}; supported: "
                 f"{', '.join(SUPPORTED_FUNCTIONS)}"
             )
-        dfs, scalars = [], []
+        dfs, scalars, kwargs = [], [], {}
         for a in args:
-            if a[0] in ("leaf", "call"):
+            if a[0] == "kw":
+                if a[2][0] in ("leaf", "call"):
+                    raise ValueError(
+                        f"{name}: keyword argument {a[1]}= must be a "
+                        "scalar (series-valued keywords are not "
+                        "supported — pass the series positionally)"
+                    )
+                if a[1] in kwargs:
+                    raise ValueError(f"{name}: duplicate keyword {a[1]!r}")
+                kwargs[a[1]] = a[2][1]
+            elif a[0] in ("leaf", "call"):
+                if kwargs:
+                    raise ValueError(
+                        f"{name}: positional argument after a keyword"
+                    )
                 dfs.append(ev(a))
             else:
+                if kwargs:
+                    raise ValueError(
+                        f"{name}: positional argument after a keyword"
+                    )
                 scalars.append(a[1])
+        scalars = _resolve_kwargs(name, scalars, kwargs)
         if name == "events":
             # graphite events(*tags): per-second event-count series from
             # the caller's event store; '*' (or no args) matches all

@@ -874,3 +874,49 @@ def test_vertical_line_and_hw_confidence_area(spark):
     area = render("holtWintersConfidenceArea(mem.used)", fetch).collect()
     bands = render("holtWintersConfidenceBands(mem.used)", fetch).collect()
     assert sorted(map(tuple, area)) == sorted(map(tuple, bands))
+
+
+def test_keyword_arguments(spark):
+    """graphite URL targets accept keyword arguments; kwargs resolve to
+    the positional scalar list with graphite defaults for skipped
+    positions (python-style rules: no positional-after-keyword, no
+    duplicate, unknown names rejected)."""
+    fetch = _fetch_fn(spark)
+    pairs = [
+        ("summarize(cpu.load, '2h', alignToFrom=true)",
+         "summarize(cpu.load, '2h', 'sum', true)"),
+        ("summarize(cpu.load, '2h', func='max')",
+         "summarize(cpu.load, '2h', 'max')"),
+        ("movingAverage(cpu.load, 2, xFilesFactor=0.5)",
+         "movingAverage(cpu.load, 2, 0.5)"),
+        ("movingWindow(cpu.load, 2, xFilesFactor=1.0)",
+         "movingWindow(cpu.load, 2, 'average', 1.0)"),
+        ("percentileOfSeries(cpu.*, 60, interpolate=true)",
+         "percentileOfSeries(cpu.*, 60, true)"),
+        ("sortByName(cpu.*, reverse=true)",
+         "sortByName(cpu.*, false, true)"),
+        ("nonNegativeDerivative(cpu.load, maxValue=100)",
+         "nonNegativeDerivative(cpu.load, 100)"),
+        ("groupByNode(cpu.*, 0, callbackFunction='sum')",
+         "groupByNode(cpu.*, 0, 'sum')"),
+        ("keepLastValue(cpu.load, limit=1)",
+         "keepLastValue(cpu.load, 1)"),
+    ]
+    for kw_target, pos_target in pairs:
+        a = sorted(map(tuple, render(kw_target, fetch).collect()))
+        b = sorted(map(tuple, render(pos_target, fetch).collect()))
+        assert a == b, kw_target
+    # errors: unknown name, duplicate-with-positional, positional after
+    # keyword, series-valued keyword, function without kwarg support
+    with pytest.raises(ValueError, match="no parameter"):
+        render("summarize(cpu.load, '1h', frobnicate=true)", fetch)
+    with pytest.raises(ValueError, match="both positionally"):
+        render("summarize(cpu.load, '1h', intervalString='2h')", fetch)
+    with pytest.raises(ValueError, match="missing required"):
+        render("summarize(cpu.load, func='max')", fetch)
+    with pytest.raises(ValueError, match="after a keyword"):
+        render("summarize(cpu.load, func='max', '1h')", fetch)
+    with pytest.raises(ValueError, match="must be a scalar"):
+        render("summarize(cpu.load, intervalString=cpu.idle)", fetch)
+    with pytest.raises(ValueError, match="keyword arguments"):
+        render("scale(cpu.load, factor=2)", fetch)
