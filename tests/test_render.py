@@ -398,6 +398,11 @@ def test_render_fuzz_random_compositions(spark):
         "asPercent({X}, 100)",
         "asPercent({X}, {X})",
         "groupByNode({X}, 0)",
+        # round-9: keyword-argument forms
+        "summarize({X}, '2h', alignToFrom=true)",
+        "movingMax({X}, 2, xFilesFactor=0.5)",
+        "sortBy({X}, reverse=true)",
+        "highest({X}, func='max')",
     ]
     rng = random.Random(20260814)
     fetch = _fetch_fn(spark)
