@@ -34,8 +34,9 @@ Deliberate deviations (documented):
 - ``now`` must be INJECTED (``now_ts``) — forms that read the clock
   raise without it instead of silently going nondeterministic; fully
   absolute forms (epoch, ``HH:MM YYYYMMDD``, ``MM/DD/YYYY``) never
-  need it. Two-digit years follow strptime's %y pivot (69→1969,
-  68→2068).
+  need it. Two-digit years follow GRAPHITE's pivot (+1900, <1970 →
+  +100: 69→2069, 70→1970 — NOT strptime's %y, which puts 69 in 1969;
+  ADVICE r8 fix, pinned in tests/test_attime.py).
 """
 
 from __future__ import annotations

@@ -90,11 +90,14 @@ def derivative(df: DataFrame) -> DataFrame:
 def _non_negative_delta(
     max_value: float | None, min_value: float | None
 ) -> Column:
-    """Transcription of graphite-web's ``_nonNegativeDelta(new, old,
-    maxValue, minValue)`` as a Column over the lagged pair: out-of-range
+    """graphite-web's ``_nonNegativeDelta(new, old, maxValue,
+    minValue)`` semantics as a Column over the lagged pair: out-of-range
     new values → gap; ``new >= old`` → plain delta; otherwise wrap math
-    when a counter ceiling is known (``max − old + new [− min] + 1``),
-    reset-to-min when only a floor is known, gap when neither."""
+    when a counter ceiling is known, reset-to-min when only a floor is
+    known, gap when neither. The wrap expression's IEEE op order is
+    pinned as ``((max − old) + (new − min)) + 1`` (parenthesized
+    explicitly — float addition is non-associative, so any oracle or
+    cross-engine check of this path must mirror this exact grouping)."""
     new, old = F.col("value"), F.lag("value").over(_w())
     out = F.when(new.isNull() | old.isNull(), F.lit(None).cast("double"))
     if max_value is not None:
@@ -104,11 +107,16 @@ def _non_negative_delta(
     out = out.when(new >= old, new - old)
     if max_value is not None and min_value is not None:
         out = out.otherwise(
-            F.lit(float(max_value)) - old + new - F.lit(float(min_value))
+            (
+                (F.lit(float(max_value)) - old)
+                + (new - F.lit(float(min_value)))
+            )
             + F.lit(1.0)
         )
     elif max_value is not None:
-        out = out.otherwise(F.lit(float(max_value)) - old + new + F.lit(1.0))
+        out = out.otherwise(
+            ((F.lit(float(max_value)) - old) + new) + F.lit(1.0)
+        )
     elif min_value is not None:
         out = out.otherwise(new - F.lit(float(min_value)))
     return out
@@ -457,12 +465,16 @@ def as_percent(
     """graphite ``asPercent([total])``: each series' value as a share of
     the all-series total in the same bucket. ``total`` may be a constant
     (``value/total·100``, gaps stay; a zero constant gaps everything —
-    safeDiv) or a series frame (per-bucket sum of the total frame's
-    values — graphite's seriesList-total form; NULL where the total is
-    0 or absent; the broadcast total is bounded by the render window's
-    bucket count, never the corpus). The default per-bucket total is computed on quantized
-    BIGINTs (associative → partial aggregation safe) and the share is
-    one double division — oracle-exact.
+    safeDiv) or a series frame, with graphite's seriesList-total rules:
+    a SINGLE total series divides every input series per bucket; a total
+    with exactly as many series as the input pairs them by sorted name
+    (graphite's matchSeries); any other count raises, exactly as
+    graphite-web does. NULL where the total is 0 or absent. The series
+    counts are read with two tiny distinct-name jobs (bounded by the
+    selection globs' series counts — same contract as applyByNode's
+    prefix collect). The default per-bucket total is computed on
+    quantized BIGINTs (associative → partial aggregation safe) and the
+    share is one double division — oracle-exact.
 
     Scale note: the total is a window over (bucket_ts), which shuffles by
     bucket — the same key the rollup that produced the frame already
@@ -484,28 +496,56 @@ def as_percent(
             ((F.col("value") / F.lit(t)) * F.lit(100.0)).cast("double"),
         )
     q = F.floor(F.col("value") * 1_000_000).cast("long")
-    if total is not None:  # a series frame: per-bucket quantized total
-        tot = total.groupBy("bucket_ts").agg(
-            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias(
-                "__tq"
-            )
+    if total is not None:  # a series frame: graphite's matchSeries rules
+        t_names = sorted(
+            r["metric"]
+            for r in total.select("metric").distinct().collect()
         )
-        return (
-            df.withColumn("__q", q)
-            .join(F.broadcast(tot), "bucket_ts", "left")
-            .withColumn(
-                "value",
-                F.when(
-                    F.col("__tq").isNotNull() & (F.col("__tq") != 0),
-                    (
-                        F.col("__q").cast("double")
-                        / F.col("__tq").cast("double")
-                    )
-                    * 100.0,
-                ),
+        tq = F.floor(F.col("value") * 1_000_000).cast("long")
+        if len(t_names) == 1:
+            tot = total.select(
+                "bucket_ts", tq.alias("__tq")
             )
-            .drop("__q", "__tq")
-        )
+            pct = df.withColumn("__q", q).join(
+                F.broadcast(tot), "bucket_ts", "left"
+            )
+        else:
+            s_names = sorted(
+                r["metric"] for r in df.select("metric").distinct().collect()
+            )
+            if len(t_names) != len(s_names):
+                raise ValueError(
+                    "asPercent second argument must be missing, a single "
+                    "digit, reference exactly 1 series or reference the "
+                    "same number of series as the first argument"
+                )
+            # pair by sorted name (graphite matchSeries) via a tiny
+            # broadcast mapping total-name → input-name
+            spark = df.sparkSession
+            pairing = spark.createDataFrame(
+                list(zip(t_names, s_names)), "metric string, __m string"
+            )
+            tot = (
+                total.join(F.broadcast(pairing), "metric")
+                .select(
+                    F.col("__m").alias("metric"), "bucket_ts",
+                    tq.alias("__tq"),
+                )
+            )
+            pct = df.withColumn("__q", q).join(
+                F.broadcast(tot), ["metric", "bucket_ts"], "left"
+            )
+        return pct.withColumn(
+            "value",
+            F.when(
+                F.col("__tq").isNotNull() & (F.col("__tq") != 0),
+                (
+                    F.col("__q").cast("double")
+                    / F.col("__tq").cast("double")
+                )
+                * 100.0,
+            ),
+        ).drop("__q", "__tq")
     w = W.partitionBy("bucket_ts")
     out = df.withColumn("__q", q).withColumn(
         "value",
@@ -929,6 +969,15 @@ def time_slice(df: DataFrame, start_ts: int, end_ts: int) -> DataFrame:
 # --- round-6 catalog widening: rolling family + cross-series percentile ----
 
 
+def _check_xff(x_files_factor) -> float:
+    """Validate an xFilesFactor argument (shared by the moving family,
+    removeEmptySeries, the render hint and consolidate_points)."""
+    xff = float(x_files_factor)
+    if not (0.0 <= xff <= 1.0):
+        raise ValueError(f"xFilesFactor must be in [0,1], got {xff!r}")
+    return xff
+
+
 def _xff_window_gate(w: W, ok: Column, x_files_factor) -> Column:
     """AND graphite's moving-family ``xFilesFactor`` clause onto the
     enough-history condition: a window whose non-gap count is below
@@ -938,9 +987,7 @@ def _xff_window_gate(w: W, ok: Column, x_files_factor) -> Column:
     the denominator exactly as in graphite's fixed windowSize)."""
     if x_files_factor is None:
         return ok
-    xff = float(x_files_factor)
-    if not (0.0 <= xff <= 1.0):
-        raise ValueError(f"xFilesFactor must be in [0,1], got {xff!r}")
+    xff = _check_xff(x_files_factor)
     return ok & ~(
         F.count("value").over(w).cast("double")
         < F.lit(xff) * F.count(F.lit(1)).over(w).cast("double")
@@ -1145,22 +1192,26 @@ def sort_by_name_series(
 ) -> DataFrame:
     """graphite ``sortByName([natural[, reverse]])`` in CANONICAL form:
     attach ``__series_order`` = rank by metric name (composes with
-    ``limit`` like the other sortBy* functions). ``natural=True`` sorts
-    digit runs numerically (``web2 < web10``) by left-padding each run
-    to 12 digits in the sort key — graphite splits into int/str segments;
-    identical ordering for runs up to 12 digits (documented bound)."""
+    ``limit`` like the other sortBy* functions). ``natural=True``
+    mirrors graphite's padded-name key: each digit run is replaced by
+    ``'{0:010}'.format(int(run))`` — leading zeros stripped, runs
+    shorter than 10 digits left-padded to 10, longer runs kept whole
+    (never truncated), so ``web2 < web10`` and 10+-digit runs order
+    exactly as graphite's key does."""
     keys = df.drop("__series_order").select("metric").distinct()
     if natural:
         parts = F.split(F.col("metric"), r"(?<=\D)(?=\d)|(?<=\d)(?=\D)")
-        key = F.array_join(
-            F.transform(
-                parts,
-                lambda x: F.when(
-                    x.rlike("^[0-9]+$"), F.lpad(x, 12, "0")
-                ).otherwise(x),
-            ),
-            "",
-        )
+
+        def _padded(x):
+            digits = F.regexp_replace(x, r"^0+(?=.)", "")
+            return F.when(
+                x.rlike("^[0-9]+$"),
+                F.when(
+                    F.length(digits) < 10, F.lpad(digits, 10, "0")
+                ).otherwise(digits),
+            ).otherwise(x)
+
+        key = F.array_join(F.transform(parts, _padded), "")
     else:
         key = F.col("metric")
     keys = keys.withColumn("__k", key)
@@ -1221,9 +1272,7 @@ def remove_empty_series(
     if x_files_factor is None:
         keep = agg.where(F.col("__n") > 0)
     else:
-        xff = float(x_files_factor)
-        if not (0.0 <= xff <= 1.0):
-            raise ValueError(f"xFilesFactor must be in [0,1], got {xff!r}")
+        xff = _check_xff(x_files_factor)
         keep = agg.where(
             F.col("__n").cast("double") / F.col("__t").cast("double")
             >= F.lit(xff)
@@ -2040,8 +2089,7 @@ def set_xfiles_factor(df: DataFrame, xff: float) -> DataFrame:
     value (see :func:`consolidate_points`). Data and names pass through
     untouched (graphite renames nothing here); the render evaluator
     carries the hint as frame state."""
-    if not (0.0 <= float(xff) <= 1.0):
-        raise ValueError(f"xFilesFactor must be in [0,1], got {xff!r}")
+    _check_xff(xff)
     return df
 
 
@@ -2172,9 +2220,7 @@ def consolidate_points(
         .otherwise(F.col("__avg"))
     )
     if x_files_factor is not None:
-        xff = float(x_files_factor)
-        if not (0.0 <= xff <= 1.0):
-            raise ValueError(f"xFilesFactor must be in [0,1], got {xff}")
+        xff = _check_xff(x_files_factor)
         # graphite TimeSeries.__consolidate: the band is a gap when
         # len(usable) < xff * len(values) (float compare, band size
         # INCLUDES the gap slots)

@@ -615,7 +615,7 @@ _KW_PARAMS: dict[str, tuple[tuple[str, object], ...]] = {
     "removeEmptySeries": (("xFilesFactor", None),),
     "keepLastValue": (("limit", None),),
     "transformNull": (("default", 0),),
-    "groupByNode": (("nodeNum", _Required), ("callbackFunction", "average")),
+    "groupByNode": (("nodeNum", _Required), ("callback", "average")),
     "consolidateBy": (("consolidationFunc", _Required),),
     "xFilesFactor": (("xFilesFactor", _Required),),
     "setXFilesFactor": (("xFilesFactor", _Required),),

@@ -846,11 +846,20 @@ def test_round9_param_tail_two(spark):
     pc = {(r.metric, r.bucket_ts): r.value
           for r in render("asPercent(web.s10, 8)", fetch).collect()}
     assert pc[("web.s10", 0)] == 37.5 and pc[("web.s10", 60)] == 50.0
-    # asPercent with a total series expression (per-bucket sum)
+    # asPercent with a SINGLE total series divides every input series
     ps = {(r.metric, r.bucket_ts): r.value
-          for r in render("asPercent(web.s2, web.s*)", fetch).collect()}
-    assert ps[("web.s2", 0)] == 25.0  # 1 / (1+3) * 100
+          for r in render("asPercent(web.s2, web.s10)", fetch).collect()}
+    assert abs(ps[("web.s2", 0)] - 100.0 / 3.0) < 1e-9  # 1/3 * 100
     assert ps[("web.s2", 60)] is None  # gap stays a gap
+    # same-count totals pair by sorted name (graphite matchSeries):
+    # each series against itself -> 100 everywhere a value exists
+    pm = {(r.metric, r.bucket_ts): r.value
+          for r in render("asPercent(web.s*, web.s*)", fetch).collect()}
+    assert pm[("web.s2", 0)] == 100.0 and pm[("web.s10", 60)] == 100.0
+    assert pm[("web.s2", 60)] is None
+    # any other count raises, exactly as graphite does
+    with pytest.raises(ValueError, match="asPercent second argument"):
+        render("asPercent(web.s2, web.s*)", fetch).collect()
 
     # groupByNode default callback = average (graphite parity)
     g = {r.bucket_ts: r.value
@@ -902,7 +911,7 @@ def test_keyword_arguments(spark):
          "sortByName(cpu.*, false, true)"),
         ("nonNegativeDerivative(cpu.load, maxValue=100)",
          "nonNegativeDerivative(cpu.load, 100)"),
-        ("groupByNode(cpu.*, 0, callbackFunction='sum')",
+        ("groupByNode(cpu.*, 0, callback='sum')",
          "groupByNode(cpu.*, 0, 'sum')"),
         ("keepLastValue(cpu.load, limit=1)",
          "keepLastValue(cpu.load, 1)"),

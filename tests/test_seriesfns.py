@@ -1047,3 +1047,27 @@ def test_counter_wrap_max_min_values(spark):
     ps = {r.bucket_ts: r.value
           for r in S.per_second(df, max_value=255).collect()}
     assert ps[120] == 5.0 / 60.0 and ps[180] is None
+
+
+def test_sort_by_name_natural_matches_graphite_padded_key(spark):
+    """The natural key mirrors graphite's '{0:010}'.format(int(run)):
+    short runs pad to 10, 10+-digit runs stay whole (no truncation),
+    leading zeros strip like int() — including the 11-vs-12-digit
+    ordering the padded-to-12 key got wrong (r9 review fix)."""
+    names = ["m.99999999999", "m.111111111111", "m.2", "m.10",
+             "m.007", "m.0000000000012"]
+    df = _series(spark, [(n, 0, 1.0) for n in names])
+
+    def graphite_key(name):
+        import re
+        return re.sub(r"\d+", lambda m: "{0:010}".format(int(m.group())),
+                      name)
+
+    want = sorted(names, key=graphite_key)
+    got = [
+        r.metric
+        for r in S.sort_by_name_series(df, natural=True)
+        .select("metric", "__series_order").distinct()
+        .orderBy("__series_order").collect()
+    ]
+    assert got == want
