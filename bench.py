@@ -129,6 +129,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
+    rep_ties: list[str] = []
     for name in HEADLINE:
         fn = qs[name]
         # Min-of-2 (round-4 advice): single-shot timings on sub-second
@@ -158,6 +159,8 @@ def main() -> None:
         if reps and name not in errors:
             timings[name] = min(reps)
             cold[name] = reps[0]
+            if len(reps) == 2 and reps[0] == reps[1]:
+                rep_ties.append(name)
 
     # Adaptive third rep (round-8): r7's driver run flagged four queries
     # >1.5x best-prior that re-measured healthy the next session — the
@@ -190,6 +193,14 @@ def main() -> None:
     aux = {"queries_cold": cold}
     if errors:
         aux["errors"] = errors
+    # Identical reps are a single-measurement tell (VERDICT r9 item 5):
+    # two full executions landing on the same millisecond usually means
+    # machine contention pinned both to the same slow wall time (the
+    # tsdb_ladder_roundtrip / dedup_winnowing_pairs warm==cold pattern
+    # in the r8/r9 driver runs). Surface it so a cross-round reader can
+    # discount those cells without re-measuring.
+    if rep_ties:
+        aux["warm_eq_cold"] = sorted(rep_ties)
     print(json.dumps({"bench_aux": aux}))
     out = {
         "metric": "headline_queries_total_runtime",

@@ -262,6 +262,14 @@ class Engine:
                 "metric", "bucket_ts", "value"
             )
 
+        def refetch_fn(glob: str | None, f: int, u: int) -> DataFrame:
+            # adjusted-window re-fetch for hitcount(alignToInterval)
+            # and linearRegression(startSourceAt/endSourceAt) — same
+            # rail as fetch_fn, different bounds (r10)
+            return self.fetch(glob, f, u, now_ts=now_ts).select(
+                "metric", "bucket_ts", "value"
+            )
+
         # the request window also feeds the generator functions
         # (time/sin/randomWalk/constantLine/threshold) and events()
         return _render(
@@ -269,6 +277,7 @@ class Engine:
             from_ts=from_ts, until_ts=until_ts,
             events_fn=self._events_fn,
             max_data_points=max_data_points,
+            refetch_fn=refetch_fn,
         )
 
     def render_many(

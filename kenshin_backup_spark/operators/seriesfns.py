@@ -94,10 +94,15 @@ def _non_negative_delta(
     minValue)`` semantics as a Column over the lagged pair: out-of-range
     new values → gap; ``new >= old`` → plain delta; otherwise wrap math
     when a counter ceiling is known, reset-to-min when only a floor is
-    known, gap when neither. The wrap expression's IEEE op order is
-    pinned as ``((max − old) + (new − min)) + 1`` (parenthesized
-    explicitly — float addition is non-associative, so any oracle or
-    cross-engine check of this path must mirror this exact grouping)."""
+    known, gap when neither. The wrap branch fires whenever a ceiling is
+    known — ``minValue`` is only a range check plus the floor-only reset
+    branch, it contributes NO term to the wrap delta (round-10 ADVICE
+    fix: the previous both-params form subtracted ``minValue`` from
+    every wrapped delta). The wrap expression's IEEE op order is pinned
+    as ``((max + 1) + new) − old`` — upstream's literal left-to-right
+    ``maxValue + 1 + newValue - oldValue`` (parenthesized explicitly:
+    float addition is non-associative, so any oracle or cross-engine
+    check of this path must mirror this exact grouping)."""
     new, old = F.col("value"), F.lag("value").over(_w())
     out = F.when(new.isNull() | old.isNull(), F.lit(None).cast("double"))
     if max_value is not None:
@@ -105,17 +110,9 @@ def _non_negative_delta(
     if min_value is not None:
         out = out.when(new < float(min_value), F.lit(None).cast("double"))
     out = out.when(new >= old, new - old)
-    if max_value is not None and min_value is not None:
+    if max_value is not None:
         out = out.otherwise(
-            (
-                (F.lit(float(max_value)) - old)
-                + (new - F.lit(float(min_value)))
-            )
-            + F.lit(1.0)
-        )
-    elif max_value is not None:
-        out = out.otherwise(
-            ((F.lit(float(max_value)) - old) + new) + F.lit(1.0)
+            ((F.lit(float(max_value)) + F.lit(1.0)) + new) - old
         )
     elif min_value is not None:
         out = out.otherwise(new - F.lit(float(min_value)))
@@ -1263,9 +1260,12 @@ def remove_empty_series(
 ) -> DataFrame:
     """graphite ``removeEmptySeries([xFilesFactor])``: drop series whose
     window holds no non-gap value; with ``xFilesFactor``, keep only
-    series whose non-gap fraction is ``>= xff`` (graphite's ``xff``
-    helper — note xff=0 keeps even all-gap series, faithfully). Tiny
-    per-series aggregate → broadcast semi join."""
+    series whose non-gap fraction is ``>= xff`` AND which hold at least
+    one non-gap value — graphite's ``xff`` helper short-circuits
+    ``if not nonNull: return False`` before the fraction compare, so
+    all-gap series are dropped even at xff=0 (round-10 ADVICE fix; the
+    previous form kept them at explicit xff=0). Tiny per-series
+    aggregate → broadcast semi join."""
     agg = df.groupBy("metric").agg(
         F.count("value").alias("__n"), F.count(F.lit(1)).alias("__t")
     )
@@ -1274,8 +1274,11 @@ def remove_empty_series(
     else:
         xff = _check_xff(x_files_factor)
         keep = agg.where(
-            F.col("__n").cast("double") / F.col("__t").cast("double")
-            >= F.lit(xff)
+            (F.col("__n") > 0)
+            & (
+                F.col("__n").cast("double") / F.col("__t").cast("double")
+                >= F.lit(xff)
+            )
         )
     return df.join(F.broadcast(keep.select("metric")), "metric")
 
@@ -1324,24 +1327,38 @@ def delay(df: DataFrame, steps: int) -> DataFrame:
     return df.withColumn("value", shifted.cast("double"))
 
 
-def hitcount(df: DataFrame, interval_seconds: int) -> DataFrame:
+def hitcount(
+    df: DataFrame, interval_seconds: int, anchor_ts: int | None = None
+) -> DataFrame:
     """graphite ``hitcount(intervalString)``: re-bucket into the coarser
     interval summing value·step — converts a per-second rate back into
     event counts. value·step is one IEEE multiply, quantized before the
     associative sum (oracle-mirrorable).
 
+    ``anchor_ts`` (r10, the ``alignToInterval=true`` path — render()
+    passes the interval-truncated request start it re-fetched from)
+    anchors the bucket grid at that timestamp instead of the epoch:
+    graphite buckets from the aligned series start.
+
     DOCUMENTED DEVIATION (like aliasSub/weightedAverage): buckets are
-    EPOCH-aligned (``bucket_ts % interval``) and each slot's value·step
-    is assigned whole to the bucket containing its start. graphite-web
-    aligns buckets to the series END and splits a straddling slot's
-    value·step proportionally between the two buckets it overlaps.
-    Outputs match graphite exactly when from_ts/range are
-    interval-aligned (the canonical render grid here always is)."""
+    EPOCH-aligned (``bucket_ts % interval``) when no anchor is given,
+    and each slot's value·step is assigned whole to the bucket
+    containing its start. graphite-web aligns buckets to the series END
+    and splits a straddling slot's value·step proportionally between
+    the two buckets it overlaps. Outputs match graphite exactly when
+    from_ts/range are interval-aligned (the canonical render grid here
+    always is)."""
     per_slot = F.col("value") * _series_step().cast("double")
     q = F.floor(per_slot * QUANT).cast("long")
-    bucket = (
-        F.col("bucket_ts") - (F.col("bucket_ts") % int(interval_seconds))
-    ).cast("long")
+    if anchor_ts is None:
+        bucket = (
+            F.col("bucket_ts") - (F.col("bucket_ts") % int(interval_seconds))
+        ).cast("long")
+    else:
+        rel = F.col("bucket_ts") - F.lit(int(anchor_ts))
+        bucket = (
+            F.lit(int(anchor_ts)) + rel - (rel % int(interval_seconds))
+        ).cast("long")
     return (
         df.withColumn("__q", q)
         .groupBy("metric", bucket.alias("bucket_ts"))
@@ -1496,11 +1513,23 @@ def group_by_tags(df: DataFrame, func: str, *tags: str) -> DataFrame:
 # --- wave 3 (round 7): regression / window-stack / wildcard-merge tail ------
 
 
-def linear_regression(df: DataFrame) -> DataFrame:
-    """graphite ``linearRegression()``: replace each series with its
-    ordinary-least-squares fit, evaluated at every slot (including slots
-    that were gaps in the source — graphite projects the fitted line
-    over the whole render window).
+def linear_regression(
+    df: DataFrame, source_df: DataFrame | None = None
+) -> DataFrame:
+    """graphite ``linearRegression([startSourceAt[, endSourceAt]])``:
+    replace each series with its ordinary-least-squares fit, evaluated
+    at every slot (including slots that were gaps in the source —
+    graphite projects the fitted line over the whole render window).
+
+    ``source_df`` (r10 — render() passes the separately-fetched source
+    window when startSourceAt/endSourceAt are given) supplies the data
+    the fit is computed FROM; the line is projected onto ``df``'s grid.
+    The centered-x anchor is the source's first bucket, carried as an
+    absolute epoch, so the projection is exact across windows. Series
+    with no source rows drop out of the broadcast join — graphite
+    likewise skips a series whose source fit returns None. Names are
+    kept (graphite renames to ``linearRegression(name, start, end)`` —
+    display-only; documented deviation like holtWintersConfidenceArea).
 
     The fit uses only non-gap points, like graphite's
     ``linearRegressionAnalysis`` (its sums skip ``None``). x is centered
@@ -1508,11 +1537,12 @@ def linear_regression(df: DataFrame) -> DataFrame:
     so Σx² in raw epoch space (~1e18·n) loses double precision, while
     the centered fit is algebraically the same line. One per-series
     aggregate (5 sums) broadcast back — no window, no collect."""
+    src = source_df if source_df is not None else df
     x0 = F.min("bucket_ts").over(W.partitionBy("metric"))
     xc = (F.col("bucket_ts") - x0).cast("double")
     y = F.col("value")
     fit = (
-        df.withColumn("__x", xc)
+        src.withColumn("__x", xc)
         .groupBy("metric")
         .agg(
             F.count(y).alias("__n"),

@@ -96,6 +96,7 @@ from kenshin_backup_spark.queries import (
     batch76,
     batch77,
     batch78,
+    batch79,
     llm,
     relational,
     relational2,
@@ -185,31 +186,29 @@ _MODULES = (
     batch76,
     batch77,
     batch78,
+    batch79,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
-#: entries, so this ordering is evidence policy. Round-9 re-curation —
-#: the burn-down closed in r8 (every oracle-backed query has a full
-#: rows+schema+hash driver row), so from here windows hold, in priority
-#: order (COVERAGE.md's standing rule):
-#: 1. re-certs of every query whose code THIS round changed — round 9
-#:    touched the render evaluator (consolidateBy-hint threading +
-#:    quoted-bool coercion, ADVICE r8) and
-#:    seriesfns.consolidate_points (tiny-budget nudge clamp), so all
-#:    nine graphite_render_* certs re-rotate; ladder.py's manifest
-#:    except-tuple fix re-rotates the two ladder maintenance certs
-#:    (attime.py's %y-pivot fix has no certified query surface — the
-#:    Engine string-window integration is pytest-covered);
-#: 2. the NEW round-9 certs (batch78): the ADVICE-r8 medium fix
-#:    certified end-to-end (rename-after-consolidateBy keeps its
-#:    kernel — a hash match that FAILS on the pre-fix average
-#:    fallback) plus TPC-H Q14/Q18, completing the 22-query TPC-H
-#:    sweep — all exact-parity green at sf0.001 AND sf0.01 before
-#:    rotation;
-#: 3. the six r2 rows displaced by round-8-late certs
-#:    (COVERAGE.md's r9 displaced queue);
-#: 4. the next-oldest evidence: the full r3 cohort (29 rows) + the
-#:    alphabetically-first r4 row to fill slot 50.
+#: entries, so this ordering is evidence policy. Round-10 re-curation
+#: (COVERAGE.md's standing rule — the burn-down stays closed, windows
+#: hold in priority order):
+#: 1. re-certs of every query whose code THIS round changed — round 10
+#:    restructured the render evaluator (full-catalog keyword
+#:    arguments via _KW_PARAMS, window-context threading for the
+#:    request-refetching parameters) and touched seriesfns
+#:    (counter-wrap formula, removeEmptySeries xff gate, hitcount
+#:    anchor, linear_regression source_df) plus Engine.render
+#:    (refetch_fn), so all ten graphite_render_* certs re-rotate;
+#: 2. the NEW round-10 cert (batch79): linearRegression with a shifted
+#:    source window — the Engine-rail refetch certified end-to-end (a
+#:    hash match that FAILS on any fit-on-render fallback), exact-parity
+#:    green at sf0.001 AND sf0.01 before rotation;
+#: 3. the next-oldest evidence: the first 39 rows of the r4 cohort
+#:    (COVERAGE.md's r10 queue, alphabetical). The last four r4 rows
+#:    (tsdb_slo_burn_rate, tsdb_theilsen_trend, upsert_latest_state,
+#:    window_topk_parts_per_brand) carry to the r11 queue — the ten
+#:    changed-code re-certs outrank them this round.
 #: The 9 rows-only-by-design queries (approx_distinct_parts,
 #: approx_event_percentiles, emb_intrinsic_dimension,
 #: emb_kmeans_clusters, emb_mmr_rerank*, events_rolling_wau_hll,
@@ -219,8 +218,8 @@ _MODULES = (
 #: rotates out keeps exact-cell parity coverage in
 #: tests/test_oracle_parity.py.
 _PRIORITY = (
-    # --- 1. re-certs: code changed this round (render evaluator +
-    # consolidate_points + ladder manifest guard) ------------------------------
+    # --- 1. re-certs: code changed this round (render evaluator kwargs +
+    # window-context threading + seriesfns + Engine.render refetch) -----------
     "graphite_render_maxdatapoints",
     "graphite_render_generic",
     "graphite_render_mapreduce",
@@ -230,51 +229,49 @@ _PRIORITY = (
     "graphite_render_seriesbytag",
     "graphite_render_bandmath",
     "graphite_render_rollstats",
-    "tsdb_ladder_roundtrip",
-    "tsdb_ladder_coarse_fetch",
-    # --- 2. new round-9 certs (batch78) ---------------------------------------
     "graphite_render_alias_consolidate",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_volume",
-    # --- 3. the r2 rows displaced by round-8-late certs ------------------------
-    "scalar_math_funcs",
-    "scalar_array_ops",
-    "scalar_datetime_orders",
-    "window_running_revenue",
-    "source_csv_roundtrip",
-    "tsdb_glob_fetch",
-    # --- 4. next-oldest evidence: the r3 cohort --------------------------------
-    "agg_grouping_sets",
-    "agg_median_quantity",
-    "dedup_simhash_md5",
-    "emb_cosine_topk",
-    "events_rolling_wau",
-    "events_transition_matrix",
-    "funnel_signup_click_purchase",
-    "graphite_deviant_rank",
-    "join_semi_discounted_orders",
-    "llm_corpus_curation",
-    "range_join_value_bands",
-    "scalar_json_event_props",
-    "scd2_user_state",
-    "setops_customer_cohorts",
-    "source_bucketed_join",
-    "source_partitioned_pruning",
-    "streaming_session_windows",
-    "text_char_ngram_langid",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_multi_exists",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q5_local_supplier",
-    "tpch_q9_profit_by_nation_year",
-    "tsdb_anomaly_mad",
-    "tsdb_interpolate_linear",
-    "tsdb_policy_assign",
-    "tsdb_time_weighted_avg",
-    "window_first_last_nth",
-    "window_range_7day_sum",
-    # --- 4b. slot 50: the alphabetically-first r4 row --------------------------
-    "asof_purchase_last_click",
+    # --- 2. new round-10 cert (batch79) ---------------------------------------
+    "graphite_render_linreg_source",
+    # --- 3. next-oldest evidence: the r4 cohort (first 39 of 43) --------------
+    "customer_rfm_scores",
+    "dedup_connected_components",
+    "dedup_embedding_cosine_bucketed",
+    "dedup_exact_fingerprint",
+    "dedup_minhash_portable",
+    "dedup_ngram_jaccard_capped",
+    "dedup_winnowing_pairs",
+    "emb_ann_topk_srp",
+    "events_bot_detection",
+    "events_seasonal_residual_anomalies",
+    "graphite_summarize_top",
+    "incremental_rollup_merge",
+    "join_interval_overlap",
+    "llm_curation_funnel_v2",
+    "llm_decontamination",
+    "llm_document_chunking",
+    "llm_train_test_split",
+    "multimodal_decode_features",
+    "orders_pareto_curve",
+    "retrieval_ann_recall_report",
+    "retrieval_bm25_topk",
+    "source_pickle_batches",
+    "source_whisper_roundtrip",
+    "streaming_drawdown",
+    "streaming_ewma_final",
+    "streaming_purchase_click_join",
+    "streaming_rollup_1h",
+    "text_bpe_pair_merges",
+    "text_quality_scores",
+    "text_zipf_topwords",
+    "tpch_q15_top_supplier",
+    "tpch_q1_pricing_summary",
+    "tsdb_anomaly_ensemble",
+    "tsdb_autocorrelation",
+    "tsdb_cross_correlation",
+    "tsdb_fetch_gapfill",
+    "tsdb_histogram_percentile",
+    "tsdb_policy_driven_rollup",
+    "tsdb_rollup_1h",
 )
 
 

@@ -229,6 +229,33 @@ def _need(args, n_min, n_max, name):
         raise ValueError(f"{name}: expected {n_min}..{n_max} args, got {len(args)}")
 
 
+def _as_percent_target(d, s):
+    """``asPercent(series[, total])`` dispatch with loud rejection of
+    the unsupported forms (r10 ADVICE fix — previously 3+ series
+    expressions or a total series plus trailing scalars silently used
+    only d[0]/d[1]): graphite's ``*nodes`` grouping form
+    (``asPercent(x, total, 1)``) and any 3+-series call raise instead
+    of returning silently divergent results."""
+    if len(d) > 2:
+        raise ValueError(
+            "asPercent: at most one total series expression is "
+            f"supported, got {len(d)} series arguments"
+        )
+    if len(d) > 1 and s:
+        raise ValueError(
+            "asPercent: the *nodes grouping form (total series plus "
+            "scalar node arguments) is not supported"
+        )
+    if len(s) > 1:
+        raise ValueError(
+            "asPercent: at most one scalar total is supported, "
+            f"got {len(s)}"
+        )
+    return sf.as_percent(
+        d[0], d[1] if len(d) > 1 else (float(s[0]) if s else None)
+    )
+
+
 #: graphite function name → evaluator(df_args, scalar_args) (scalars keep
 #: their parse kinds so interval strings can be distinguished from counts)
 def _registry() -> dict[str, Callable]:
@@ -324,11 +351,11 @@ def _registry() -> dict[str, Callable]:
         "limit": lambda d, s: sf.limit_series(d[0], int(s[0])),
         # asPercent(series[, total]): total is a second series
         # expression or a numeric constant (graphite's *nodes grouping
-        # form is not supported — documented)
-        "asPercent": lambda d, s: sf.as_percent(
-            d[0],
-            d[1] if len(d) > 1 else (float(s[0]) if s else None),
-        ),
+        # form is not supported — documented). Unsupported forms (3+
+        # series expressions, or a total series combined with trailing
+        # scalars) fail LOUDLY rather than silently dropping arguments
+        # (r10 ADVICE fix).
+        "asPercent": lambda d, s: _as_percent_target(d, s),
         "minSeries": lambda d, s: sf.min_series(d[0]),
         "maxSeries": lambda d, s: sf.max_series(d[0]),
         "countSeries": lambda d, s: sf.count_series(d[0]),
@@ -378,9 +405,15 @@ def _registry() -> dict[str, Callable]:
         ),
         # --- wave 3 (round 7) -----------------------------------------------
         "linearRegression": lambda d, s: sf.linear_regression(d[0]),
+        # graphite defaults: timeShiftUnit='1d', start=0, end=7 (r10 —
+        # previously all three were required; the legend keeps the
+        # literal unit string)
         "timeStack": lambda d, s: sf.time_stack(
-            d[0], parse_interval(s[0]), int(s[1]), int(s[2]),
-            unit_label=str(s[0]),  # graphite's legend keeps the literal unit
+            d[0],
+            parse_interval(s[0]) if s else 86400,
+            int(s[1]) if len(s) > 1 else 0,
+            int(s[2]) if len(s) > 2 else 7,
+            unit_label=str(s[0]) if s else "1d",
         ),
         "stdev": lambda d, s: sf.stdev_series_window(
             d[0], int(s[0]), float(s[1]) if len(s) > 1 else 0.1
@@ -578,8 +611,28 @@ def _moving(fn, df, window, x_files_factor=None):
               x_files_factor=x_files_factor)
 
 
+def _align_request_start(ts: int, interval: int) -> int:
+    """graphite ``hitcount(alignToInterval=true)`` start truncation: a
+    ≥1-day interval aligns the request start down to midnight, ≥1 h to
+    the hour, ≥1 min to the minute; smaller intervals leave it
+    unchanged. UTC throughout — the engine is clock-free (graphite uses
+    the request timezone; documented deviation)."""
+    for unit in (86400, 3600, 60):
+        if interval >= unit:
+            return ts - ts % unit
+    return ts
+
+
 class _Required:
     """Sentinel for a parameter that has no graphite default."""
+
+
+class _Variadic:
+    """Sentinel for a trailing ``multiple=True`` graphite parameter
+    (``*nodes``-style). As a keyword it accepts ONE value — graphite URL
+    kwargs bind a single token per name, so ``aliasByNode(x, nodes=1)``
+    works but a multi-node call must stay positional. Always the last
+    position, so it never participates in default padding."""
 
 
 #: Keyword-argument support (graphite URL targets accept kwargs, e.g.
@@ -588,8 +641,10 @@ class _Required:
 #: defaults. Kwargs are resolved back to the positional scalar list,
 #: padding skipped positions with the defaults — which must therefore
 #: equal what the registry lambda does when the position is absent.
-#: Functions not listed reject kwargs with a clear error (their params
-#: are required/variadic and positional covers them).
+#: Round 10: the table covers the FULL catalog — every function with at
+#: least one scalar parameter (VERDICT r9 item 2); only genuinely
+#: series-only signatures (absolute, sumSeries, cactiStyle, …) remain on
+#: the explicit-reject path.
 _KW_PARAMS: dict[str, tuple[tuple[str, object], ...]] = {
     "summarize": (
         ("intervalString", _Required), ("func", "sum"),
@@ -628,6 +683,100 @@ _KW_PARAMS: dict[str, tuple[tuple[str, object], ...]] = {
     "verticalLine": (("ts", _Required), ("label", "verticalLine")),
     "aliasSub": (("search", _Required), ("replace", _Required)),
     "interpolate": (("limit", None),),
+    # --- round-10 full-catalog sweep (param names are graphite-web's
+    # Param declarations; defaults mirror the registry lambdas) --------
+    "alias": (("newName", _Required),),
+    "scale": (("factor", _Required),),
+    "offset": (("factor", _Required),),
+    "add": (("constant", _Required),),
+    "timeShift": (("timeShift", _Required),),
+    "scaleToSeconds": (("seconds", _Required),),
+    "delay": (("steps", _Required),),
+    "hitcount": (("intervalString", _Required), ("alignToInterval", False)),
+    "integralByInterval": (("intervalUnit", _Required),),
+    "averageOutsidePercentile": (("n", _Required),),
+    "highestCurrent": (("n", _Required),),
+    "lowestCurrent": (("n", _Required),),
+    "highestAverage": (("n", _Required),),
+    "lowestAverage": (("n", _Required),),
+    "highestMax": (("n", _Required),),
+    "mostDeviant": (("n", _Required),),
+    "limit": (("n", _Required),),
+    "nPercentile": (("n", _Required),),
+    "removeBetweenPercentile": (("n", _Required),),
+    "removeAboveValue": (("n", _Required),),
+    "removeBelowValue": (("n", _Required),),
+    "minimumAbove": (("n", _Required),),
+    "minimumBelow": (("n", _Required),),
+    "maximumAbove": (("n", _Required),),
+    "maximumBelow": (("n", _Required),),
+    "averageAbove": (("n", _Required),),
+    "averageBelow": (("n", _Required),),
+    "currentAbove": (("n", _Required),),
+    "currentBelow": (("n", _Required),),
+    "exclude": (("pattern", _Required),),
+    "grep": (("pattern", _Required),),
+    "pow": (("factor", _Required),),
+    "exponentialMovingAverage": (("windowSize", _Required),),
+    "substr": (("start", 0), ("stop", 0)),
+    "logarithm": (("base", 10),),
+    "round": (("precision", 0),),
+    "dashed": (("dashLength", 5.0),),
+    "color": (("theColor", _Required),),
+    "lineWidth": (("width", _Required),),
+    "alpha": (("alpha", _Required),),
+    "aggregateLine": (("func", "avg"),),
+    "stacked": (("stackName", "__DEFAULT__"),),
+    "asPercent": (("total", None),),
+    "timeSlice": (("startSliceAt", _Required), ("endSliceAt", _Required)),
+    "timeStack": (
+        ("timeShiftUnit", "1d"), ("timeShiftStart", 0),
+        ("timeShiftEnd", 7),
+    ),
+    "linearRegression": (("startSourceAt", None), ("endSourceAt", None)),
+    "filterSeries": (
+        ("func", _Required), ("operator", _Required),
+        ("threshold", _Required),
+    ),
+    "aggregate": (("func", _Required),),
+    "aggregateSeriesLists": (("func", _Required),),
+    "useSeriesAbove": (
+        ("value", _Required), ("search", _Required),
+        ("replace", _Required),
+    ),
+    "applyByNode": (
+        ("nodeNum", _Required), ("templateFunction", _Required),
+        ("newName", None),
+    ),
+    "reduceSeries": (
+        ("reduceFunction", _Required), ("reduceNode", _Required),
+        ("reduceMatchers", _Variadic),
+    ),
+    "mapSeries": (("mapNodes", _Variadic),),
+    "aliasByNode": (("nodes", _Variadic),),
+    "weightedAverage": (("nodes", _Variadic),),
+    "groupByNodes": (("callback", _Required), ("nodes", _Variadic)),
+    "aliasByTags": (("tags", _Variadic),),
+    "groupByTags": (("callback", _Required), ("tags", _Variadic)),
+    "sumSeriesWithWildcards": (("position", _Variadic),),
+    "averageSeriesWithWildcards": (("position", _Variadic),),
+    "multiplySeriesWithWildcards": (("position", _Variadic),),
+    "aggregateWithWildcards": (
+        ("func", _Required), ("positions", _Variadic),
+    ),
+    "legendValue": (("valueTypes", _Variadic),),
+    "seriesByTag": (("tagExpressions", _Variadic),),
+    "events": (("tags", _Variadic),),
+    # generator functions (leaf-style; scalars feed gen())
+    "time": (("name", _Required), ("step", 60)),
+    "timeFunction": (("name", _Required), ("step", 60)),
+    "identity": (("name", _Required),),
+    "sin": (("name", _Required), ("amplitude", 1), ("step", 60)),
+    "sinFunction": (("name", _Required), ("amplitude", 1), ("step", 60)),
+    "randomWalk": (("name", _Required), ("step", 60)),
+    "randomWalkFunction": (("name", _Required), ("step", 60)),
+    "constantLine": (("value", _Required),),
+    "threshold": (("value", _Required), ("label", None), ("color", None)),
 }
 
 
@@ -664,7 +813,7 @@ def _resolve_kwargs(
         pname, default = params[idx]
         if pname in kwargs:
             full.append(kwargs[pname])
-        elif default is _Required:
+        elif default is _Required or default is _Variadic:
             raise ValueError(f"{name}: missing required parameter {pname!r}")
         else:
             full.append(default)
@@ -705,6 +854,7 @@ def render(
     until_ts: int | None = None,
     events_fn: Callable[[list[str]], DataFrame] | None = None,
     max_data_points: int | None = None,
+    refetch_fn: Callable[[str | None, int, int], DataFrame] | None = None,
 ) -> DataFrame:
     """Parse and evaluate one render target; leaves resolve via
     ``fetch_fn(glob)`` → canonical series frame. ``fetch_fn(None)`` must
@@ -721,7 +871,14 @@ def render(
     threaded through the name-only/sort/filter wrappers in
     :data:`_HINT_PRESERVING` as evaluator state — like graphite's
     series-object hint, it survives a rename such as
-    ``alias(consolidateBy(m,"max"),'x')`` (ADVICE r8)."""
+    ``alias(consolidateBy(m,"max"),'x')`` (ADVICE r8).
+    ``refetch_fn(glob, from_ts, until_ts)`` (Engine.render supplies it)
+    enables the two request-refetching graphite parameters:
+    ``hitcount(…, alignToInterval=true)`` re-fetches from the
+    interval-truncated request start, and ``linearRegression(…,
+    startSourceAt, endSourceAt)`` fits on a separately-fetched source
+    window and projects the line over the render window (r10 — closes
+    the two documented frame-model deviations)."""
     reg = _registry()
     # consolidation state (kernel + xFilesFactor) keyed by the frame
     # OBJECT (id); _keepalive pins every evaluated frame so an id is
@@ -754,55 +911,68 @@ def render(
             hints[id(result)] = parent
         return result
 
-    def gen(name: str, scalars: list) -> DataFrame:
-        if from_ts is None or until_ts is None:
+    def gen(name: str, scalars: list, wfrom, wuntil) -> DataFrame:
+        if wfrom is None or wuntil is None:
             raise ValueError(
                 f"{name} is a generator function and needs the request "
                 "window: render(..., from_ts=, until_ts=)"
             )
         if name in ("time", "timeFunction"):
             return sf.time_function(
-                str(scalars[0]), from_ts, until_ts,
+                str(scalars[0]), wfrom, wuntil,
                 int(scalars[1]) if len(scalars) > 1 else 60,
             )
         if name == "identity":
-            return sf.identity_function(str(scalars[0]), from_ts, until_ts)
+            return sf.identity_function(str(scalars[0]), wfrom, wuntil)
         if name in ("sin", "sinFunction"):
             return sf.sin_function(
-                str(scalars[0]), from_ts, until_ts,
+                str(scalars[0]), wfrom, wuntil,
                 float(scalars[1]) if len(scalars) > 1 else 1.0,
                 int(scalars[2]) if len(scalars) > 2 else 60,
             )
         if name in ("randomWalk", "randomWalkFunction"):
             return sf.random_walk_function(
-                str(scalars[0]), from_ts, until_ts,
+                str(scalars[0]), wfrom, wuntil,
                 int(scalars[1]) if len(scalars) > 1 else 60,
             )
         if name == "constantLine":
-            return sf.constant_line(float(scalars[0]), from_ts, until_ts)
+            return sf.constant_line(float(scalars[0]), wfrom, wuntil)
         if name == "verticalLine":
             # the timestamp is a graphite at-time string resolved against
             # the window end (the injected "now" of the request)
             from kenshin_backup_spark.attime import parse_at_time
 
-            ts = parse_at_time(scalars[0], now_ts=until_ts)
+            ts = parse_at_time(scalars[0], now_ts=wuntil)
             label = str(scalars[1]) if len(scalars) > 1 else "verticalLine"
-            return sf.vertical_line(ts, label, from_ts, until_ts)
+            return sf.vertical_line(ts, label, wfrom, wuntil)
+        # label may arrive as a padded None when only color= is given
+        # as a keyword — guard, don't stringify it
+        label = scalars[1] if len(scalars) > 1 else None
         return sf.threshold_series(
-            float(scalars[0]), from_ts, until_ts,
-            str(scalars[1]) if len(scalars) > 1 else None,
+            float(scalars[0]), wfrom, wuntil,
+            str(label) if label is not None else None,
         )
 
-    def ev(node) -> DataFrame:
+    def ev(node, wctx=None) -> DataFrame:
+        # window context: (leaf fetch, request start, request end).
+        # Sub-evaluations under an ADJUSTED window (hitcount's
+        # alignToInterval, linearRegression's source window) thread a
+        # replacement tuple so every leaf, generator and special case in
+        # the subtree sees the adjusted request — graphite's
+        # requestContext.copy() re-evaluation, in the frame model.
+        wfetch, wfrom, wuntil = wctx if wctx is not None else (
+            fetch_fn, from_ts, until_ts
+        )
+        w = (wfetch, wfrom, wuntil)
         if node[0] == "leaf":
-            return fetch_fn(node[1])
+            return wfetch(node[1])
         _, name, args = node
         if name not in reg:
             raise ValueError(
                 f"unsupported function {name!r}; supported: "
                 f"{', '.join(SUPPORTED_FUNCTIONS)}"
             )
-        dfs, scalars, kwargs = [], [], {}
+        series_nodes, scalars, kwargs = [], [], {}
         for a in args:
             if a[0] == "kw":
                 if a[2][0] in ("leaf", "call"):
@@ -819,7 +989,7 @@ def render(
                     raise ValueError(
                         f"{name}: positional argument after a keyword"
                     )
-                dfs.append(ev(a))
+                series_nodes.append(a)
             else:
                 if kwargs:
                     raise ValueError(
@@ -827,12 +997,75 @@ def render(
                     )
                 scalars.append(a[1])
         scalars = _resolve_kwargs(name, scalars, kwargs)
+
+        def sub_window(new_from, new_until):
+            if refetch_fn is None:
+                raise ValueError(
+                    f"{name}: re-fetching with adjusted bounds needs "
+                    "render(..., refetch_fn=) — Engine.render provides it"
+                )
+            return (
+                lambda glob: refetch_fn(glob, new_from, new_until),
+                new_from,
+                new_until,
+            )
+
+        # --- request-refetching parameters (r10, VERDICT r9 item 3) ---
+        if (
+            name == "hitcount"
+            and len(scalars) > 1
+            and scalars[1] is not None
+            and _to_bool(scalars[1])
+        ):
+            # graphite truncates the request START to the interval's
+            # natural unit (≥1d → midnight, ≥1h → hour, ≥1m → minute;
+            # UTC — the engine is clock-free), re-fetches the series
+            # with the widened window, and buckets from that aligned
+            # start.
+            if wfrom is None or wuntil is None:
+                raise ValueError(
+                    "hitcount(alignToInterval=true) needs the request "
+                    "window: render(..., from_ts=, until_ts=)"
+                )
+            _need(series_nodes, 1, 1, name)
+            interval = parse_interval(scalars[0])
+            aligned = _align_request_start(wfrom, interval)
+            sub = ev(series_nodes[0], sub_window(aligned, wuntil))
+            return sf.hitcount(sub, interval, anchor_ts=aligned)
+        if name == "linearRegression" and any(
+            s is not None for s in scalars
+        ):
+            # graphite fits on a SEPARATE source window (at-time
+            # strings resolved against the request end) and projects
+            # the fitted line over the render window
+            if wfrom is None or wuntil is None:
+                raise ValueError(
+                    "linearRegression with a source window needs the "
+                    "request window: render(..., from_ts=, until_ts=)"
+                )
+            _need(series_nodes, 1, 1, name)
+            from kenshin_backup_spark.attime import parse_at_time
+
+            src_from = (
+                parse_at_time(scalars[0], now_ts=wuntil)
+                if scalars[0] is not None else wfrom
+            )
+            src_until = (
+                parse_at_time(scalars[1], now_ts=wuntil)
+                if len(scalars) > 1 and scalars[1] is not None
+                else wuntil
+            )
+            base = ev(series_nodes[0], w)
+            source = ev(series_nodes[0], sub_window(src_from, src_until))
+            return sf.linear_regression(base, source_df=source)
+
+        dfs = [ev(sn, w) for sn in series_nodes]
         if name == "events":
             # graphite events(*tags): per-second event-count series from
             # the caller's event store; '*' (or no args) matches all
             if dfs:
                 raise ValueError("events takes only tag strings")
-            if events_fn is None or from_ts is None or until_ts is None:
+            if events_fn is None or wfrom is None or wuntil is None:
                 raise ValueError(
                     "events needs an event store and the request window: "
                     "render(..., from_ts=, until_ts=, events_fn=)"
@@ -840,7 +1073,7 @@ def render(
             tags = [str(s) for s in scalars if str(s) != "*"]
             label = ", ".join(str(s) for s in scalars)
             return sf.events_series(
-                events_fn(tags), f"events({label})", from_ts, until_ts
+                events_fn(tags), f"events({label})", wfrom, wuntil
             )
         if name in _GENERATORS:
             if dfs or not scalars:
@@ -848,7 +1081,7 @@ def render(
                     f"{name} takes only scalar arguments (it generates "
                     "its series from the request window)"
                 )
-            return gen(name, scalars)
+            return gen(name, scalars, wfrom, wuntil)
         if name == "applyByNode":
             # graphite applyByNode(series, nodeNum, template, newName):
             # one template evaluation per distinct name PREFIX, '%'
@@ -878,7 +1111,9 @@ def render(
             )
             out = None
             for p in prefixes:
-                sub = ev(_Parser(_tokenize(template.replace("%", p))).parse())
+                sub = ev(
+                    _Parser(_tokenize(template.replace("%", p))).parse(), w
+                )
                 if new_name:
                     sub = sub.withColumn(
                         "metric", _F.lit(new_name.replace("%", p))
@@ -899,7 +1134,7 @@ def render(
                     "seriesByTag takes only tag-expression strings"
                 )
             return sf.series_by_tag(
-                fetch_fn(None), *[str(s) for s in scalars]
+                wfetch(None), *[str(s) for s in scalars]
             )
         if name == "useSeriesAbove":
             # needs the fetch callback: qualifying series' names are
@@ -913,7 +1148,7 @@ def render(
                 float(scalars[0]),
                 str(scalars[1]),
                 str(scalars[2]),
-                fetch_fn,
+                wfetch,
             )
         if not dfs:
             raise ValueError(f"{name}: needs a series argument")

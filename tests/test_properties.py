@@ -1243,3 +1243,55 @@ def test_percentile_interpolate_matches_graphite_reference(spark):
                 ).collect()
             }
             assert got == expect, f"p={p} interpolate={interpolate}"
+
+
+def test_linear_regression_source_window_matches_graphite_reference(spark):
+    """r10: linearRegression(startSourceAt, endSourceAt) — the OLS
+    factor/offset come from the SOURCE window's series, the line is
+    evaluated at the RENDER window's slots (graphite fits on the
+    sourceContext fetch and projects over requestContext). Transcribed
+    per series over random gappy source data; under-determined fits
+    (n<2 or zero denominator) emit all-gap series, matching the
+    established linearRegression pin convention."""
+    from kenshin_backup_spark.operators import seriesfns as S
+
+    rng = random.Random(101010)
+    src_rows, src_series = _rand_gappy_cases(rng, 25, min_len=1, max_len=12)
+    # render window: 20 slots starting at t=7200 (disjoint from source)
+    ren_ts = [7200 + 60 * i for i in range(20)]
+    ren_rows = [
+        (m, t, float(rng.randint(-9, 9)))
+        for m in src_series for t in ren_ts
+    ]
+    src_df = spark.createDataFrame(
+        src_rows, "metric string, bucket_ts long, value double"
+    )
+    ren_df = spark.createDataFrame(
+        ren_rows, "metric string, bucket_ts long, value double"
+    )
+    got = {
+        (r["metric"], r["bucket_ts"]): r["value"]
+        for r in S.linear_regression(ren_df, source_df=src_df).collect()
+    }
+    for m, vals in src_series.items():
+        pts = [(i, v) for i, v in enumerate(vals) if v is not None]
+        n = len(pts)
+        den = (
+            float(n * sum(i * i for i, _ in pts)
+                  - sum(i for i, _ in pts) ** 2)
+            if n >= 2 else 0.0
+        )
+        if n < 2 or den == 0:
+            for t in ren_ts:
+                assert got[(m, t)] is None, (m, t, vals)
+            continue
+        si = sum(i for i, _ in pts)
+        sv = sum(v for _, v in pts)
+        sii = sum(i * i for i, _ in pts)
+        siv = sum(i * v for i, v in pts)
+        factor = (n * siv - si * sv) / den / 60
+        offset = (sii * sv - siv * si) / den - factor * 0
+        for t in ren_ts:
+            want = factor * t + offset
+            g = got[(m, t)]
+            assert g is not None and abs(g - want) < 1e-6, (m, t, vals)

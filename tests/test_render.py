@@ -403,6 +403,49 @@ def test_render_fuzz_random_compositions(spark):
         "movingMax({X}, 2, xFilesFactor=0.5)",
         "sortBy({X}, reverse=true)",
         "highest({X}, func='max')",
+        # round-10: full-catalog keyword forms (every spec family:
+        # scalar-required, defaulted, variadic-as-single, dual-kind)
+        "scale({X}, factor=2)",
+        "offset({X}, factor=-1)",
+        "alias({X}, newName='kw')",
+        "aliasByNode({X}, nodes=0)",
+        "groupByNodes({X}, callback='sum', nodes=0)",
+        "timeShift({X}, timeShift='1h')",
+        "scaleToSeconds({X}, seconds=60)",
+        "delay({X}, steps=1)",
+        "hitcount({X}, intervalString='2h')",
+        "integralByInterval({X}, intervalUnit='2h')",
+        "mostDeviant({X}, n=2)",
+        "limit({X}, n=2)",
+        "nPercentile({X}, n=75)",
+        "removeAboveValue({X}, n=100)",
+        "maximumBelow({X}, n=100)",
+        "averageAbove({X}, n=-100)",
+        "pow({X}, factor=2)",
+        "substr({X}, start=0, stop=1)",
+        "logarithm({X}, base=2)",
+        "round({X}, precision=1)",
+        "dashed({X}, dashLength=2)",
+        "lineWidth({X}, width=2)",
+        "alpha({X}, alpha=0.5)",
+        "aggregateLine({X}, func='last')",
+        "stacked({X}, stackName='s')",
+        "asPercent({X}, total=100)",
+        "timeStack({X})",
+        "timeStack({X}, timeShiftUnit='1h', timeShiftEnd=2)",
+        "filterSeries({X}, 'average', operator='>', threshold=-100)",
+        "aggregate({X}, func='median')",
+        "sumSeriesWithWildcards({X}, position=0)",
+        "aggregateWithWildcards({X}, func='sum', positions=0)",
+        "legendValue({X}, valueTypes='avg')",
+        "mapSeries({X}, mapNodes=0)",
+        "weightedAverage({X}, {X}, nodes=0)",
+        "aliasByTags({X}, tags='name')",
+        "groupByTags({X}, callback='sum', tags='name')",
+        "exponentialMovingAverage({X}, windowSize=3)",
+        "highestCurrent({X}, n=2)",
+        "exclude({X}, pattern='zz')",
+        "grep({X}, pattern='.')",
     ]
     rng = random.Random(20260814)
     fetch = _fetch_fn(spark)
@@ -826,13 +869,16 @@ def test_round9_param_tail_two(spark):
     kept = {r.metric for r in render("removeEmptySeries(web.*)", fetch)
             .select("metric").distinct().collect()}
     assert kept == {"web.s2", "web.s10"}
-    # xff=1.0 keeps only fully-populated series; xff=0 keeps even gaps
+    # xff=1.0 keeps only fully-populated series; xff=0 still drops
+    # all-gap series (graphite's xff helper short-circuits
+    # `if not nonNull: return False` before the fraction compare —
+    # r10 ADVICE fix; the old pin kept web.gap here)
     kept1 = {r.metric for r in render("removeEmptySeries(web.*, 1.0)", fetch)
              .select("metric").distinct().collect()}
     assert kept1 == {"web.s10"}
     kept0 = {r.metric for r in render("removeEmptySeries(web.*, 0)", fetch)
              .select("metric").distinct().collect()}
-    assert kept0 == {"web.s2", "web.s10", "web.gap"}
+    assert kept0 == {"web.s2", "web.s10"}
 
     # sortByName natural: s2 < s10 numerically, s10 < s2 lexically
     lex = render("limit(sortByName(web.s*), 1)", fetch)
@@ -860,6 +906,15 @@ def test_round9_param_tail_two(spark):
     # any other count raises, exactly as graphite does
     with pytest.raises(ValueError, match="asPercent second argument"):
         render("asPercent(web.s2, web.s*)", fetch).collect()
+    # unsupported forms fail LOUDLY (r10 ADVICE fix) instead of
+    # silently dropping arguments: the *nodes grouping form (total
+    # series + trailing scalars) and 3+ series expressions
+    with pytest.raises(ValueError, match="nodes grouping"):
+        render("asPercent(web.s2, web.s10, 1)", fetch)
+    with pytest.raises(ValueError, match="at most one total series"):
+        render("asPercent(web.s2, web.s10, web.gap)", fetch)
+    with pytest.raises(ValueError, match="at most one scalar total"):
+        render("asPercent(web.s2, 8, 1)", fetch)
 
     # groupByNode default callback = average (graphite parity)
     g = {r.bucket_ts: r.value
@@ -932,5 +987,242 @@ def test_keyword_arguments(spark):
         render("summarize(cpu.load, func='max', '1h')", fetch)
     with pytest.raises(ValueError, match="must be a scalar"):
         render("summarize(cpu.load, intervalString=cpu.idle)", fetch)
+    # r10: scale() takes kwargs now (full-catalog sweep); only genuinely
+    # series-only signatures keep the explicit-reject path
     with pytest.raises(ValueError, match="keyword arguments"):
-        render("scale(cpu.load, factor=2)", fetch)
+        render("absolute(cpu.load, foo=2)", fetch)
+
+
+def test_keyword_arguments_full_catalog(spark):
+    """Round-10 full-catalog sweep: every registry function with at
+    least one scalar parameter has a _KW_PARAMS spec; the remainder is
+    exactly the pinned series-only set. Variadic (*nodes-style) params
+    accept a single value as a keyword."""
+    import re as _re
+
+    import kenshin_backup_spark.render as R
+
+    src_text = open(R.__file__.rstrip("c")).read()
+    body = _re.search(
+        r"def _registry\(\).*?\n    return \{(.*?)\n    \}\n", src_text, _re.S
+    ).group(1)
+    registry_names = set(_re.findall(r'"([A-Za-z0-9]+)":', body))
+    series_only = {
+        "absolute", "aliasByMetric", "areaBetween", "averageSeries",
+        "cactiStyle", "changed", "countSeries", "cumulative",
+        "derivative", "diffSeries", "diffSeriesLists", "divideSeries",
+        "divideSeriesLists", "drawAsInfinite", "fallbackSeries",
+        "group", "holtWintersForecast", "integral", "invert",
+        "isNonNull", "logit", "maxSeries", "minMax", "minSeries",
+        "multiplySeries", "multiplySeriesLists", "offsetToZero",
+        "powSeries", "rangeOfSeries", "secondYAxis", "sigmoid",
+        "sortByMaxima", "sortByMinima", "sortByTotal", "squareRoot",
+        "stddevSeries", "sumSeries", "sumSeriesLists", "unique",
+    }
+    assert registry_names - set(R._KW_PARAMS) == series_only
+    assert set(R._KW_PARAMS) <= registry_names
+
+    fetch = _fetch_fn(spark)
+    # keyword == positional across the newly-covered table, including
+    # single-value variadic binds and generator/special-case functions
+    pairs = [
+        ("scale(cpu.load, factor=2)", "scale(cpu.load, 2)"),
+        ("alias(cpu.load, newName='x')", "alias(cpu.load, 'x')"),
+        ("aliasByNode(cpu.*, nodes=1)", "aliasByNode(cpu.*, 1)"),
+        ("groupByNodes(cpu.*, 'sum', nodes=0)",
+         "groupByNodes(cpu.*, 'sum', 0)"),
+        ("groupByNodes(cpu.*, callback='sum', nodes=0)",
+         "groupByNodes(cpu.*, 'sum', 0)"),
+        ("highestCurrent(cpu.*, n=1)", "highestCurrent(cpu.*, 1)"),
+        ("exclude(cpu.*, pattern='idle')", "exclude(cpu.*, 'idle')"),
+        ("timeShift(cpu.load, timeShift='1h')",
+         "timeShift(cpu.load, '1h')"),
+        ("pow(cpu.load, factor=2)", "pow(cpu.load, 2)"),
+        ("substr(cpu.load, start=1)", "substr(cpu.load, 1)"),
+        ("logarithm(cpu.load, base=2)", "logarithm(cpu.load, 2)"),
+        ("round(cpu.load, precision=1)", "round(cpu.load, 1)"),
+        ("hitcount(cpu.load, intervalString='2h')",
+         "hitcount(cpu.load, '2h')"),
+        ("filterSeries(cpu.*, 'average', operator='>', threshold=3)",
+         "filterSeries(cpu.*, 'average', '>', 3)"),
+        ("aggregate(cpu.*, func='median')", "aggregate(cpu.*, 'median')"),
+        ("stacked(cpu.*, stackName='s1')", "stacked(cpu.*, 's1')"),
+        ("aggregateLine(cpu.load, func='last')",
+         "aggregateLine(cpu.load, 'last')"),
+        ("sumSeriesWithWildcards(cpu.*, position=0)",
+         "sumSeriesWithWildcards(cpu.*, 0)"),
+        ("aggregateWithWildcards(cpu.*, 'sum', positions=0)",
+         "aggregateWithWildcards(cpu.*, 'sum', 0)"),
+        ("legendValue(cpu.*, valueTypes='avg')",
+         "legendValue(cpu.*, 'avg')"),
+        ("mapSeries(cpu.*, mapNodes=0)", "mapSeries(cpu.*, 0)"),
+        ("weightedAverage(cpu.*, cpu.*, nodes=0)",
+         "weightedAverage(cpu.*, cpu.*, 0)"),
+        ("aliasByTags(cpu.load, tags='name')",
+         "aliasByTags(cpu.load, 'name')"),
+        ("groupByTags(cpu.*, callback='sum', tags='name')",
+         "groupByTags(cpu.*, 'sum', 'name')"),
+        ("timeStack(cpu.load, '1h', timeShiftStart=0, timeShiftEnd=2)",
+         "timeStack(cpu.load, '1h', 0, 2)"),
+        ("timeStack(cpu.load)", "timeStack(cpu.load, '1d', 0, 7)"),
+        ("useSeriesAbove(cpu.load, 0.5, 'cpu', replace='mem')",
+         "useSeriesAbove(cpu.load, 0.5, 'cpu', 'mem')"),
+        ("asPercent(cpu.load, total=8)", "asPercent(cpu.load, 8)"),
+    ]
+    for kw_target, pos_target in pairs:
+        a = sorted(map(tuple, render(kw_target, fetch).collect()))
+        b = sorted(map(tuple, render(pos_target, fetch).collect()))
+        assert a == b, kw_target
+    # generator kwargs need the request window; compare against the
+    # positional form over the same window
+    gen_pairs = [
+        ("time('t', step=120)", "time('t', 120)"),
+        ("sin('s', amplitude=2)", "sin('s', 2, 60)"),
+        ("randomWalk('r', step=120)", "randomWalk('r', 120)"),
+        ("constantLine(value=4)", "constantLine(4)"),
+        ("threshold(4, label='lim')", "threshold(4, 'lim')"),
+        ("threshold(4, color='red')", "threshold(4)"),
+    ]
+    for kw_target, pos_target in gen_pairs:
+        a = sorted(map(tuple, render(
+            kw_target, fetch, from_ts=0, until_ts=3600).collect()))
+        b = sorted(map(tuple, render(
+            pos_target, fetch, from_ts=0, until_ts=3600).collect()))
+        assert a == b, kw_target
+    # reduceSeries needs exactly two matchers; a single-value variadic
+    # keyword binds but then fails the SAME arity check as positional
+    for t in (
+        "reduceSeries(mapSeries(cpu.*, 0), 'sum', reduceNode=1, "
+        "reduceMatchers='load')",
+        "reduceSeries(mapSeries(cpu.*, 0), 'sum', 1, 'load')",
+    ):
+        with pytest.raises(ValueError, match="exactly two reduceMatchers"):
+            render(t, fetch)
+    # a variadic keyword repeated positionally-and-by-name still rejects
+    with pytest.raises(ValueError, match="both positionally"):
+        render("aliasByNode(cpu.*, 0, nodes=1)", fetch)
+    # skipping a required earlier position still rejects
+    with pytest.raises(ValueError, match="missing required"):
+        render("groupByNodes(cpu.*, nodes=0)", fetch)
+
+
+# --- round-10: request-refetching parameters ---------------------------------
+
+
+def _windowed_fetch(base):
+    """Emulate Engine.render's fetch pair over a wide in-memory frame:
+    fetch_fn clamps to the request window, refetch_fn to given bounds."""
+    def clamp(a, b):
+        return base.where(
+            (F.col("bucket_ts") >= a) & (F.col("bucket_ts") < b)
+        )
+    return clamp
+
+
+def test_hitcount_align_to_interval(spark):
+    """hitcount(…, alignToInterval=true) re-fetches from the
+    interval-truncated request start and anchors the bucket grid there
+    (graphite adjusts requestContext['startTime'] and re-evaluates the
+    target); without it the epoch-anchored deviation stands."""
+    rows = [("c.m", t, 1.0) for t in range(10800, 18000, 60)]
+    base = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+    clamp = _windowed_fetch(base)
+    fetch = lambda glob: clamp(10900, 18000)  # noqa: E731
+    refetch = lambda glob, a, b: clamp(a, b)  # noqa: E731
+
+    # plain form: request window [10900, 18000), epoch-aligned 2h grid
+    plain = {r.bucket_ts: r.value for r in render(
+        "hitcount(c.m, '2h')", fetch,
+        from_ts=10900, until_ts=18000, refetch_fn=refetch,
+    ).collect()}
+    assert plain == {7200: 3480.0, 14400: 3600.0}
+
+    # aligned: '2h' >= 1h → start truncates to the hour (10800), the
+    # subtree re-fetches from there, and ALL 120 slots land in the
+    # single bucket anchored at 10800
+    for target in (
+        "hitcount(c.m, '2h', true)",
+        "hitcount(c.m, '2h', alignToInterval=true)",
+        "hitcount(c.m, intervalString='2h', alignToInterval=true)",
+    ):
+        aligned = {r.bucket_ts: r.value for r in render(
+            target, fetch,
+            from_ts=10900, until_ts=18000, refetch_fn=refetch,
+        ).collect()}
+        assert aligned == {10800: 7200.0}, target
+
+    # quoted 'false' must NOT align (the _to_bool rail)
+    off = {r.bucket_ts: r.value for r in render(
+        "hitcount(c.m, '2h', 'false')", fetch,
+        from_ts=10900, until_ts=18000, refetch_fn=refetch,
+    ).collect()}
+    assert off == plain
+
+    # loud failure without the refetch callback / request window
+    with pytest.raises(ValueError, match="refetch_fn"):
+        render("hitcount(c.m, '2h', true)", fetch,
+               from_ts=10900, until_ts=18000)
+    with pytest.raises(ValueError, match="request"):
+        render("hitcount(c.m, '2h', true)", fetch, refetch_fn=refetch)
+
+
+def test_align_request_start_units():
+    from kenshin_backup_spark.render import _align_request_start
+
+    day, hour = 86400, 3600
+    ts = 3 * day + 5 * hour + 23 * 60 + 41
+    assert _align_request_start(ts, 2 * day) == 3 * day
+    assert _align_request_start(ts, day) == 3 * day
+    assert _align_request_start(ts, 2 * hour) == 3 * day + 5 * hour
+    assert _align_request_start(ts, 90 * 60) == 3 * day + 5 * hour
+    assert _align_request_start(ts, 5 * 60) == 3 * day + 5 * hour + 23 * 60
+    assert _align_request_start(ts, 30) == ts  # sub-minute: unchanged
+
+
+def test_linear_regression_source_window(spark):
+    """linearRegression(startSourceAt, endSourceAt): the OLS fit comes
+    from the separately-fetched SOURCE window; the fitted line projects
+    over the render window (graphite's sourceContext re-evaluation).
+    The render-window data is deliberately different from the source
+    trend, so any fit-on-render fallback fails the exact values."""
+    rows = [("m.a", t, 2.0 * t) for t in range(0, 6000, 60)]
+    rows += [("m.a", t, 5.0) for t in range(6000, 12000, 60)]
+    base = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+    clamp = _windowed_fetch(base)
+    fetch = lambda glob: clamp(6000, 12000)  # noqa: E731
+    refetch = lambda glob, a, b: clamp(a, b)  # noqa: E731
+
+    for target in (
+        "linearRegression(m.a, 0, 6000)",
+        "linearRegression(m.a, startSourceAt=0, endSourceAt=6000)",
+    ):
+        got = {r.bucket_ts: r.value for r in render(
+            target, fetch,
+            from_ts=6000, until_ts=12000, refetch_fn=refetch,
+        ).collect()}
+        # exact: integer-valued sums make the perfect-line fit exact
+        assert got == {t: 2.0 * t for t in range(6000, 12000, 60)}, target
+
+    # default form still fits on the render window (constant 5)
+    dflt = {r.bucket_ts: r.value for r in render(
+        "linearRegression(m.a)", fetch,
+        from_ts=6000, until_ts=12000, refetch_fn=refetch,
+    ).collect()}
+    assert dflt == {t: 5.0 for t in range(6000, 12000, 60)}
+
+    # startSourceAt alone: source = [0, until) — both segments
+    mixed = {r.bucket_ts: r.value for r in render(
+        "linearRegression(m.a, startSourceAt=0)", fetch,
+        from_ts=6000, until_ts=12000, refetch_fn=refetch,
+    ).collect()}
+    assert mixed != dflt and mixed != {
+        t: 2.0 * t for t in range(6000, 12000, 60)
+    }
+
+    with pytest.raises(ValueError, match="refetch_fn"):
+        render("linearRegression(m.a, 0, 6000)", fetch,
+               from_ts=6000, until_ts=12000)

@@ -1009,7 +1009,8 @@ def test_moving_family_xfilesfactor_gate(spark):
 
 def test_counter_wrap_max_min_values(spark):
     """graphite _nonNegativeDelta transcription: wrap math with a known
-    ceiling (max−old+new+1), reset-to-min with a floor, out-of-range
+    ceiling (max+1+new−old, NO minValue term even when a floor is also
+    given — r10 ADVICE fix), reset-to-min with a floor, out-of-range
     new values gap, and the bare form keeps negatives as gaps."""
     vals = [250.0, 253.0, 2.0, 300.0, 1.0]
     df = _series(spark, [("c", 60 * i, v) for i, v in enumerate(vals)])
@@ -1021,9 +1022,9 @@ def test_counter_wrap_max_min_values(spark):
 
     mx = {r.bucket_ts: r.value
           for r in S.non_negative_derivative(df, max_value=255).collect()}
-    # 253→2 wraps: 255-253+2+1 = 5; 2→300 exceeds max → gap (out of
+    # 253→2 wraps: 255+1+2-253 = 5; 2→300 exceeds max → gap (out of
     # range); 300→1: previous value out of range but NEW value legal:
-    # graphite compares new>=old → 1 < 300 → wrap: 255-300+1+1 = -43?
+    # graphite compares new>=old → 1 < 300 → wrap: 255+1+1-300 = -43?
     # graphite doesn't guard old — transcribed faithfully: -43.0
     assert by_ts(mx) == [None, 3.0, 5.0, None, -43.0]
 
@@ -1033,9 +1034,10 @@ def test_counter_wrap_max_min_values(spark):
             df, max_value=255, min_value=1
         ).collect()
     }
-    # wrap with floor: 255-253+(2-1)+1 = 4; 300 out of range → gap;
-    # 300→1: 255-300+(1-1)+1 = -44
-    assert by_ts(both) == [None, 3.0, 4.0, None, -44.0]
+    # wrap with a floor too: identical to max-only — minValue is a
+    # range check only, NO term in the wrap delta (255+1+2-253 = 5;
+    # 300 out of range → gap; 300→1: 255+1+1-300 = -43)
+    assert by_ts(both) == [None, 3.0, 5.0, None, -43.0]
 
     mn = {
         r.bucket_ts: r.value
