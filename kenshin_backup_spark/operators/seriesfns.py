@@ -2572,15 +2572,45 @@ _AGG_CANON = {
 
 
 def aggregate_series(
-    df: DataFrame, func: str, name: str | None = None
+    df: DataFrame,
+    func: str,
+    name: str | None = None,
+    x_files_factor: float | None = None,
 ) -> DataFrame:
-    """graphite ``aggregate(func)``: combine every input series into one
-    with the named kernel — the generic form of sumSeries /
-    averageSeries / minSeries / maxSeries / multiplySeries /
-    stddevSeries / rangeOfSeries / countSeries, plus 'median'."""
+    """graphite ``aggregate(func[, xFilesFactor])``: combine every input
+    series into one with the named kernel — the generic form of
+    sumSeries / averageSeries / minSeries / maxSeries / multiplySeries /
+    stddevSeries / rangeOfSeries / countSeries, plus 'median'.
+
+    ``x_files_factor`` (r10) is graphite's aggregateSeries gate: a
+    bucket keeps its aggregate only when it has at least one value AND
+    the non-gap fraction across member series is ``>= xff`` (graphite
+    iterates ``izip_longest(*seriesList)`` — row length is the series
+    count, which on the canonical grid is the per-bucket row count).
+    The gate is a tiny per-bucket aggregate broadcast back onto the
+    (already tiny) combined frame — the remove_empty_series pattern,
+    no extra shuffle of the combined output."""
     canon = _AGG_CANON.get(func, func)
     out_name = name or f"{canon}Series"
-    return _combine_grouped(df.withColumn("__grp", F.lit(out_name)), func)
+    out = _combine_grouped(df.withColumn("__grp", F.lit(out_name)), func)
+    if x_files_factor is None:
+        return out
+    xff = _check_xff(x_files_factor)
+    gate = df.groupBy("bucket_ts").agg(
+        F.count("value").alias("__n"), F.count(F.lit(1)).alias("__t")
+    )
+    keep = (F.col("__n") > 0) & (
+        F.col("__n").cast("double") / F.col("__t").cast("double")
+        >= F.lit(xff)
+    )
+    return (
+        out.join(F.broadcast(gate), "bucket_ts", "left")
+        .select(
+            "metric",
+            "bucket_ts",
+            F.when(keep, F.col("value")).cast("double").alias("value"),
+        )
+    )
 
 
 def aggregate_with_wildcards(
@@ -3135,6 +3165,20 @@ def holt_winters_analysis(
             F.col("__p")["dev"].cast("double").alias("hw_dev"),
         )
     )
+
+
+def trim_to_window_start(df: DataFrame, from_ts: int) -> DataFrame:
+    """Drop slots strictly before the render grid's first slot —
+    ``floor(from_ts, step)`` per series (the grid floors both bounds to
+    the step). Used by the holtWinters bootstrap path (r10): graphite's
+    ``_fetchWithBootstrap`` analyzes ``bootstrapInterval`` of extra
+    history and then emits ``predictions[windowPoints:]``; keeping
+    slots ≥ the render grid start is the frame-model equivalent."""
+    with_step = df.withColumn("__step", _series_step())
+    keep = F.col("bucket_ts") >= (
+        F.lit(int(from_ts)) - (F.lit(int(from_ts)) % F.col("__step"))
+    )
+    return with_step.where(keep).drop("__step")
 
 
 def holt_winters_forecast(

@@ -489,7 +489,14 @@ def _registry() -> dict[str, Callable]:
         # generator special-case: at-time marker, handled in gen()
         "verticalLine": None,
         # --- wave 4 (round 8): the generic family -------------------------
-        "aggregate": lambda d, s: sf.aggregate_series(d[0], str(s[0])),
+        # graphite aggregate(func, xFilesFactor=None): the per-bucket
+        # non-gap-fraction gate (r10)
+        "aggregate": lambda d, s: sf.aggregate_series(
+            d[0], str(s[0]),
+            x_files_factor=(
+                float(s[1]) if len(s) > 1 and s[1] is not None else None
+            ),
+        ),
         "aggregateWithWildcards": lambda d, s: sf.aggregate_with_wildcards(
             d[0], str(s[0]), *[int(x) for x in s[1:]]
         ),
@@ -549,16 +556,26 @@ def _registry() -> dict[str, Callable]:
         "divideSeriesLists": lambda d, s: sf.combine_series_lists(
             d[0], d[1], "divide"
         ),
-        # Holt-Winters forecasting family (wave 4c)
-        "holtWintersForecast": lambda d, s: sf.holt_winters_forecast(d[0]),
+        # Holt-Winters forecasting family (wave 4c). These lambdas are
+        # the NO-REFETCH fallback (bare render() without refetch_fn):
+        # bootstrapInterval is ignored there (documented frame-only
+        # deviation), seasonality is honored. With refetch_fn the ev()
+        # special case re-fetches the bootstrap history instead (r10).
+        "holtWintersForecast": lambda d, s: sf.holt_winters_forecast(
+            d[0], season_seconds=_hw_season(s, 1)
+        ),
         "holtWintersConfidenceBands": (
             lambda d, s: sf.holt_winters_confidence_bands(
-                d[0], float(s[0]) if s else 3.0
+                d[0],
+                float(s[0]) if len(s) > 0 and s[0] is not None else 3.0,
+                season_seconds=_hw_season(s, 2),
             )
         ),
         "holtWintersAberration": (
             lambda d, s: sf.holt_winters_aberration(
-                d[0], float(s[0]) if s else 3.0
+                d[0],
+                float(s[0]) if len(s) > 0 and s[0] is not None else 3.0,
+                season_seconds=_hw_season(s, 2),
             )
         ),
         # graphite's confidence AREA is the bands with a filled display
@@ -566,7 +583,9 @@ def _registry() -> dict[str, Callable]:
         # is a UI concern; documented display-only deviation)
         "holtWintersConfidenceArea": (
             lambda d, s: sf.holt_winters_confidence_bands(
-                d[0], float(s[0]) if s else 3.0
+                d[0],
+                float(s[0]) if len(s) > 0 and s[0] is not None else 3.0,
+                season_seconds=_hw_season(s, 2),
             )
         ),
         # map/reduce over name nodes (wave 4d). mapSeries is an identity
@@ -600,6 +619,13 @@ def _xff(scalars, i) -> float | None:
     return float(scalars[i]) if len(scalars) > i else None
 
 
+def _hw_season(scalars, i) -> int:
+    """Optional holtWinters seasonality scalar (graphite default '1d')."""
+    if len(scalars) > i and scalars[i] is not None:
+        return parse_interval(scalars[i])
+    return 86400
+
+
 def _moving(fn, df, window, x_files_factor=None):
     """Dual dispatch shared by the rolling family: a quoted interval
     ('2h') routes to the RANGE-frame time variant, a bare number to the
@@ -609,6 +635,41 @@ def _moving(fn, df, window, x_files_factor=None):
                   x_files_factor=x_files_factor)
     return fn(df, window_points=int(window),
               x_files_factor=x_files_factor)
+
+
+def _align_to_calendar_unit(ts: int, unit: str) -> int:
+    """graphite ``smartSummarize(…, alignTo=…)`` start truncation: the
+    request start truncates down to the named calendar unit before the
+    re-fetch (graphite's getUnitString accepts any prefix of the unit
+    name; weeks align to SUNDAY via ``isoweekday() % 7``). UTC
+    throughout — the engine is clock-free (graphite uses the request
+    timezone; documented deviation, same as _align_request_start)."""
+    import datetime as _dt
+
+    u = str(unit)
+    s = _dt.datetime.fromtimestamp(int(ts), _dt.timezone.utc)
+    if u.startswith("year"):
+        n = s.replace(month=1, day=1, hour=0, minute=0, second=0,
+                      microsecond=0)
+    elif u.startswith("month"):
+        n = s.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    elif u.startswith("week"):
+        n = s.replace(hour=0, minute=0, second=0, microsecond=0)
+        n = n - _dt.timedelta(days=s.isoweekday() % 7)
+    elif u.startswith("day"):
+        n = s.replace(hour=0, minute=0, second=0, microsecond=0)
+    elif u.startswith("hour"):
+        n = s.replace(minute=0, second=0, microsecond=0)
+    elif u.startswith("minute"):
+        n = s.replace(second=0, microsecond=0)
+    elif u.startswith("second"):
+        n = s.replace(microsecond=0)
+    else:
+        raise ValueError(
+            f"smartSummarize: bad alignTo unit {unit!r} (expected a "
+            "prefix of seconds/minutes/hours/days/weeks/months/years)"
+        )
+    return int(n.timestamp())
 
 
 def _align_request_start(ts: int, interval: int) -> int:
@@ -650,7 +711,9 @@ _KW_PARAMS: dict[str, tuple[tuple[str, object], ...]] = {
         ("intervalString", _Required), ("func", "sum"),
         ("alignToFrom", False),
     ),
-    "smartSummarize": (("intervalString", _Required), ("func", "sum")),
+    "smartSummarize": (
+        ("intervalString", _Required), ("func", "sum"), ("alignTo", None),
+    ),
     "movingAverage": (("windowSize", _Required), ("xFilesFactor", None)),
     "movingSum": (("windowSize", _Required), ("xFilesFactor", None)),
     "movingMin": (("windowSize", _Required), ("xFilesFactor", None)),
@@ -677,9 +740,20 @@ _KW_PARAMS: dict[str, tuple[tuple[str, object], ...]] = {
     "highest": (("n", 1), ("func", "average")),
     "lowest": (("n", 1), ("func", "average")),
     "stdev": (("points", _Required), ("windowTolerance", 0.1)),
-    "holtWintersConfidenceBands": (("delta", 3.0),),
-    "holtWintersConfidenceArea": (("delta", 3.0),),
-    "holtWintersAberration": (("delta", 3.0),),
+    # holtWinters family (r10): bootstrapInterval re-fetches extra
+    # history on the refetch rail; seasonality sets the season length
+    "holtWintersForecast": (
+        ("bootstrapInterval", "7d"), ("seasonality", "1d"),
+    ),
+    "holtWintersConfidenceBands": (
+        ("delta", 3.0), ("bootstrapInterval", "7d"), ("seasonality", "1d"),
+    ),
+    "holtWintersConfidenceArea": (
+        ("delta", 3.0), ("bootstrapInterval", "7d"), ("seasonality", "1d"),
+    ),
+    "holtWintersAberration": (
+        ("delta", 3.0), ("bootstrapInterval", "7d"), ("seasonality", "1d"),
+    ),
     "verticalLine": (("ts", _Required), ("label", "verticalLine")),
     "aliasSub": (("search", _Required), ("replace", _Required)),
     "interpolate": (("limit", None),),
@@ -738,7 +812,7 @@ _KW_PARAMS: dict[str, tuple[tuple[str, object], ...]] = {
         ("func", _Required), ("operator", _Required),
         ("threshold", _Required),
     ),
-    "aggregate": (("func", _Required),),
+    "aggregate": (("func", _Required), ("xFilesFactor", None)),
     "aggregateSeriesLists": (("func", _Required),),
     "useSeriesAbove": (
         ("value", _Required), ("search", _Required),
@@ -819,6 +893,12 @@ def _resolve_kwargs(
             full.append(default)
     return full
 
+
+#: holtWinters family — bootstrapInterval re-fetches on the r10 rail.
+_HW_FAMILY = frozenset({
+    "holtWintersForecast", "holtWintersConfidenceBands",
+    "holtWintersConfidenceArea", "holtWintersAberration",
+})
 
 #: Functions taking TWO series expressions (minuend/dividend first).
 _TWO_SERIES = frozenset({
@@ -1058,6 +1138,67 @@ def render(
             base = ev(series_nodes[0], w)
             source = ev(series_nodes[0], sub_window(src_from, src_until))
             return sf.linear_regression(base, source_df=source)
+        if (
+            name == "smartSummarize"
+            and len(scalars) > 2
+            and scalars[2] is not None
+        ):
+            # graphite alignTo: truncate the request start to the named
+            # calendar unit, re-fetch the series from there, bucket from
+            # that aligned start (smart_summarize anchors at the frame's
+            # first slot, which IS the aligned start after the re-fetch)
+            if wfrom is None or wuntil is None:
+                raise ValueError(
+                    "smartSummarize(alignTo=...) needs the request "
+                    "window: render(..., from_ts=, until_ts=)"
+                )
+            _need(series_nodes, 1, 1, name)
+            aligned = _align_to_calendar_unit(wfrom, str(scalars[2]))
+            sub = ev(series_nodes[0], sub_window(aligned, wuntil))
+            return sf.smart_summarize(
+                sub,
+                parse_interval(scalars[0]),
+                str(scalars[1]) if scalars[1] is not None else "sum",
+            )
+        if (
+            name in _HW_FAMILY
+            and refetch_fn is not None
+            and wfrom is not None
+            and wuntil is not None
+        ):
+            # graphite's _fetchWithBootstrap: analyze bootstrapInterval
+            # of EXTRA history before the render window, then emit only
+            # the render window's predictions. Without refetch_fn the
+            # registry lambda's frame-only analysis stands (documented
+            # deviation).
+            _need(series_nodes, 1, 1, name)
+            if name == "holtWintersForecast":
+                boot_i, season_i, delta = 0, 1, None
+            else:
+                boot_i, season_i = 1, 2
+                delta = (
+                    float(scalars[0])
+                    if len(scalars) > 0 and scalars[0] is not None
+                    else 3.0
+                )
+            boot = (
+                parse_interval(scalars[boot_i])
+                if len(scalars) > boot_i and scalars[boot_i] is not None
+                else parse_interval("7d")
+            )
+            season = _hw_season(scalars, season_i)
+            sub = ev(series_nodes[0], sub_window(wfrom - boot, wuntil))
+            if name == "holtWintersForecast":
+                full = sf.holt_winters_forecast(sub, season_seconds=season)
+            elif name == "holtWintersAberration":
+                full = sf.holt_winters_aberration(
+                    sub, delta, season_seconds=season
+                )
+            else:
+                full = sf.holt_winters_confidence_bands(
+                    sub, delta, season_seconds=season
+                )
+            return sf.trim_to_window_start(full, wfrom)
 
         dfs = [ev(sn, w) for sn in series_nodes]
         if name == "events":

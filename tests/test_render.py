@@ -446,6 +446,8 @@ def test_render_fuzz_random_compositions(spark):
         "highestCurrent({X}, n=2)",
         "exclude({X}, pattern='zz')",
         "grep({X}, pattern='.')",
+        "aggregate({X}, 'sum', 0.5)",
+        "aggregate({X}, 'max', xFilesFactor=0.25)",
     ]
     rng = random.Random(20260814)
     fetch = _fetch_fn(spark)
@@ -1012,7 +1014,7 @@ def test_keyword_arguments_full_catalog(spark):
         "cactiStyle", "changed", "countSeries", "cumulative",
         "derivative", "diffSeries", "diffSeriesLists", "divideSeries",
         "divideSeriesLists", "drawAsInfinite", "fallbackSeries",
-        "group", "holtWintersForecast", "integral", "invert",
+        "group", "integral", "invert",
         "isNonNull", "logit", "maxSeries", "minMax", "minSeries",
         "multiplySeries", "multiplySeriesLists", "offsetToZero",
         "powSeries", "rangeOfSeries", "secondYAxis", "sigmoid",
@@ -1226,3 +1228,156 @@ def test_linear_regression_source_window(spark):
     with pytest.raises(ValueError, match="refetch_fn"):
         render("linearRegression(m.a, 0, 6000)", fetch,
                from_ts=6000, until_ts=12000)
+
+
+def test_align_to_calendar_unit():
+    """smartSummarize alignTo truncation: graphite's unit switch in UTC;
+    weeks align to SUNDAY (isoweekday % 7). Epoch 0 = Thu 1970-01-01."""
+    from kenshin_backup_spark.render import _align_to_calendar_unit as al
+
+    day, hour = 86400, 3600
+    # Thu 1970-01-15 13:27:41
+    ts = 14 * day + 13 * hour + 27 * 60 + 41
+    assert al(ts, "seconds") == ts
+    assert al(ts, "minutes") == ts - 41
+    assert al(ts, "hours") == 14 * day + 13 * hour
+    assert al(ts, "days") == 14 * day
+    # Thu → previous Sunday is 1970-01-11 = day 10
+    assert al(ts, "weeks") == 10 * day
+    assert al(ts, "months") == 0
+    assert al(ts, "years") == 0
+    # prefixes accepted, like graphite's getUnitString
+    assert al(ts, "day") == 14 * day
+    assert al(ts, "week") == 10 * day
+    with pytest.raises(ValueError, match="alignTo"):
+        al(ts, "fortnights")
+    # a Sunday (1970-01-11 = day 10) aligns to its own midnight
+    assert al(10 * day + 5, "weeks") == 10 * day
+
+
+def test_smart_summarize_align_to_refetches(spark):
+    """smartSummarize(…, alignTo='hours') truncates the request start,
+    re-fetches from there, and buckets from the aligned start — slots
+    before the original request start join the first bucket."""
+    rows = [("c.m", t, 1.0) for t in range(10800, 18000, 60)]
+    base = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+    clamp = _windowed_fetch(base)
+    fetch = lambda glob: clamp(10900, 18000)  # noqa: E731
+    refetch = lambda glob, a, b: clamp(a, b)  # noqa: E731
+
+    # without alignTo: buckets anchor at the fetched frame's first slot
+    # (10920 — the first grid slot >= 10900)
+    plain = {r.bucket_ts: r.value for r in render(
+        "smartSummarize(c.m, '2h', 'sum')", fetch,
+        from_ts=10900, until_ts=18000, refetch_fn=refetch,
+    ).collect()}
+    assert min(plain) == 10920
+
+    for target in (
+        "smartSummarize(c.m, '2h', 'sum', 'hours')",
+        "smartSummarize(c.m, '2h', 'sum', alignTo='hours')",
+        "smartSummarize(c.m, '2h', alignTo='hour')",
+    ):
+        got = {r.bucket_ts: r.value for r in render(
+            target, fetch,
+            from_ts=10900, until_ts=18000, refetch_fn=refetch,
+        ).collect()}
+        # aligned start 10800; 120 slots of 1.0 summed into one 2h
+        # bucket anchored there
+        assert got == {10800: 120.0}, target
+
+    with pytest.raises(ValueError, match="refetch_fn"):
+        render("smartSummarize(c.m, '2h', 'sum', 'hours')", fetch,
+               from_ts=10900, until_ts=18000)
+
+
+def test_aggregate_xfilesfactor(spark):
+    """aggregate(func, xFilesFactor): graphite's per-bucket gate — keep
+    the aggregate only when ≥1 value exists AND the non-gap fraction
+    across member series is >= xff."""
+    rows = [
+        ("a.x", 0, 1.0), ("a.x", 60, 2.0), ("a.x", 120, None),
+        ("a.y", 0, 3.0), ("a.y", 60, None), ("a.y", 120, None),
+    ]
+    base = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+
+    def fetch(glob):
+        from kenshin_backup_spark.functions.deterministic import glob_to_regex
+        return base.where(F.col("metric").rlike(glob_to_regex(glob)))
+
+    # no xff: every bucket with ≥1 value aggregates (slot 120 all-gap)
+    plain = {r.bucket_ts: r.value
+             for r in render("aggregate(a.*, 'sum')", fetch).collect()}
+    assert plain == {0: 4.0, 60: 2.0, 120: None}
+    # xff=1.0: only fully-populated buckets survive
+    full = {r.bucket_ts: r.value for r in render(
+        "aggregate(a.*, 'sum', 1.0)", fetch).collect()}
+    assert full == {0: 4.0, 60: None, 120: None}
+    # keyword form binds the same
+    kw = {r.bucket_ts: r.value for r in render(
+        "aggregate(a.*, 'sum', xFilesFactor=1.0)", fetch).collect()}
+    assert kw == full
+    # xff=0.5: slot 60 (1 of 2) survives
+    half = {r.bucket_ts: r.value for r in render(
+        "aggregate(a.*, 'sum', 0.5)", fetch).collect()}
+    assert half == {0: 4.0, 60: 2.0, 120: None}
+
+
+def test_holt_winters_bootstrap_refetch(spark):
+    """holtWinters family with refetch_fn: bootstrapInterval of extra
+    history is re-fetched and analyzed, and only the render window's
+    predictions are emitted (graphite's _fetchWithBootstrap +
+    predictions[windowPoints:]). Without refetch_fn the frame-only
+    fallback stands."""
+    import math
+
+    day, hour = 86400, 3600
+    rows = [
+        ("h.m", t, 50.0 + 10.0 * math.sin(2 * math.pi * (t % day) / day))
+        for t in range(0, 4 * day, hour)
+    ]
+    base = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+    clamp = _windowed_fetch(base)
+    ren_lo, ren_hi = 2 * day, 4 * day
+    fetch = lambda glob: clamp(ren_lo, ren_hi)  # noqa: E731
+    refetch = lambda glob, a, b: clamp(a, b)  # noqa: E731
+
+    got = {r.bucket_ts: r.value for r in render(
+        "holtWintersForecast(h.m, '2d')", fetch,
+        from_ts=ren_lo, until_ts=ren_hi, refetch_fn=refetch,
+    ).collect()}
+    # output trimmed to the render window only
+    assert set(got) == set(range(ren_lo, ren_hi, hour))
+
+    # exact equality with the manually composed bootstrap pipeline
+    want = {r.bucket_ts: r.value for r in sf.trim_to_window_start(
+        sf.holt_winters_forecast(clamp(ren_lo - 2 * day, ren_hi)), ren_lo
+    ).collect()}
+    assert got == want
+
+    # the fallback (no refetch_fn) analyzes the window itself — its
+    # first prediction seeds from the first actual, so the two forms
+    # genuinely differ early in the window
+    bare = {r.bucket_ts: r.value for r in render(
+        "holtWintersForecast(h.m, '2d')", fetch,
+        from_ts=ren_lo, until_ts=ren_hi,
+    ).collect()}
+    assert set(bare) == set(got) and bare != got
+
+    # bands: kwarg seasonality + bootstrap; two series, window-trimmed
+    bands = render(
+        "holtWintersConfidenceBands(h.m, 3, bootstrapInterval='1d', "
+        "seasonality='1d')", fetch,
+        from_ts=ren_lo, until_ts=ren_hi, refetch_fn=refetch,
+    )
+    mets = {r.metric for r in bands.select("metric").distinct().collect()}
+    assert mets == {
+        "holtWintersConfidenceUpper(h.m)", "holtWintersConfidenceLower(h.m)",
+    }
+    assert bands.agg(F.min("bucket_ts")).collect()[0][0] == ren_lo
