@@ -554,6 +554,58 @@ def as_percent(
     return out.drop("__q")
 
 
+def as_percent_nodes(
+    df: DataFrame, nodes: list[int], total: DataFrame | None = None
+) -> DataFrame:
+    """graphite ``asPercent(series, total, *nodes)`` — the grouping form
+    (r10; previously a documented loud-reject): series group by their
+    name nodes at the given positions (graphite's ``aggKey``), and each
+    series divides by its GROUP's per-bucket total.
+
+    ``total=None`` → the group total is the safeSum of the input series
+    sharing the key (all-gap buckets stay gaps — F.sum skips nulls and
+    returns NULL when every member is). A ``total`` frame → its series
+    group by the same key; multiple totals in one key sum (graphite
+    sums them); input keys absent from the totals emit all-gap series
+    (graphite's None-valued series). NULL where the total is 0/absent —
+    safeDiv. Quantized BIGINT totals, one double division — the same
+    arithmetic as :func:`as_percent`.
+
+    Names are kept (same documented deviation as the other asPercent
+    forms — graphite renames to ``asPercent(name, totalName)``, a
+    legend concern). A name too short for a node position contributes
+    NULL to the key (concat_ws skips it) where graphite would
+    IndexError — the frame model has no exception channel per series.
+
+    Scale note: one (key, bucket) aggregation over the render frame,
+    broadcast back — group count ≤ series count, never data-volume
+    proportional."""
+    parts = F.split(F.col("metric"), r"\.")
+    key = F.concat_ws(
+        ".", *[F.element_at(parts, int(n) + 1) for n in nodes]
+    )
+    q = F.floor(F.col("value") * 1_000_000).cast("long")
+    src = total if total is not None else df
+    tot = (
+        src.withColumn("__k", key)
+        .groupBy("__k", "bucket_ts")
+        .agg(F.sum(q).alias("__tq"))
+    )
+    pct = (
+        df.withColumn("__k", key)
+        .withColumn("__q", q)
+        .join(F.broadcast(tot), ["__k", "bucket_ts"], "left")
+    )
+    return pct.withColumn(
+        "value",
+        F.when(
+            F.col("__tq").isNotNull() & (F.col("__tq") != 0),
+            (F.col("__q").cast("double") / F.col("__tq").cast("double"))
+            * 100.0,
+        ),
+    ).drop("__k", "__q", "__tq")
+
+
 def min_series(df: DataFrame, name: str = "minSeries") -> DataFrame:
     """graphite ``minSeries()``: per-bucket minimum across series."""
     return _combine(df.withColumn("metric", F.lit(name)), "min")
@@ -1621,6 +1673,26 @@ def _interval_label(seconds: int) -> str:
     return f"{seconds}s"
 
 
+def time_stack_copy(
+    df: DataFrame, interval_seconds: int, i: int, unit_label: str
+) -> DataFrame:
+    """One timeStack member: the frame shifted forward by ``i·interval``
+    and renamed with graphite's literal ``'timeShift(%s, %s, %s)'``
+    legend (the shift UNIT is part of it). Shared by the in-frame
+    :func:`time_stack` and the render evaluator's refetch path (r10),
+    so both produce identical names and grids."""
+    return df.select(
+        F.concat(
+            F.lit("timeShift("), F.col("metric"),
+            F.lit(f", {unit_label}, {int(i)})"),
+        ).alias("metric"),
+        (F.col("bucket_ts") + int(i) * int(interval_seconds))
+        .cast("long")
+        .alias("bucket_ts"),
+        "value",
+    )
+
+
 def time_stack(
     df: DataFrame, interval_seconds: int, start: int, end: int,
     unit_label: str | None = None,
@@ -1642,20 +1714,10 @@ def time_stack(
     if end <= start:
         raise ValueError("timeStack needs start < end")
     unit = unit_label or _interval_label(int(interval_seconds))
-    copies = []
-    for i in range(int(start), int(end)):
-        copies.append(
-            df.select(
-                F.concat(
-                    F.lit("timeShift("), F.col("metric"),
-                    F.lit(f", {unit}, {i})"),
-                ).alias("metric"),
-                (F.col("bucket_ts") + i * int(interval_seconds))
-                .cast("long")
-                .alias("bucket_ts"),
-                "value",
-            )
-        )
+    copies = [
+        time_stack_copy(df, int(interval_seconds), i, unit)
+        for i in range(int(start), int(end))
+    ]
     out = copies[0]
     for c in copies[1:]:
         out = out.unionByName(c)

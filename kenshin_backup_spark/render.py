@@ -163,6 +163,18 @@ class _Parser:
         ):
             self.take()
             return ("bool", t.text.lower() == "true")
+        # graphite None (asPercent(x, None, 1) — the explicit no-total
+        # placeholder before *nodes): same literal rule as booleans
+        if (
+            t.kind == "glob"
+            and t.text.lower() == "none"
+            and not (
+                self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1].kind == "lparen"
+            )
+        ):
+            self.take()
+            return ("none", None)
         return self.expr()
 
     def parse(self):
@@ -230,27 +242,34 @@ def _need(args, n_min, n_max, name):
 
 
 def _as_percent_target(d, s):
-    """``asPercent(series[, total])`` dispatch with loud rejection of
-    the unsupported forms (r10 ADVICE fix — previously 3+ series
-    expressions or a total series plus trailing scalars silently used
-    only d[0]/d[1]): graphite's ``*nodes`` grouping form
-    (``asPercent(x, total, 1)``) and any 3+-series call raise instead
-    of returning silently divergent results."""
+    """``asPercent(series[, total[, *nodes]])`` dispatch. Forms:
+    no args → all-series total; a numeric scalar → constant total; a
+    second series expression → graphite's matchSeries rules; ``None``
+    or a total series followed by integer nodes → the GROUPING form
+    (r10, :func:`seriesfns.as_percent_nodes`). The one form graphite
+    itself rejects — a constant total combined with nodes — raises,
+    as does any 3+-series call (ADVICE r10: never silently drop
+    arguments)."""
     if len(d) > 2:
         raise ValueError(
             "asPercent: at most one total series expression is "
             f"supported, got {len(d)} series arguments"
         )
-    if len(d) > 1 and s:
-        raise ValueError(
-            "asPercent: the *nodes grouping form (total series plus "
-            "scalar node arguments) is not supported"
+    # nodes forms: scalars beyond the total slot must be integers
+    if (len(d) > 1 and s) or len(s) > 1:
+        if len(d) == 1 and s[0] is not None:
+            raise ValueError(
+                "asPercent: total must be None or a seriesList when "
+                "*nodes are given (graphite rejects a constant total "
+                "with nodes)"
+            )
+        nodes = [int(x) for x in (s if len(d) > 1 else s[1:])]
+        return sf.as_percent_nodes(
+            d[0], nodes, d[1] if len(d) > 1 else None
         )
-    if len(s) > 1:
-        raise ValueError(
-            "asPercent: at most one scalar total is supported, "
-            f"got {len(s)}"
-        )
+    if s and s[0] is None:
+        # explicit None total, no nodes — same as the bare form
+        return sf.as_percent(d[0], None)
     return sf.as_percent(
         d[0], d[1] if len(d) > 1 else (float(s[0]) if s else None)
     )
@@ -349,11 +368,10 @@ def _registry() -> dict[str, Callable]:
         "grep": lambda d, s: sf.grep(d[0], str(s[0])),
         "mostDeviant": lambda d, s: sf.most_deviant(d[0], int(s[0])),
         "limit": lambda d, s: sf.limit_series(d[0], int(s[0])),
-        # asPercent(series[, total]): total is a second series
-        # expression or a numeric constant (graphite's *nodes grouping
-        # form is not supported — documented). Unsupported forms (3+
-        # series expressions, or a total series combined with trailing
-        # scalars) fail LOUDLY rather than silently dropping arguments
+        # asPercent(series[, total[, *nodes]]): total is a second series
+        # expression, a numeric constant, or None; trailing integer
+        # nodes select the grouping form (r10). The forms graphite
+        # rejects fail LOUDLY rather than silently dropping arguments
         # (r10 ADVICE fix).
         "asPercent": lambda d, s: _as_percent_target(d, s),
         "minSeries": lambda d, s: sf.min_series(d[0]),
@@ -763,7 +781,9 @@ _KW_PARAMS: dict[str, tuple[tuple[str, object], ...]] = {
     "scale": (("factor", _Required),),
     "offset": (("factor", _Required),),
     "add": (("constant", _Required),),
-    "timeShift": (("timeShift", _Required),),
+    "timeShift": (
+        ("timeShift", _Required), ("resetEnd", True), ("alignDST", False),
+    ),
     "scaleToSeconds": (("seconds", _Required),),
     "delay": (("steps", _Required),),
     "hitcount": (("intervalString", _Required), ("alignToInterval", False)),
@@ -801,7 +821,7 @@ _KW_PARAMS: dict[str, tuple[tuple[str, object], ...]] = {
     "alpha": (("alpha", _Required),),
     "aggregateLine": (("func", "avg"),),
     "stacked": (("stackName", "__DEFAULT__"),),
-    "asPercent": (("total", None),),
+    "asPercent": (("total", None), ("nodes", _Variadic)),
     "timeSlice": (("startSliceAt", _Required), ("endSliceAt", _Required)),
     "timeStack": (
         ("timeShiftUnit", "1d"), ("timeShiftStart", 0),
@@ -1160,6 +1180,83 @@ def render(
                 parse_interval(scalars[0]),
                 str(scalars[1]) if scalars[1] is not None else "sum",
             )
+        if (
+            name == "timeShift"
+            and refetch_fn is not None
+            and wfrom is not None
+            and wuntil is not None
+        ):
+            # graphite timeShift is a REFETCH: evaluate the target over
+            # the shifted request window, then move the timestamps back
+            # onto the render grid. An unsigned offset implies MINUS
+            # (into the past — 'if timeShift[0].isdigit(): "-"+...').
+            # resetEnd (default true) clamps the unshifted series to
+            # the request end. alignDST is accepted and is a no-op: the
+            # engine is clock-free UTC, which has no DST (documented
+            # deviation). Without refetch_fn the registry lambda's
+            # in-frame shift stands (the period-over-period composition
+            # form — documented).
+            _need(series_nodes, 1, 1, name)
+            txt = str(scalars[0]).strip()
+            if txt.startswith("+"):
+                delta = parse_interval(txt[1:])
+            elif txt[:1].isdigit():
+                delta = -parse_interval(txt)
+            else:
+                delta = parse_interval(txt)
+            reset_end = (
+                _to_bool(scalars[1])
+                if len(scalars) > 1 and scalars[1] is not None
+                else True
+            )
+            sub = ev(
+                series_nodes[0], sub_window(wfrom + delta, wuntil + delta)
+            )
+            out = sf.time_shift(sub, -delta)
+            if reset_end:
+                out = out.where(f"bucket_ts <= {int(wuntil)}")
+            return out
+        if (
+            name == "timeStack"
+            and refetch_fn is not None
+            and wfrom is not None
+            and wuntil is not None
+        ):
+            # graphite timeStack re-fetches EACH shift i intervals into
+            # the past and plots it at render time; the i=0 copy is the
+            # render fetch itself. Same legend/grid as the in-frame
+            # fallback (sf.time_stack_copy is shared), but each copy
+            # covers the full render window instead of only the
+            # already-fetched range. end−start is a small literal, so
+            # the fetch count is argument-bounded.
+            _need(series_nodes, 1, 1, name)
+            interval = (
+                parse_interval(scalars[0])
+                if len(scalars) > 0 and scalars[0] is not None else 86400
+            )
+            unit = (
+                str(scalars[0])
+                if len(scalars) > 0 and scalars[0] is not None else "1d"
+            )
+            t_start = (
+                int(scalars[1])
+                if len(scalars) > 1 and scalars[1] is not None else 0
+            )
+            t_end = (
+                int(scalars[2])
+                if len(scalars) > 2 and scalars[2] is not None else 7
+            )
+            if t_end <= t_start:
+                raise ValueError("timeStack needs start < end")
+            out = None
+            for i in range(t_start, t_end):
+                sub = ev(series_nodes[0], w) if i == 0 else ev(
+                    series_nodes[0],
+                    sub_window(wfrom - i * interval, wuntil - i * interval),
+                )
+                copy = sf.time_stack_copy(sub, interval, i, unit)
+                out = copy if out is None else out.unionByName(copy)
+            return out
         if (
             name in _HW_FAMILY
             and refetch_fn is not None

@@ -448,6 +448,8 @@ def test_render_fuzz_random_compositions(spark):
         "grep({X}, pattern='.')",
         "aggregate({X}, 'sum', 0.5)",
         "aggregate({X}, 'max', xFilesFactor=0.25)",
+        "asPercent({X}, None, 0)",
+        "asPercent({X}, nodes=0)",
     ]
     rng = random.Random(20260814)
     fetch = _fetch_fn(spark)
@@ -909,13 +911,13 @@ def test_round9_param_tail_two(spark):
     with pytest.raises(ValueError, match="asPercent second argument"):
         render("asPercent(web.s2, web.s*)", fetch).collect()
     # unsupported forms fail LOUDLY (r10 ADVICE fix) instead of
-    # silently dropping arguments: the *nodes grouping form (total
-    # series + trailing scalars) and 3+ series expressions
-    with pytest.raises(ValueError, match="nodes grouping"):
-        render("asPercent(web.s2, web.s10, 1)", fetch)
+    # silently dropping arguments: 3+ series expressions, and a
+    # constant total combined with nodes (graphite rejects it too).
+    # The *nodes grouping form itself is implemented (r10 late — see
+    # test_as_percent_nodes_grouping).
     with pytest.raises(ValueError, match="at most one total series"):
         render("asPercent(web.s2, web.s10, web.gap)", fetch)
-    with pytest.raises(ValueError, match="at most one scalar total"):
+    with pytest.raises(ValueError, match="None or a seriesList"):
         render("asPercent(web.s2, 8, 1)", fetch)
 
     # groupByNode default callback = average (graphite parity)
@@ -1381,3 +1383,140 @@ def test_holt_winters_bootstrap_refetch(spark):
         "holtWintersConfidenceUpper(h.m)", "holtWintersConfidenceLower(h.m)",
     }
     assert bands.agg(F.min("bucket_ts")).collect()[0][0] == ren_lo
+
+
+def test_as_percent_nodes_grouping(spark):
+    """asPercent(series, total, *nodes) — the grouping form (r10):
+    series group by their name nodes; each divides by its group's
+    per-bucket total (safeSum / safeDiv)."""
+    rows = [
+        ("dc1.web.a", 0, 1.0), ("dc1.web.b", 0, 3.0),
+        ("dc2.web.a", 0, 5.0), ("dc2.web.b", 0, None),
+        ("dc1.web.a", 60, None), ("dc1.web.b", 60, None),
+        ("dc2.web.a", 60, 2.0), ("dc2.web.b", 60, 6.0),
+    ]
+    base = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+    tot_rows = [
+        ("dc1.cap.x", 0, 8.0), ("dc2.cap.x", 0, 10.0),
+        ("dc1.cap.x", 60, 4.0), ("dc2.cap.x", 60, 16.0),
+    ]
+    tot = spark.createDataFrame(
+        tot_rows, "metric string, bucket_ts long, value double"
+    )
+    both = base.unionByName(tot)
+
+    def fetch(glob):
+        from kenshin_backup_spark.functions.deterministic import glob_to_regex
+        return both.where(F.col("metric").rlike(glob_to_regex(glob)))
+
+    # None total: group (node 0) sums are the divisors
+    got = {(r.metric, r.bucket_ts): r.value for r in render(
+        "asPercent(*.web.*, None, 0)", fetch).collect()}
+    assert got[("dc1.web.a", 0)] == 25.0      # 1 / (1+3)
+    assert got[("dc1.web.b", 0)] == 75.0
+    assert got[("dc2.web.a", 0)] == 100.0     # gap member skipped: 5/5
+    assert got[("dc2.web.b", 0)] is None      # gap value stays a gap
+    assert got[("dc1.web.a", 60)] is None     # all-gap group → gap
+    assert got[("dc2.web.a", 60)] == 25.0     # 2 / (2+6)
+
+    # explicit total series list grouped by the same node
+    gt = {(r.metric, r.bucket_ts): r.value for r in render(
+        "asPercent(*.web.*, *.cap.*, 0)", fetch).collect()}
+    assert gt[("dc1.web.a", 0)] == 12.5       # 1 / 8
+    assert gt[("dc2.web.b", 60)] == 37.5      # 6 / 16
+    assert gt[("dc2.web.b", 0)] is None
+
+    # keyword variadic binds one node; None total pads
+    kw = {(r.metric, r.bucket_ts): r.value for r in render(
+        "asPercent(*.web.*, nodes=0)", fetch).collect()}
+    assert kw == got
+
+    # input keys absent from the totals emit all-gap series
+    missing = {(r.metric, r.bucket_ts): r.value for r in render(
+        "asPercent(*.web.*, dc1.cap.x, 0)", fetch).collect()}
+    assert missing[("dc1.web.a", 0)] == 12.5
+    assert missing[("dc2.web.a", 0)] is None
+
+    # explicit None with no nodes == the bare all-series form
+    bare = sorted(map(tuple, render("asPercent(*.web.*)", fetch).collect()))
+    none = sorted(map(tuple, render(
+        "asPercent(*.web.*, None)", fetch).collect()))
+    assert bare == none
+
+
+def test_time_shift_refetch(spark):
+    """timeShift with refetch_fn follows graphite exactly: evaluate the
+    target over the shifted request window, move timestamps back onto
+    the render grid; an unsigned offset implies MINUS (into the past).
+    '+' shifts forward; resetEnd clamps to the request end."""
+    rows = [("t.m", t, float(t)) for t in range(0, 4 * 3600, 60)]
+    base = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+    clamp = _windowed_fetch(base)
+    lo, hi = 2 * 3600, 3 * 3600
+    fetch = lambda glob: clamp(lo, hi)  # noqa: E731
+    refetch = lambda glob, a, b: clamp(a, b)  # noqa: E731
+
+    # '1h' = one hour into the past: yesterday's value at today's slot
+    for target in ("timeShift(t.m, '1h')", "timeShift(t.m, '-1h')",
+                   "timeShift(t.m, timeShift='1h')"):
+        got = {r.bucket_ts: r.value for r in render(
+            target, fetch,
+            from_ts=lo, until_ts=hi, refetch_fn=refetch,
+        ).collect()}
+        assert got == {t: float(t - 3600) for t in range(lo, hi, 60)}, target
+
+    # '+1h' shifts forward: next hour's value at this slot
+    fwd = {r.bucket_ts: r.value for r in render(
+        "timeShift(t.m, '+1h')", fetch,
+        from_ts=lo, until_ts=hi, refetch_fn=refetch,
+    ).collect()}
+    assert fwd == {t: float(t + 3600) for t in range(lo, hi, 60)}
+
+    # resetEnd=true (default) clamps the output to the request end
+    assert max(fwd) <= hi
+
+    # the no-refetch fallback keeps the in-frame composition shift
+    # (positive = forward along the axis), documented deviation
+    bare = {r.bucket_ts: r.value for r in render(
+        "timeShift(t.m, '1h')", fetch, from_ts=lo, until_ts=hi,
+    ).collect()}
+    assert bare == {t + 3600: float(t) for t in range(lo, hi, 60)}
+
+
+def test_time_stack_refetch(spark):
+    """timeStack with refetch_fn re-fetches each shift from the past and
+    every copy covers the FULL render window (the in-frame fallback's
+    copies only cover the fetched range)."""
+    rows = [("t.m", t, float(t)) for t in range(0, 4 * 3600, 60)]
+    base = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+    clamp = _windowed_fetch(base)
+    lo, hi = 2 * 3600, 3 * 3600
+    fetch = lambda glob: clamp(lo, hi)  # noqa: E731
+    refetch = lambda glob, a, b: clamp(a, b)  # noqa: E731
+
+    got = {(r.metric, r.bucket_ts): r.value for r in render(
+        "timeStack(t.m, '1h', 0, 3)", fetch,
+        from_ts=lo, until_ts=hi, refetch_fn=refetch,
+    ).collect()}
+    slots = range(lo, hi, 60)
+    for i in range(3):
+        name = f"timeShift(t.m, 1h, {i})"
+        for t in slots:
+            # copy i plots the value from i hours earlier at slot t
+            assert got[(name, t)] == float(t - i * 3600), (name, t)
+    # every copy spans the whole render window
+    assert len(got) == 3 * len(list(slots))
+
+    # fallback (no refetch): shifted copies only cover the fetched range
+    bare = {(r.metric, r.bucket_ts): r.value for r in render(
+        "timeStack(t.m, '1h', 0, 3)", fetch, from_ts=lo, until_ts=hi,
+    ).collect()}
+    in_window = [k for k in bare
+                 if k[0] == "timeShift(t.m, 1h, 2)" and lo <= k[1] < hi]
+    assert len(in_window) < len(list(slots))
