@@ -262,11 +262,19 @@ class Engine:
                 "metric", "bucket_ts", "value"
             )
 
+        # the request's effective "now": adjusted-window re-fetches must
+        # clamp and route archives against the REAL request now, not the
+        # sub-window's end (graphite's shifted requestContext copies keep
+        # the true now; a past timeShift would otherwise route to a finer
+        # archive than the original request could see)
+        eff_now = now_ts if now_ts is not None else until_ts
+
         def refetch_fn(glob: str | None, f: int, u: int) -> DataFrame:
-            # adjusted-window re-fetch for hitcount(alignToInterval)
-            # and linearRegression(startSourceAt/endSourceAt) — same
+            # adjusted-window re-fetch for hitcount(alignToInterval),
+            # linearRegression source windows, smartSummarize alignTo,
+            # timeShift/timeStack and the holtWinters bootstrap — same
             # rail as fetch_fn, different bounds (r10)
-            return self.fetch(glob, f, u, now_ts=now_ts).select(
+            return self.fetch(glob, f, u, now_ts=eff_now).select(
                 "metric", "bucket_ts", "value"
             )
 

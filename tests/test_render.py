@@ -1520,3 +1520,31 @@ def test_time_stack_refetch(spark):
     in_window = [k for k in bare
                  if k[0] == "timeShift(t.m, 1h, 2)" and lo <= k[1] < hi]
     assert len(in_window) < len(list(slots))
+
+
+def test_engine_render_time_shift_refetch(spark, tmp_path):
+    """Engine.render wires refetch_fn: timeShift('2h') pulls data from
+    before the render window out of the store (the in-frame fallback
+    would leave the window empty), clamped against the real request
+    now."""
+    from kenshin_backup_spark.api import Engine
+    from kenshin_backup_spark.operators.policies import Policy
+
+    pts = spark.createDataFrame(
+        [("m", t, float(t)) for t in range(0, 6 * 3600, 600)],
+        "metric string, ts long, value double",
+    ).select("metric", F.col("ts").cast("timestamp").alias("ts"), "value")
+    eng = Engine(
+        spark,
+        str(tmp_path / "shift_store"),
+        policies=[Policy(name="h", pattern=".*", steps=(3600,), agg="max")],
+    )
+    eng.write(pts)
+    lo, hi = 4 * 3600, 6 * 3600
+    got = {r.bucket_ts: r.value
+           for r in eng.render("timeShift(m, '2h')", lo, hi).collect()}
+    # hourly MAX of values = t; slot h holds max t in [h, h+3600) = h+3000
+    # timeShift('2h') = two hours into the past, plotted at render slots
+    want = {h: float(h - 2 * 3600 + 3000) for h in range(lo, hi + 1, 3600)
+            if h - 2 * 3600 + 3000 < 6 * 3600}
+    assert got == want
