@@ -238,6 +238,7 @@ class Engine:
         *,
         now_ts: int | None = None,
         max_data_points: int | None = None,
+        x_files_factor: float | None = None,
     ) -> DataFrame:
         """Evaluate a graphite render-target expression (the reference
         consumers' query language) over this store — e.g.
@@ -286,6 +287,7 @@ class Engine:
             events_fn=self._events_fn,
             max_data_points=max_data_points,
             refetch_fn=refetch_fn,
+            x_files_factor=x_files_factor,
         )
 
     def render_many(
@@ -296,6 +298,7 @@ class Engine:
         *,
         now_ts: int | None = None,
         max_data_points: int | None = None,
+        x_files_factor: float | None = None,
     ) -> DataFrame:
         """Evaluate SEVERAL render targets in one call — the shape of a
         real graphite render request (``&target=a&target=b...``); every
@@ -318,6 +321,7 @@ class Engine:
             part = self.render(
                 t, from_ts, until_ts,
                 now_ts=now_ts, max_data_points=max_data_points,
+                x_files_factor=x_files_factor,
             ).select(
                 F.lit(t).alias("target"), "metric", "bucket_ts", "value"
             )

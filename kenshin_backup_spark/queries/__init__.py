@@ -200,15 +200,16 @@ _MODULES = (
 #:    (counter-wrap formula, removeEmptySeries xff gate, hitcount
 #:    anchor, linear_regression source_df) plus Engine.render
 #:    (refetch_fn), so all ten graphite_render_* certs re-rotate;
-#: 2. the NEW round-10 cert (batch79): linearRegression with a shifted
-#:    source window — the Engine-rail refetch certified end-to-end (a
-#:    hash match that FAILS on any fit-on-render fallback), exact-parity
-#:    green at sf0.001 AND sf0.01 before rotation;
-#: 3. the next-oldest evidence: the first 39 rows of the r4 cohort
-#:    (COVERAGE.md's r10 queue, alphabetical). The last four r4 rows
-#:    (tsdb_slo_burn_rate, tsdb_theilsen_trend, upsert_latest_state,
-#:    window_topk_parts_per_brand) carry to the r11 queue — the ten
-#:    changed-code re-certs outrank them this round.
+#: 2. the NEW round-10 certs (batch79): linearRegression with a shifted
+#:    source window (a hash match that FAILS on any fit-on-render
+#:    fallback) and timeShift('7d') through the same Engine-rail refetch
+#:    (fails on the pre-r10 frame-only shift) — both exact-parity green
+#:    at sf0.001 AND sf0.01 before rotation;
+#: 3. the next-oldest evidence: the first 38 rows of the r4 cohort
+#:    (COVERAGE.md's r10 queue, alphabetical). The last five r4 rows
+#:    (tsdb_rollup_1h, tsdb_slo_burn_rate, tsdb_theilsen_trend,
+#:    upsert_latest_state, window_topk_parts_per_brand) carry to the
+#:    r11 queue — the changed-code re-certs and new certs outrank them.
 #: The 9 rows-only-by-design queries (approx_distinct_parts,
 #: approx_event_percentiles, emb_intrinsic_dimension,
 #: emb_kmeans_clusters, emb_mmr_rerank*, events_rolling_wau_hll,
@@ -230,8 +231,9 @@ _PRIORITY = (
     "graphite_render_bandmath",
     "graphite_render_rollstats",
     "graphite_render_alias_consolidate",
-    # --- 2. new round-10 cert (batch79) ---------------------------------------
+    # --- 2. new round-10 certs (batch79) --------------------------------------
     "graphite_render_linreg_source",
+    "graphite_render_timeshift_weekly",
     # --- 3. next-oldest evidence: the r4 cohort (first 39 of 43) --------------
     "customer_rfm_scores",
     "dedup_connected_components",
@@ -271,7 +273,6 @@ _PRIORITY = (
     "tsdb_fetch_gapfill",
     "tsdb_histogram_percentile",
     "tsdb_policy_driven_rollup",
-    "tsdb_rollup_1h",
 )
 
 

@@ -138,3 +138,70 @@ QUERIES = {
 ORACLE = {
     "graphite_render_linreg_source": _LINREG_SQL,
 }
+
+
+def graphite_render_timeshift_weekly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r10 refetch-rail cert #2: ``timeShift(series, '7d')`` through
+    ``Engine.render`` — the week-ago values re-FETCHED from the store
+    and plotted at the render window's slots. The render window is the
+    events range's last ~16 days; a frame-only shift (the pre-r10
+    behavior) would push the fetched window's data out of range and
+    emit gaps everywhere data should be, so the hash match certifies
+    the shifted-window fetch + unshift + resetEnd clamp end-to-end.
+
+    Determinism: hourly MAX of floored values — integers all the way;
+    the shift is pure timestamp arithmetic. Scale: one extra pruned
+    archive fetch (the shifted window); no new shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_type").alias("metric"),
+        "ts",
+        F.floor("value").cast("double").alias("value"),
+    )
+    eng = Engine(
+        spark,
+        staged_path(sf_dir, "tshift_store", tables=("events",)),
+        policies=[Policy(name="hourly", pattern=".*", steps=(3600,),
+                         agg="max")],
+    )
+    eng.write(pts)
+    es = F.unix_timestamp("ts").cast("long")
+    b = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
+    lo = b.lo - b.lo % 86400
+    mid = lo + 14 * 86400
+    out = eng.render(f"timeShift({_METS}, '7d')", mid, b.hi + 1)
+    return out.select(
+        "metric",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+_TSHIFT_SQL = f"""
+WITH bounds AS (
+  SELECT (MIN({_ES}) - MIN({_ES}) % 86400) AS lo,
+         ((MAX({_ES}) + 1) // 3600) * 3600 AS hi
+  FROM events
+),
+win AS (SELECT lo, lo + 14 * 86400 AS mid, hi FROM bounds),
+mets AS (
+  SELECT UNNEST(['click','error','purchase','signup','view']) AS metric
+),
+hourly AS (
+  SELECT event_type AS metric,
+         CAST((({_ES}) // 3600) * 3600 AS BIGINT) AS h,
+         CAST(MAX(FLOOR(value)) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT m.metric, CAST(g.h AS BIGINT) AS bucket_ts, hr.v AS value
+FROM (SELECT UNNEST(generate_series(mid, hi, 3600)) AS h FROM win) g
+CROSS JOIN mets m
+LEFT JOIN hourly hr
+  ON hr.h = g.h - 7 * 86400 AND hr.metric = m.metric
+ORDER BY 1, 2
+"""
+
+QUERIES["graphite_render_timeshift_weekly"] = graphite_render_timeshift_weekly
+ORACLE["graphite_render_timeshift_weekly"] = _TSHIFT_SQL

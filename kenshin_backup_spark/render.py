@@ -955,6 +955,7 @@ def render(
     events_fn: Callable[[list[str]], DataFrame] | None = None,
     max_data_points: int | None = None,
     refetch_fn: Callable[[str | None, int, int], DataFrame] | None = None,
+    x_files_factor: float | None = None,
 ) -> DataFrame:
     """Parse and evaluate one render target; leaves resolve via
     ``fetch_fn(glob)`` → canonical series frame. ``fetch_fn(None)`` must
@@ -978,7 +979,11 @@ def render(
     interval-truncated request start, and ``linearRegression(…,
     startSourceAt, endSourceAt)`` fits on a separately-fetched source
     window and projects the line over the render window (r10 — closes
-    the two documented frame-model deviations)."""
+    the two documented frame-model deviations).
+    ``x_files_factor`` is graphite's request-level ``&xFilesFactor=``
+    default (requestContext['xFilesFactor']): any catalog function with
+    an ``xFilesFactor`` parameter left unset inherits it — an explicit
+    per-call value always wins (r10)."""
     reg = _registry()
     # consolidation state (kernel + xFilesFactor) keyed by the frame
     # OBJECT (id); _keepalive pins every evaluated frame so an id is
@@ -1097,6 +1102,30 @@ def render(
                     )
                 scalars.append(a[1])
         scalars = _resolve_kwargs(name, scalars, kwargs)
+        # request-level xFilesFactor default (graphite's &xFilesFactor=):
+        # fills any OPTIONAL xFilesFactor parameter (spec default None)
+        # the call left unset; explicit values — including explicit
+        # None — at that position are never overridden by padding an
+        # earlier-required gap (those fail later with their own error)
+        if x_files_factor is not None and name in _KW_PARAMS:
+            params = _KW_PARAMS[name]
+            for idx, (pname, pdefault) in enumerate(params):
+                if pname != "xFilesFactor" or pdefault is not None:
+                    continue
+                if idx < len(scalars):
+                    if scalars[idx] is None:
+                        scalars[idx] = x_files_factor
+                else:
+                    pad, ok = [], True
+                    for j in range(len(scalars), idx):
+                        dj = params[j][1]
+                        if dj is _Required or dj is _Variadic:
+                            ok = False
+                            break
+                        pad.append(dj)
+                    if ok:
+                        scalars = scalars + pad + [x_files_factor]
+                break
 
         def sub_window(new_from, new_until):
             if refetch_fn is None:
@@ -1401,11 +1430,17 @@ def render(
     out = ev(_Parser(_tokenize(target)).parse())
     if max_data_points is not None:
         state = hints.get(id(out), {})
+        # series-level hint wins; the request default fills its absence
+        # (graphite: series.xFilesFactor defaults to the requestContext
+        # value)
+        xff_hint = state.get("xff")
         out = sf.consolidate_points(
             out,
             int(max_data_points),
             func_hint=state.get("func"),
-            x_files_factor=state.get("xff"),
+            x_files_factor=(
+                xff_hint if xff_hint is not None else x_files_factor
+            ),
         )
     # internal bookkeeping columns (e.g. sortBy*'s __series_order) exist
     # for downstream composition only — never in the final result

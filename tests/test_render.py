@@ -1548,3 +1548,67 @@ def test_engine_render_time_shift_refetch(spark, tmp_path):
     want = {h: float(h - 2 * 3600 + 3000) for h in range(lo, hi + 1, 3600)
             if h - 2 * 3600 + 3000 < 6 * 3600}
     assert got == want
+
+
+def test_request_level_xfilesfactor_default(spark):
+    """render(x_files_factor=…) is graphite's request-level
+    &xFilesFactor= default: optional xFilesFactor parameters left unset
+    inherit it; explicit per-call values win; required xFilesFactor
+    positions (the hint functions) are never auto-filled."""
+    rows = [
+        ("a.x", 0, 1.0), ("a.x", 60, 2.0), ("a.x", 120, None),
+        ("a.y", 0, 3.0), ("a.y", 60, None), ("a.y", 120, None),
+    ]
+    base = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+
+    def fetch(glob):
+        from kenshin_backup_spark.functions.deterministic import glob_to_regex
+        return base.where(F.col("metric").rlike(glob_to_regex(glob)))
+
+    # aggregate inherits the request default (xff=1.0 → slot 60 gaps)
+    got = {r.bucket_ts: r.value for r in render(
+        "aggregate(a.*, 'sum')", fetch, x_files_factor=1.0).collect()}
+    assert got == {0: 4.0, 60: None, 120: None}
+    # explicit per-call value wins over the request default
+    over = {r.bucket_ts: r.value for r in render(
+        "aggregate(a.*, 'sum', 0.5)", fetch, x_files_factor=1.0).collect()}
+    assert over == {0: 4.0, 60: 2.0, 120: None}
+    # removeEmptySeries inherits (xff=0.5: a.x is 2/3 populated → kept,
+    # a.y is 1/3 → dropped)
+    kept = {r.metric for r in render(
+        "removeEmptySeries(a.*)", fetch, x_files_factor=0.5)
+        .select("metric").distinct().collect()}
+    assert kept == {"a.x"}
+    # moving family inherits: windowSize positional, xff padded in
+    mv = {(r.metric, r.bucket_ts): r.value for r in render(
+        "movingSum(a.*, 2)", fetch, x_files_factor=1.0).collect()}
+    # a.x slot 120: window {1.0, 2.0} full → 3.0; a.y slot 120: window
+    # {3.0, None} fails xff=1.0 → gap
+    assert mv[("a.x", 120)] == 3.0
+    assert mv[("a.y", 120)] is None
+    # the REQUIRED xFilesFactor positions (hint functions) still demand
+    # their argument — the default never auto-fills them
+    with pytest.raises((ValueError, IndexError)):
+        render("xFilesFactor(a.*)", fetch, x_files_factor=0.5)
+    # consolidation: the request default reaches maxDataPoints when no
+    # series-level hint is set — the band containing the gap slot gaps
+    # out under xff=1.0 and keeps its average without it
+    vals = [1.0, 2.0, 3.0, None, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
+    wide = spark.createDataFrame(
+        [("b.z", 60 * i, v) for i, v in enumerate(vals)],
+        "metric string, bucket_ts long, value double",
+    )
+
+    def fetch_wide(glob):
+        from kenshin_backup_spark.functions.deterministic import glob_to_regex
+        return wide.where(F.col("metric").rlike(glob_to_regex(glob)))
+
+    cp = {r.bucket_ts: r.value for r in render(
+        "b.z", fetch_wide, max_data_points=5, x_files_factor=1.0
+    ).collect()}
+    cp0 = {r.bucket_ts: r.value for r in render(
+        "b.z", fetch_wide, max_data_points=5).collect()}
+    assert cp[120] is None and cp0[120] == 3.0
+    assert cp[240] == cp0[240] == 5.5
