@@ -1612,3 +1612,110 @@ def test_request_level_xfilesfactor_default(spark):
         "b.z", fetch_wide, max_data_points=5).collect()}
     assert cp[120] is None and cp0[120] == 3.0
     assert cp[240] == cp0[240] == 5.5
+
+
+def test_resolve_kwargs_matches_python_binding():
+    """Property: _resolve_kwargs implements Python's binding rules over
+    every _KW_PARAMS spec — each resolved position equals what
+    inspect.Signature.bind produces for the same call (variadic specs
+    behave as a positional-or-keyword slot taking one value; required
+    markers bind like parameters without defaults). Error cases
+    (missing required, double-given, unknown name) must raise exactly
+    when Python's bind raises."""
+    import inspect
+    import itertools
+    import random
+
+    from kenshin_backup_spark.render import (
+        _KW_PARAMS,
+        _Required,
+        _Variadic,
+        _resolve_kwargs,
+    )
+
+    rng = random.Random(20260815)
+    _MISS = object()  # required-after-default (asPercent's total,nodes):
+    # Python signatures can't express it, so those get a sentinel
+    # default — it can never leak into a compared position because the
+    # resolver's output stops at the last provided index
+    for name, params in sorted(_KW_PARAMS.items()):
+        sig_params, seen_default = [], False
+        for pname, pdefault in params:
+            required = pdefault in (_Required, _Variadic)
+            if required and seen_default:
+                default = _MISS
+            elif required:
+                default = inspect.Parameter.empty
+            else:
+                default = pdefault
+                seen_default = True
+            sig_params.append(inspect.Parameter(
+                pname, inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                default=default,
+            ))
+        sig = inspect.Signature(sig_params)
+        names = [p for p, _ in params]
+        for trial in range(20):
+            n_pos = rng.randint(0, len(params))
+            pos = list(range(100, 100 + n_pos))
+            kw_pool = [p for p in names]
+            kw_names = rng.sample(kw_pool, rng.randint(0, len(kw_pool)))
+            kwargs = {k: 200 + i for i, k in enumerate(kw_names)}
+            if rng.random() < 0.15:
+                kwargs["zzz_bogus"] = 1
+            try:
+                bound = sig.bind(*pos, **kwargs)
+                py_ok = True
+            except TypeError:
+                py_ok = False
+            try:
+                resolved = _resolve_kwargs(name, pos, kwargs)
+                ours_ok = True
+            except ValueError:
+                ours_ok = False
+            if not py_ok:
+                if ours_ok:
+                    # the resolver is a kwarg FOLDER, not an arity
+                    # validator: python's bind failure must be ONLY
+                    # missing required params OUTSIDE the padding range
+                    # (the registry lambdas enforce those) — never an
+                    # unknown name, a duplicate, or a required gap the
+                    # padding had to cross
+                    pad_hi = max(
+                        (names.index(k) for k in kwargs if k in names),
+                        default=-1,
+                    )
+                    assert "zzz_bogus" not in kwargs, (name, pos, kwargs)
+                    assert all(
+                        names.index(k) >= len(pos)
+                        for k in kwargs if k in names
+                    ), (name, pos, kwargs)
+                    for i, (p, d) in enumerate(params):
+                        if (
+                            d in (_Required, _Variadic)
+                            and i >= len(pos)
+                            and p not in kwargs
+                        ):
+                            assert i > pad_hi, (name, pos, kwargs)
+                continue
+            if not ours_ok:
+                # the one divergence we allow: python tolerates a
+                # missing tail REQUIRED param at bind time only when it
+                # was never needed for padding — our resolver raises
+                # when padding past it. Verify that's the case.
+                missing = [
+                    i for i, (p, d) in enumerate(params)
+                    if d in (_Required, _Variadic)
+                    and i >= len(pos) and p not in kwargs
+                ]
+                needed = [names.index(k) for k in kwargs if k in names]
+                assert missing and needed and max(needed) > min(missing), (
+                    name, pos, kwargs)
+                continue
+            bound.apply_defaults()
+            expect = [bound.arguments[p] for p, _ in params]
+            assert resolved == expect[:len(resolved)], (name, pos, kwargs)
+            # everything past the resolved tail must be pure defaults
+            for i in range(len(resolved), len(params)):
+                pname, pdefault = params[i]
+                assert pname not in kwargs, (name, pos, kwargs)
