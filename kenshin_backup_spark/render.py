@@ -362,8 +362,11 @@ def _registry() -> dict[str, Callable]:
         "groupByNode": lambda d, s: sf.group_by_node(
             d[0], int(s[0]), str(s[1]) if len(s) > 1 else "average"
         ),
-        "sumSeries": lambda d, s: sf.sum_series(d[0]),
-        "averageSeries": lambda d, s: sf.average_series(d[0]),
+        # graphite's combine functions take *seriesLists — several
+        # series expressions union before combining (r10; single-arg
+        # calls keep their exact previous plan)
+        "sumSeries": lambda d, s: sf.sum_series(_union(d)),
+        "averageSeries": lambda d, s: sf.average_series(_union(d)),
         "exclude": lambda d, s: sf.exclude(d[0], str(s[0])),
         "grep": lambda d, s: sf.grep(d[0], str(s[0])),
         "mostDeviant": lambda d, s: sf.most_deviant(d[0], int(s[0])),
@@ -374,9 +377,9 @@ def _registry() -> dict[str, Callable]:
         # rejects fail LOUDLY rather than silently dropping arguments
         # (r10 ADVICE fix).
         "asPercent": lambda d, s: _as_percent_target(d, s),
-        "minSeries": lambda d, s: sf.min_series(d[0]),
-        "maxSeries": lambda d, s: sf.max_series(d[0]),
-        "countSeries": lambda d, s: sf.count_series(d[0]),
+        "minSeries": lambda d, s: sf.min_series(_union(d)),
+        "maxSeries": lambda d, s: sf.max_series(_union(d)),
+        "countSeries": lambda d, s: sf.count_series(_union(d)),
         "diffSeries": lambda d, s: sf.diff_series(d[0], d[1]),
         "divideSeries": lambda d, s: sf.divide_series(d[0], d[1]),
         "removeAboveValue": lambda d, s: sf.remove_above_value(d[0], float(s[0])),
@@ -389,9 +392,9 @@ def _registry() -> dict[str, Callable]:
         "squareRoot": lambda d, s: sf.square_root(d[0]),
         "pow": lambda d, s: sf.pow_series(d[0], float(s[0])),
         "offsetToZero": lambda d, s: sf.offset_to_zero(d[0]),
-        "rangeOfSeries": lambda d, s: sf.range_of_series(d[0]),
-        "stddevSeries": lambda d, s: sf.stddev_series(d[0]),
-        "multiplySeries": lambda d, s: sf.multiply_series(d[0]),
+        "rangeOfSeries": lambda d, s: sf.range_of_series(_union(d)),
+        "stddevSeries": lambda d, s: sf.stddev_series(_union(d)),
+        "multiplySeries": lambda d, s: sf.multiply_series(_union(d)),
         "lowestCurrent": lambda d, s: sf.lowest_current(d[0], int(s[0])),
         "highestAverage": lambda d, s: sf.highest_average(d[0], int(s[0])),
         "lowestAverage": lambda d, s: sf.lowest_average(d[0], int(s[0])),
@@ -632,9 +635,28 @@ def _registry() -> dict[str, Callable]:
     }
 
 
+#: graphite-web's short aliases (SeriesFunctions maps several names to
+#: the same callable): real dashboard URLs use sum(x.*) / avg(x.*) /
+#: pct(a, b) / log(x, 2). Added to the registry after construction so
+#: every alias shares its target's lambda exactly (r10).
+_ALIASES = {
+    "sum": "sumSeries",
+    "avg": "averageSeries",
+    "pct": "asPercent",
+    "log": "logarithm",
+}
+
+
 def _xff(scalars, i) -> float | None:
     """Optional trailing xFilesFactor scalar for the moving family."""
     return float(scalars[i]) if len(scalars) > i else None
+
+
+def _union(d: list) -> "DataFrame":
+    """graphite's *seriesLists: several series expressions union before
+    a combine function; a single argument passes through untouched (so
+    one-arg calls keep their exact previous plan)."""
+    return sf.group_series(d) if len(d) > 1 else d[0]
 
 
 def _hw_season(scalars, i) -> int:
@@ -883,6 +905,7 @@ def _resolve_kwargs(
     default; a skipped REQUIRED position is an error)."""
     if not kwargs:
         return scalars
+    name = _ALIASES.get(name, name)  # pct/log share their target's spec
     if name not in _KW_PARAMS:
         raise ValueError(
             f"{name} does not accept keyword arguments "
@@ -928,12 +951,15 @@ _TWO_SERIES = frozenset({
 })
 
 #: Functions taking ANY number of series expressions (≥ 1).
-_MULTI_SERIES = frozenset(
-    {"group", "areaBetween", "unique", "powSeries", "asPercent"}
-)
+_MULTI_SERIES = frozenset({
+    "group", "areaBetween", "unique", "powSeries", "asPercent", "pct",
+    # graphite *seriesLists combine family (r10)
+    "sumSeries", "sum", "averageSeries", "avg", "minSeries", "maxSeries",
+    "countSeries", "multiplySeries", "stddevSeries", "rangeOfSeries",
+})
 
 
-SUPPORTED_FUNCTIONS = tuple(sorted(_registry()))
+SUPPORTED_FUNCTIONS = tuple(sorted(set(_registry()) | set(_ALIASES)))
 
 
 #: generator functions synthesize series from the REQUEST WINDOW instead
@@ -985,6 +1011,8 @@ def render(
     an ``xFilesFactor`` parameter left unset inherits it — an explicit
     per-call value always wins (r10)."""
     reg = _registry()
+    for alias, target_name in _ALIASES.items():
+        reg[alias] = reg[target_name]
     # consolidation state (kernel + xFilesFactor) keyed by the frame
     # OBJECT (id); _keepalive pins every evaluated frame so an id is
     # never recycled mid-parse

@@ -450,6 +450,13 @@ def test_render_fuzz_random_compositions(spark):
         "aggregate({X}, 'max', xFilesFactor=0.25)",
         "asPercent({X}, None, 0)",
         "asPercent({X}, nodes=0)",
+        # round-10: graphite short aliases + *seriesLists combines
+        "sum({X})",
+        "avg({X})",
+        "pct({X}, 100)",
+        "log({X}, 2)",
+        "sumSeries({X}, {X})",
+        "maxSeries({X}, {X})",
     ]
     rng = random.Random(20260814)
     fetch = _fetch_fn(spark)
@@ -1719,3 +1726,27 @@ def test_resolve_kwargs_matches_python_binding():
             for i in range(len(resolved), len(params)):
                 pname, pdefault = params[i]
                 assert pname not in kwargs, (name, pos, kwargs)
+
+
+def test_aliases_and_multiarg_combines(spark):
+    """graphite short aliases (sum/avg/pct/log) share their target's
+    evaluator, and the combine family accepts *seriesLists — several
+    series expressions union before combining."""
+    fetch = _fetch_fn(spark)
+    pairs = [
+        ("sum(cpu.*)", "sumSeries(cpu.*)"),
+        ("avg(cpu.*)", "averageSeries(cpu.*)"),
+        ("pct(cpu.load, 8)", "asPercent(cpu.load, 8)"),
+        ("log(mem.used, 2)", "logarithm(mem.used, 2)"),
+        ("pct(cpu.load, total=8)", "asPercent(cpu.load, 8)"),
+        # *seriesLists: two expressions == one brace glob
+        ("sumSeries(cpu.load, cpu.idle)", "sumSeries({cpu.load,cpu.idle})"),
+        ("maxSeries(cpu.load, mem.used)", "maxSeries({cpu.load,mem.used})"),
+        ("countSeries(cpu.*, mem.used)", "countSeries({cpu,mem}.*)"),
+        ("sum(cpu.load, mem.used)", "sumSeries({cpu.load,mem.used})"),
+    ]
+    for a_t, b_t in pairs:
+        a = sorted(map(tuple, render(a_t, fetch).collect()))
+        b = sorted(map(tuple, render(b_t, fetch).collect()))
+        assert a == b, a_t
+    assert "sum" in SUPPORTED_FUNCTIONS and "pct" in SUPPORTED_FUNCTIONS
