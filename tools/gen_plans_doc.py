@@ -18,6 +18,14 @@ SHOWCASE = [
         "(PushedFilters), and only 4 of 11 columns are read (ReadSchema).",
     ),
     (
+        "graphite_render_linreg_source",
+        "Refetch rail (r10): the OLS fit is ONE per-series aggregate "
+        "over the separately-fetched source window, broadcast back onto "
+        "the render frame — no window function beyond the per-metric "
+        "grid fill, no collect; the two archive fetches prune their "
+        "date partitions independently.",
+    ),
+    (
         "tpch_q5_local_supplier",
         "Join strategy: every dimension joins as BroadcastHashJoin; only the "
         "lineitem–orders fact join shuffles.",
