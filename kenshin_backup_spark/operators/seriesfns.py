@@ -1407,9 +1407,15 @@ def hitcount(
             F.col("bucket_ts") - (F.col("bucket_ts") % int(interval_seconds))
         ).cast("long")
     else:
+        # floor DIVISION, not %: a slot can precede the anchor when the
+        # archive step exceeds the alignment unit (the grid floors the
+        # aligned start to the step), and %'s sign would mis-bucket it;
+        # floor extends the anchored grid below the anchor consistently
         rel = F.col("bucket_ts") - F.lit(int(anchor_ts))
         bucket = (
-            F.lit(int(anchor_ts)) + rel - (rel % int(interval_seconds))
+            F.lit(int(anchor_ts))
+            + F.floor(rel / F.lit(int(interval_seconds))).cast("long")
+            * int(interval_seconds)
         ).cast("long")
     return (
         df.withColumn("__q", q)

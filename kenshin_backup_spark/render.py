@@ -283,7 +283,14 @@ def _registry() -> dict[str, Callable]:
         "scale": lambda d, s: sf.scale(d[0], float(s[0])),
         "offset": lambda d, s: sf.offset(d[0], float(s[0])),
         "absolute": lambda d, s: sf.absolute(d[0]),
-        "timeShift": lambda d, s: sf.time_shift(d[0], parse_interval(s[0])),
+        # fallback (no refetch) frame shift — sign-consistent with
+        # graphite and the refetch path: '1h' and '-1h' both show the
+        # PAST value at each slot (timestamps move forward), '+1h' the
+        # future one (r10 review fix — '-1h' previously moved the
+        # frame backward, the opposite of graphite)
+        "timeShift": lambda d, s: sf.time_shift(
+            d[0], _time_shift_frame_delta(s[0])
+        ),
         "keepLastValue": lambda d, s: sf.keep_last_value(
             d[0], int(s[0]) if s else None
         ),
@@ -650,6 +657,20 @@ _ALIASES = {
 def _xff(scalars, i) -> float | None:
     """Optional trailing xFilesFactor scalar for the moving family."""
     return float(scalars[i]) if len(scalars) > i else None
+
+
+def _time_shift_frame_delta(txt) -> int:
+    """Net FRAME timestamp shift for the timeShift fallback — graphite's
+    sign rules mapped onto the in-frame form: an unsigned or '-' offset
+    shows the past value at each slot (timestamps move FORWARD by the
+    magnitude), '+' shows the future one. Matches the refetch path's
+    fetch-then-unshift arithmetic exactly."""
+    t = str(txt).strip()
+    if t.startswith("+"):
+        return -parse_interval(t[1:])
+    if t[:1].isdigit():
+        return parse_interval(t)
+    return -parse_interval(t)  # '-1h' → parse gives −3600 → +3600
 
 
 def _union(d: list) -> "DataFrame":

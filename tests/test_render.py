@@ -1486,12 +1486,36 @@ def test_time_shift_refetch(spark):
     # resetEnd=true (default) clamps the output to the request end
     assert max(fwd) <= hi
 
-    # the no-refetch fallback keeps the in-frame composition shift
-    # (positive = forward along the axis), documented deviation
-    bare = {r.bucket_ts: r.value for r in render(
-        "timeShift(t.m, '1h')", fetch, from_ts=lo, until_ts=hi,
+    # the no-refetch fallback keeps the in-frame composition shift,
+    # sign-consistent with graphite: '1h' and '-1h' both show the past
+    # value (timestamps move forward), '+1h' the future one (r10
+    # review fix — '-1h' previously moved the frame backward)
+    for t_bare in ("timeShift(t.m, '1h')", "timeShift(t.m, '-1h')"):
+        bare = {r.bucket_ts: r.value for r in render(
+            t_bare, fetch, from_ts=lo, until_ts=hi,
+        ).collect()}
+        assert bare == {t + 3600: float(t) for t in range(lo, hi, 60)}, t_bare
+    bare_fwd = {r.bucket_ts: r.value for r in render(
+        "timeShift(t.m, '+1h')", fetch, from_ts=lo, until_ts=hi,
     ).collect()}
-    assert bare == {t + 3600: float(t) for t in range(lo, hi, 60)}
+    assert bare_fwd == {t - 3600: float(t) for t in range(lo, hi, 60)}
+
+
+def test_hitcount_anchor_slot_before_anchor(spark):
+    """A grid slot BEFORE the anchor (archive step coarser than the
+    alignment unit) buckets into the floor-consistent band below the
+    anchor instead of a sign-broken one (r10 review fix)."""
+    from kenshin_backup_spark.operators.seriesfns import hitcount
+
+    rows = [("m", t, 1.0) for t in (3000, 3600, 4200, 4800)]
+    df = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+    got = {r.bucket_ts: r.value
+           for r in hitcount(df, 1800, anchor_ts=3300).collect()}
+    # step=600; slot 3000 < anchor 3300 → band [1500, 3300); slots
+    # 3600/4200/4800 → band [3300, 5100)
+    assert got == {1500: 600.0, 3300: 1800.0}
 
 
 def test_time_stack_refetch(spark):
