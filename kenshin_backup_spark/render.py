@@ -1041,6 +1041,9 @@ def render(
     _keepalive: list[DataFrame] = []
 
     def _hinted(name, scalars, dfs, result: DataFrame) -> DataFrame:
+        # aliases behave exactly like their targets — log() must
+        # preserve a consolidation hint iff logarithm() does
+        name = _ALIASES.get(name, name)
         _keepalive.append(result)
         states = [hints.get(id(d), {}) for d in dfs]
         # single input: its state; several: only a state EVERY branch

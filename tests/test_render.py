@@ -1774,3 +1774,24 @@ def test_aliases_and_multiarg_combines(spark):
         b = sorted(map(tuple, render(b_t, fetch).collect()))
         assert a == b, a_t
     assert "sum" in SUPPORTED_FUNCTIONS and "pct" in SUPPORTED_FUNCTIONS
+
+
+def test_alias_preserves_consolidation_hint(spark):
+    """log() must carry a consolidateBy hint exactly like logarithm()
+    (aliases normalize before the hint rail — r10 review fix)."""
+    rows = [("c.m", 60 * i, float(2 ** i)) for i in range(8)]
+    base = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+
+    def fetch(glob):
+        from kenshin_backup_spark.functions.deterministic import glob_to_regex
+        return base.where(F.col("metric").rlike(glob_to_regex(glob)))
+
+    a = sorted(map(tuple, render(
+        "log(consolidateBy(c.m, 'max'), 2)", fetch, max_data_points=2,
+    ).collect()))
+    b = sorted(map(tuple, render(
+        "logarithm(consolidateBy(c.m, 'max'), 2)", fetch, max_data_points=2,
+    ).collect()))
+    assert a == b and a
