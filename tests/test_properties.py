@@ -1295,3 +1295,93 @@ def test_linear_regression_source_window_matches_graphite_reference(spark):
             want = factor * t + offset
             g = got[(m, t)]
             assert g is not None and abs(g - want) < 1e-6, (m, t, vals)
+
+
+def test_as_percent_nodes_matches_graphite_reference(spark):
+    """r10: asPercent(series, total, *nodes) equals a pure-Python
+    transcription of graphite's grouping form over random gappy
+    series: aggKey = name nodes joined, group totals = safeSum of the
+    key's members (or the key-matched, key-summed total list), percent
+    = safeDiv(value, total)·100 with zero/absent totals gapping."""
+    from kenshin_backup_spark.operators.seriesfns import as_percent_nodes
+
+    rng = random.Random(80808)
+    n_slots = 8
+    keys = ["k0", "k1", "k2"]
+    series = {}
+    for g in keys:
+        for j in range(rng.randint(1, 3)):
+            series[f"{g}.m{j}"] = [
+                None if rng.random() < 0.3 else float(rng.randint(-5, 9))
+                for _ in range(n_slots)
+            ]
+    totals = {}
+    for g in keys[:2]:  # k2 deliberately absent from the total list
+        for j in range(rng.randint(1, 2)):
+            totals[f"{g}.t{j}"] = [
+                None if rng.random() < 0.3 else float(rng.randint(0, 9))
+                for _ in range(n_slots)
+            ]
+
+    def frame(d):
+        rows = [
+            (m, 60 * i, v)
+            for m, vals in d.items() for i, v in enumerate(vals)
+        ]
+        return spark.createDataFrame(
+            rows, "metric string, bucket_ts long, value double"
+        )
+
+    def key(name):
+        return name.split(".")[0]
+
+    def ref(src_totals):
+        # graphite: per (key, slot) total = safeSum; percent = safeDiv·100
+        out = {}
+        for m, vals in series.items():
+            for i, v in enumerate(vals):
+                members = [
+                    sv[i] for sm, sv in src_totals.items()
+                    if key(sm) == key(m) and sv[i] is not None
+                ]
+                tot = sum(members) if members else None
+                out[(m, 60 * i)] = (
+                    v / tot * 100.0
+                    if v is not None and tot not in (None, 0) else None
+                )
+        return out
+
+    # total=None: group sums of the input itself
+    got = {
+        (r["metric"], r["bucket_ts"]): r["value"]
+        for r in as_percent_nodes(frame(series), [0]).collect()
+    }
+    want = ref(series)
+    assert set(got) == set(want)
+    for k2, w in want.items():
+        g = got[k2]
+        if w is None:
+            assert g is None, k2
+        else:
+            assert g is not None and abs(g - w) < 1e-6, (k2, g, w)
+
+    # explicit total list: key-matched, key-summed; k2 has no total →
+    # all-gap output for its series
+    got_t = {
+        (r["metric"], r["bucket_ts"]): r["value"]
+        for r in as_percent_nodes(
+            frame(series), [0], total=frame(totals)
+        ).collect()
+    }
+    want_t = ref(totals)
+    assert set(got_t) == set(want_t)
+    for k2, w in want_t.items():
+        g = got_t[k2]
+        if w is None:
+            assert g is None, k2
+        else:
+            assert g is not None and abs(g - w) < 1e-6, (k2, g, w)
+    assert all(
+        got_t[(m, t)] is None
+        for (m, t) in got_t if key(m) == "k2"
+    )
