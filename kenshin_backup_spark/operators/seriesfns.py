@@ -566,10 +566,14 @@ def as_percent_nodes(
     sharing the key (all-gap buckets stay gaps — F.sum skips nulls and
     returns NULL when every member is). A ``total`` frame → its series
     group by the same key; multiple totals in one key sum (graphite
-    sums them); input keys absent from the totals emit all-gap series
-    (graphite's None-valued series). NULL where the total is 0/absent —
-    safeDiv. Quantized BIGINT totals, one double division — the same
-    arithmetic as :func:`as_percent`.
+    sums them); the key UNION drives the output (graphite iterates
+    ``set(series keys + total keys)``): input keys absent from the
+    totals emit all-gap series, and total-only keys emit the TOTAL
+    frame's series with all-gap values (graphite's
+    ``asPercent(MISSING, totalName)`` None series; ADVICE r10 —
+    previously dropped). NULL where the total is 0/absent — safeDiv.
+    Quantized BIGINT totals, one double division — the same arithmetic
+    as :func:`as_percent`.
 
     Names are kept (same documented deviation as the other asPercent
     forms — graphite renames to ``asPercent(name, totalName)``, a
@@ -596,7 +600,7 @@ def as_percent_nodes(
         .withColumn("__q", q)
         .join(F.broadcast(tot), ["__k", "bucket_ts"], "left")
     )
-    return pct.withColumn(
+    out = pct.withColumn(
         "value",
         F.when(
             F.col("__tq").isNotNull() & (F.col("__tq") != 0),
@@ -604,6 +608,20 @@ def as_percent_nodes(
             * 100.0,
         ),
     ).drop("__k", "__q", "__tq")
+    if total is not None:
+        # total-only groups: graphite's key union emits the total frame's
+        # series for keys the input lacks, all values None. Anti-join on
+        # the broadcast input key set — key count ≤ series count, never
+        # data-volume proportional.
+        in_keys = df.withColumn("__k", key).select("__k").distinct()
+        extra = (
+            total.withColumn("__k", key)
+            .join(F.broadcast(in_keys), "__k", "left_anti")
+            .withColumn("value", F.lit(None).cast("double"))
+            .select("metric", "bucket_ts", "value")
+        )
+        out = out.select("metric", "bucket_ts", "value").unionByName(extra)
+    return out
 
 
 def min_series(df: DataFrame, name: str = "minSeries") -> DataFrame:
@@ -1707,9 +1725,10 @@ def time_stack(
     series per shift multiple in ``[start, end)``, shifted forward by
     ``i·interval`` and renamed with graphite's literal format string
     ``'timeShift(%s, %s, %s)'`` — the shift UNIT is part of the legend
-    (``timeShift(name, 1d, 2)``; ADVICE r7 fix). ``unit_label`` carries
-    the user's literal unit text (graphite passes '1d' through); when
-    omitted it is derived from ``interval_seconds``.
+    (``timeShift(name, -1d, 2)``; ADVICE r7 fix). ``unit_label`` carries
+    the unit text as normalized by the RENDER layer (graphite rewrites
+    a digit-leading unit to '-' before naming — r11); when omitted it
+    is derived from ``interval_seconds``.
 
     DOCUMENTED DEVIATION: graphite re-fetches each shifted window from
     storage; here the shifts operate within the already-fetched frame

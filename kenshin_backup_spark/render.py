@@ -263,7 +263,14 @@ def _as_percent_target(d, s):
                 "*nodes are given (graphite rejects a constant total "
                 "with nodes)"
             )
-        nodes = [int(x) for x in (s if len(d) > 1 else s[1:])]
+        # kwarg resolution pads the total slot with its None default when
+        # the total arrived as a SERIES (asPercent(a.*, b.total, nodes=1)
+        # resolves scalars to [None, 1]) — drop padded Nones before
+        # converting; every remaining scalar is a node index (ADVICE r10)
+        raw = s if len(d) > 1 else s[1:]
+        nodes = [int(x) for x in raw if x is not None]
+        if not nodes:
+            return sf.as_percent(d[0], d[1] if len(d) > 1 else None)
         return sf.as_percent_nodes(
             d[0], nodes, d[1] if len(d) > 1 else None
         )
@@ -434,14 +441,18 @@ def _registry() -> dict[str, Callable]:
         # --- wave 3 (round 7) -----------------------------------------------
         "linearRegression": lambda d, s: sf.linear_regression(d[0]),
         # graphite defaults: timeShiftUnit='1d', start=0, end=7 (r10 —
-        # previously all three were required; the legend keeps the
-        # literal unit string)
+        # previously all three were required). Sign rules via
+        # _time_shift_frame_delta: graphite normalizes digit-leading
+        # units to '-', so '1d' and '-1d' both stack into the PAST;
+        # '+1d' into the future (ADVICE r10 — parse_interval('-1d')
+        # alone inverted this). The legend carries the NORMALIZED unit,
+        # as graphite's does (r11 — _time_stack_label).
         "timeStack": lambda d, s: sf.time_stack(
             d[0],
-            parse_interval(s[0]) if s else 86400,
+            _time_shift_frame_delta(s[0]) if s else 86400,
             int(s[1]) if len(s) > 1 else 0,
             int(s[2]) if len(s) > 2 else 7,
-            unit_label=str(s[0]) if s else "1d",
+            unit_label=_time_stack_label(s[0]) if s else "-1d",
         ),
         "stdev": lambda d, s: sf.stdev_series_window(
             d[0], int(s[0]), float(s[1]) if len(s) > 1 else 0.1
@@ -664,13 +675,23 @@ def _time_shift_frame_delta(txt) -> int:
     sign rules mapped onto the in-frame form: an unsigned or '-' offset
     shows the past value at each slot (timestamps move FORWARD by the
     magnitude), '+' shows the future one. Matches the refetch path's
-    fetch-then-unshift arithmetic exactly."""
+    fetch-then-unshift arithmetic exactly. Also the timeStack interval
+    (ADVICE r10): graphite normalizes a digit-leading unit to '-', so
+    '1d' and '-1d' both stack into the past, '+1d' into the future."""
     t = str(txt).strip()
     if t.startswith("+"):
         return -parse_interval(t[1:])
     if t[:1].isdigit():
         return parse_interval(t)
     return -parse_interval(t)  # '-1h' → parse gives −3600 → +3600
+
+
+def _time_stack_label(txt) -> str:
+    """graphite timeStack normalizes a digit-leading unit to '-' BEFORE
+    formatting the legend — ``timeStack(x, '1d')`` names its copies
+    ``timeShift(x, -1d, i)`` (r11; previously the literal text)."""
+    t = str(txt).strip()
+    return t if t[:1] in "+-" else "-" + t
 
 
 def _union(d: list) -> "DataFrame":
@@ -1309,15 +1330,17 @@ def render(
             # fallback (sf.time_stack_copy is shared), but each copy
             # covers the full render window instead of only the
             # already-fetched range. end−start is a small literal, so
-            # the fetch count is argument-bounded.
+            # the fetch count is argument-bounded. Sign rules shared
+            # with the fallback via _time_shift_frame_delta: '1d' and
+            # '-1d' both mean the past, '+1d' the future (ADVICE r10).
             _need(series_nodes, 1, 1, name)
             interval = (
-                parse_interval(scalars[0])
+                _time_shift_frame_delta(scalars[0])
                 if len(scalars) > 0 and scalars[0] is not None else 86400
             )
             unit = (
-                str(scalars[0])
-                if len(scalars) > 0 and scalars[0] is not None else "1d"
+                _time_stack_label(scalars[0])
+                if len(scalars) > 0 and scalars[0] is not None else "-1d"
             )
             t_start = (
                 int(scalars[1])

@@ -543,10 +543,11 @@ def test_render_wave3_functions(spark):
           for r in render("sumSeriesWithWildcards(cpu.*, 1)", fetch).collect()}
     assert sw[0] == 10.0 and sw[3 * 3600] == 9.0
 
-    # timeStack names and shifts
+    # timeStack names and shifts (legend unit normalized to '-' — r11)
     ts = render("timeStack(mem.used, '1h', 0, 2)", fetch)
     names = {r.metric for r in ts.collect()}
-    assert names == {"timeShift(mem.used, 1h, 0)", "timeShift(mem.used, 1h, 1)"}
+    assert names == {"timeShift(mem.used, -1h, 0)",
+                     "timeShift(mem.used, -1h, 1)"}
     assert ts.count() == 12
 
 
@@ -1079,6 +1080,13 @@ def test_keyword_arguments_full_catalog(spark):
         ("useSeriesAbove(cpu.load, 0.5, 'cpu', replace='mem')",
          "useSeriesAbove(cpu.load, 0.5, 'cpu', 'mem')"),
         ("asPercent(cpu.load, total=8)", "asPercent(cpu.load, 8)"),
+        # the ADVICE-r10 crash shape: a SERIES total with keyword nodes
+        # (kwarg padding leaves a None in the total slot)
+        ("asPercent(cpu.*, cpu.load, nodes=0)",
+         "asPercent(cpu.*, cpu.load, 0)"),
+        # '-1h' and '1h' are identical post-normalization, legend included
+        ("timeStack(cpu.load, '-1h', 0, 2)",
+         "timeStack(cpu.load, '1h', 0, 2)"),
     ]
     for kw_target, pos_target in pairs:
         a = sorted(map(tuple, render(kw_target, fetch).collect()))
@@ -1446,6 +1454,22 @@ def test_as_percent_nodes_grouping(spark):
     assert missing[("dc1.web.a", 0)] == 12.5
     assert missing[("dc2.web.a", 0)] is None
 
+    # keyword nodes with a SERIES total (ADVICE r10: the padded None
+    # total slot must not crash the node conversion) == positional form
+    gt_kw = {(r.metric, r.bucket_ts): r.value for r in render(
+        "asPercent(*.web.*, *.cap.*, nodes=0)", fetch).collect()}
+    assert gt_kw == gt
+
+    # total-only keys emit the total frame's series, all values gaps
+    # (graphite's key-union None series; ADVICE r10 — were dropped)
+    only = {(r.metric, r.bucket_ts): r.value for r in render(
+        "asPercent(dc1.web.*, *.cap.*, 0)", fetch).collect()}
+    assert only[("dc1.web.a", 0)] == 12.5
+    assert {k for k in only if k[0] == "dc2.cap.x"} == {
+        ("dc2.cap.x", 0), ("dc2.cap.x", 60)}
+    assert only[("dc2.cap.x", 0)] is None
+    assert only[("dc2.cap.x", 60)] is None
+
     # explicit None with no nodes == the bare all-series form
     bare = sorted(map(tuple, render("asPercent(*.web.*)", fetch).collect()))
     none = sorted(map(tuple, render(
@@ -1537,20 +1561,46 @@ def test_time_stack_refetch(spark):
     ).collect()}
     slots = range(lo, hi, 60)
     for i in range(3):
-        name = f"timeShift(t.m, 1h, {i})"
+        # graphite normalizes the unit to '-' BEFORE naming the copies
+        # (r11) — the legend shows '-1h' even for input '1h'
+        name = f"timeShift(t.m, -1h, {i})"
         for t in slots:
             # copy i plots the value from i hours earlier at slot t
             assert got[(name, t)] == float(t - i * 3600), (name, t)
     # every copy spans the whole render window
     assert len(got) == 3 * len(list(slots))
 
+    # '-1h' means the past too — graphite normalizes digit-leading units
+    # to '-', so both spellings stack backward (ADVICE r10: the signed
+    # parse previously shifted '-1h' into the FUTURE) and, post-
+    # normalization, produce IDENTICAL output including the legend
+    neg = {(r.metric, r.bucket_ts): r.value for r in render(
+        "timeStack(t.m, '-1h', 0, 3)", fetch,
+        from_ts=lo, until_ts=hi, refetch_fn=refetch,
+    ).collect()}
+    assert neg == got
+
+    # explicit '+1h' stacks into the future (graphite leaves '+' alone)
+    fwd = {(r.metric, r.bucket_ts): r.value for r in render(
+        "timeStack(t.m, '+1h', 0, 2)", fetch,
+        from_ts=lo, until_ts=hi, refetch_fn=refetch,
+    ).collect()}
+    for t in slots:
+        assert fwd[("timeShift(t.m, +1h, 1)", t)] == float(t + 3600)
+
     # fallback (no refetch): shifted copies only cover the fetched range
     bare = {(r.metric, r.bucket_ts): r.value for r in render(
         "timeStack(t.m, '1h', 0, 3)", fetch, from_ts=lo, until_ts=hi,
     ).collect()}
     in_window = [k for k in bare
-                 if k[0] == "timeShift(t.m, 1h, 2)" and lo <= k[1] < hi]
+                 if k[0] == "timeShift(t.m, -1h, 2)" and lo <= k[1] < hi]
     assert len(in_window) < len(list(slots))
+
+    # fallback sign parity: '-1h' is identical to '1h' post-normalization
+    bare_neg = {(r.metric, r.bucket_ts): r.value for r in render(
+        "timeStack(t.m, '-1h', 0, 3)", fetch, from_ts=lo, until_ts=hi,
+    ).collect()}
+    assert bare_neg == bare
 
 
 def test_engine_render_time_shift_refetch(spark, tmp_path):
