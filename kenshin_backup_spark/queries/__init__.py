@@ -97,6 +97,7 @@ from kenshin_backup_spark.queries import (
     batch77,
     batch78,
     batch79,
+    batch80,
     llm,
     relational,
     relational2,
@@ -187,29 +188,30 @@ _MODULES = (
     batch77,
     batch78,
     batch79,
+    batch80,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
-#: entries, so this ordering is evidence policy. Round-10 re-curation
+#: entries, so this ordering is evidence policy. Round-11 re-curation
 #: (COVERAGE.md's standing rule — the burn-down stays closed, windows
 #: hold in priority order):
-#: 1. re-certs of every query whose code THIS round changed — round 10
-#:    restructured the render evaluator (full-catalog keyword
-#:    arguments via _KW_PARAMS, window-context threading for the
-#:    request-refetching parameters) and touched seriesfns
-#:    (counter-wrap formula, removeEmptySeries xff gate, hitcount
-#:    anchor, linear_regression source_df) plus Engine.render
-#:    (refetch_fn), so all ten graphite_render_* certs re-rotate;
-#: 2. the NEW round-10 certs (batch79): linearRegression with a shifted
-#:    source window (a hash match that FAILS on any fit-on-render
-#:    fallback) and timeShift('7d') through the same Engine-rail refetch
-#:    (fails on the pre-r10 frame-only shift) — both exact-parity green
-#:    at sf0.001 AND sf0.01 before rotation;
-#: 3. the next-oldest evidence: the first 38 rows of the r4 cohort
-#:    (COVERAGE.md's r10 queue, alphabetical). The last five r4 rows
-#:    (tsdb_rollup_1h, tsdb_slo_burn_rate, tsdb_theilsen_trend,
-#:    upsert_latest_state, window_topk_parts_per_brand) carry to the
-#:    r11 queue — the changed-code re-certs and new certs outrank them.
+#: 1. re-certs of changed code — round 11's changes (ADVICE r10: the
+#:    asPercent kwarg-nodes dispatch, the timeStack sign normalization,
+#:    as_percent_nodes total-only keys) live on branches NO existing
+#:    cert exercises, so the changed-code evidence IS the two new
+#:    batch80 certs below; no prior cert's plan changed (verified by
+#:    the full-registry sim).
+#: 2. the NEW round-11 certs (batch80): the asPercent grouping form
+#:    with a series total + keyword nodes + a total-only group key
+#:    (fails pre-fix on both ADVICE-r10 asPercent items) and
+#:    timeStack('-1d') on the Engine refetch rail (fails on the
+#:    pre-fix future-shift) — both exact-parity green at sf0.001 AND
+#:    sf0.01 before rotation;
+#: 3. the five r4 rows the r10 window displaced (its queue);
+#: 4. the next-oldest evidence: the first 43 rows of the 48-row r5
+#:    cohort (alphabetical). The last five r5 rows (tsdb_sort_by_maxima,
+#:    tsdb_wide_series_grid, tsdb_xff_guard, window_cume_dist,
+#:    window_range_price_band) carry to the r12 queue.
 #: The 9 rows-only-by-design queries (approx_distinct_parts,
 #: approx_event_percentiles, emb_intrinsic_dimension,
 #: emb_kmeans_clusters, emb_mmr_rerank*, events_rolling_wau_hll,
@@ -219,60 +221,60 @@ _MODULES = (
 #: rotates out keeps exact-cell parity coverage in
 #: tests/test_oracle_parity.py.
 _PRIORITY = (
-    # --- 1. re-certs: code changed this round (render evaluator kwargs +
-    # window-context threading + seriesfns + Engine.render refetch) -----------
-    "graphite_render_maxdatapoints",
-    "graphite_render_generic",
-    "graphite_render_mapreduce",
-    "graphite_render_timegen",
-    "graphite_render_pipeline",
-    "graphite_render_ratio",
-    "graphite_render_seriesbytag",
-    "graphite_render_bandmath",
-    "graphite_render_rollstats",
-    "graphite_render_alias_consolidate",
-    # --- 2. new round-10 certs (batch79) --------------------------------------
-    "graphite_render_linreg_source",
-    "graphite_render_timeshift_weekly",
-    # --- 3. next-oldest evidence: the r4 cohort (first 39 of 43) --------------
-    "customer_rfm_scores",
-    "dedup_connected_components",
-    "dedup_embedding_cosine_bucketed",
-    "dedup_exact_fingerprint",
-    "dedup_minhash_portable",
-    "dedup_ngram_jaccard_capped",
-    "dedup_winnowing_pairs",
-    "emb_ann_topk_srp",
-    "events_bot_detection",
-    "events_seasonal_residual_anomalies",
-    "graphite_summarize_top",
-    "incremental_rollup_merge",
-    "join_interval_overlap",
-    "llm_curation_funnel_v2",
-    "llm_decontamination",
-    "llm_document_chunking",
-    "llm_train_test_split",
-    "multimodal_decode_features",
-    "orders_pareto_curve",
-    "retrieval_ann_recall_report",
-    "retrieval_bm25_topk",
-    "source_pickle_batches",
-    "source_whisper_roundtrip",
-    "streaming_drawdown",
-    "streaming_ewma_final",
-    "streaming_purchase_click_join",
-    "streaming_rollup_1h",
-    "text_bpe_pair_merges",
-    "text_quality_scores",
-    "text_zipf_topwords",
-    "tpch_q15_top_supplier",
-    "tpch_q1_pricing_summary",
-    "tsdb_anomaly_ensemble",
-    "tsdb_autocorrelation",
-    "tsdb_cross_correlation",
-    "tsdb_fetch_gapfill",
-    "tsdb_histogram_percentile",
-    "tsdb_policy_driven_rollup",
+    # --- 1+2. new round-11 certs (batch80) — also the changed-code
+    # evidence: both pin the ADVICE-r10 fixes end-to-end -----------------------
+    "graphite_render_aspercent_nodes",
+    "graphite_render_timestack_neg",
+    # --- 3. the five r4 rows the r10 window displaced -------------------------
+    "tsdb_rollup_1h",
+    "tsdb_slo_burn_rate",
+    "tsdb_theilsen_trend",
+    "upsert_latest_state",
+    "window_topk_parts_per_brand",
+    # --- 4. next-oldest evidence: the r5 cohort (first 43 of 48) --------------
+    "agg_boolean_bitwise",
+    "agg_covar_corr_quantized",
+    "agg_mode_priority",
+    "agg_string_concat_sorted",
+    "agg_value_histogram",
+    "batch_session_windows",
+    "emb_dimension_stats",
+    "graphite_aspercent",
+    "graphite_divide_series",
+    "graphite_series_by_tag",
+    "graphite_tag_catalog",
+    "llm_sequence_packing",
+    "llm_stratified_sample",
+    "scalar_date_arithmetic",
+    "scalar_levenshtein_names",
+    "scalar_null_conditionals",
+    "scalar_regexp_extract_all",
+    "scalar_string_family2",
+    "source_avro_roundtrip",
+    "source_orc_roundtrip",
+    "source_text_lineproto",
+    "streaming_avro_ingest_rollup",
+    "streaming_dedup_slots",
+    "streaming_enrich_bands",
+    "streaming_hopping_rollup",
+    "streaming_sharded_rollup",
+    "streaming_update_sink_rollup",
+    "text_pii_mask",
+    "tpch_q11_important_parts",
+    "tpch_q12_ship_lag",
+    "tpch_q13_order_count_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q16_supplier_relation",
+    "tpch_q18_large_orders",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q22_cohort",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tsdb_hopping_window",
+    "tsdb_integral_persecond",
+    "tsdb_period_over_period",
+    "tsdb_rate_irate",
+    "tsdb_rollup_cascade_1d",
 )
 
 
