@@ -2117,6 +2117,16 @@ def min_max(df: DataFrame) -> DataFrame:
     )
 
 
+def exp_series(df: DataFrame) -> DataFrame:
+    """graphite ``exp()``: e^x per value; gaps stay gaps (safeExp maps
+    None → None). DEVIATION: an overflowing exponent yields Infinity
+    (IEEE) where graphite's uncaught ``OverflowError`` aborts the whole
+    render — the total function is strictly more useful and differs
+    only where graphite returns no answer at all. Names kept (the
+    established per-value-transform legend deviation, as sigmoid/logit)."""
+    return df.withColumn("value", F.exp(F.col("value")).cast("double"))
+
+
 def sigmoid_series(df: DataFrame) -> DataFrame:
     """graphite ``sigmoid()``: 1/(1+e^(−x)) per value; gaps stay gaps."""
     return df.withColumn(

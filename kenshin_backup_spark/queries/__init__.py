@@ -98,6 +98,7 @@ from kenshin_backup_spark.queries import (
     batch78,
     batch79,
     batch80,
+    batch81,
     llm,
     relational,
     relational2,
@@ -189,6 +190,7 @@ _MODULES = (
     batch78,
     batch79,
     batch80,
+    batch81,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
@@ -201,17 +203,18 @@ _MODULES = (
 #:    cert exercises, so the changed-code evidence IS the two new
 #:    batch80 certs below; no prior cert's plan changed (verified by
 #:    the full-registry sim).
-#: 2. the NEW round-11 certs (batch80): the asPercent grouping form
+#: 2. the NEW round-11 certs (batch80/81): the asPercent grouping form
 #:    with a series total + keyword nodes + a total-only group key
-#:    (fails pre-fix on both ADVICE-r10 asPercent items) and
+#:    (fails pre-fix on both ADVICE-r10 asPercent items),
 #:    timeStack('-1d') on the Engine refetch rail (fails on the
-#:    pre-fix future-shift) — both exact-parity green at sf0.001 AND
+#:    pre-fix future-shift), and aliasQuery (the r11 catalog-closure
+#:    per-series re-query) — all exact-parity green at sf0.001 AND
 #:    sf0.01 before rotation;
 #: 3. the five r4 rows the r10 window displaced (its queue);
-#: 4. the next-oldest evidence: the first 43 rows of the 48-row r5
-#:    cohort (alphabetical). The last five r5 rows (tsdb_sort_by_maxima,
-#:    tsdb_wide_series_grid, tsdb_xff_guard, window_cume_dist,
-#:    window_range_price_band) carry to the r12 queue.
+#: 4. the next-oldest evidence: the first 42 rows of the 48-row r5
+#:    cohort (alphabetical). The last six r5 rows (tsdb_rollup_cascade_1d,
+#:    tsdb_sort_by_maxima, tsdb_wide_series_grid, tsdb_xff_guard,
+#:    window_cume_dist, window_range_price_band) carry to the r12 queue.
 #: The 9 rows-only-by-design queries (approx_distinct_parts,
 #: approx_event_percentiles, emb_intrinsic_dimension,
 #: emb_kmeans_clusters, emb_mmr_rerank*, events_rolling_wau_hll,
@@ -221,17 +224,19 @@ _MODULES = (
 #: rotates out keeps exact-cell parity coverage in
 #: tests/test_oracle_parity.py.
 _PRIORITY = (
-    # --- 1+2. new round-11 certs (batch80) — also the changed-code
-    # evidence: both pin the ADVICE-r10 fixes end-to-end -----------------------
+    # --- 1+2. new round-11 certs (batch80/81) — also the changed-code
+    # evidence: they pin the ADVICE-r10 fixes and the catalog-closure
+    # aliasQuery end-to-end ----------------------------------------------------
     "graphite_render_aspercent_nodes",
     "graphite_render_timestack_neg",
+    "graphite_render_aliasquery",
     # --- 3. the five r4 rows the r10 window displaced -------------------------
     "tsdb_rollup_1h",
     "tsdb_slo_burn_rate",
     "tsdb_theilsen_trend",
     "upsert_latest_state",
     "window_topk_parts_per_brand",
-    # --- 4. next-oldest evidence: the r5 cohort (first 43 of 48) --------------
+    # --- 4. next-oldest evidence: the r5 cohort (first 42 of 48) --------------
     "agg_boolean_bitwise",
     "agg_covar_corr_quantized",
     "agg_mode_priority",
@@ -274,7 +279,6 @@ _PRIORITY = (
     "tsdb_integral_persecond",
     "tsdb_period_over_period",
     "tsdb_rate_irate",
-    "tsdb_rollup_cascade_1d",
 )
 
 

@@ -212,7 +212,7 @@ _HINT_PRESERVING = frozenset({
     # graphite's in-place per-point value mutators (functions.py writes
     # series[i] = ... on the same object and only renames it)
     "scale", "scaleToSeconds", "offset", "offsetToZero", "absolute",
-    "invert", "logarithm", "squareRoot", "sigmoid", "logit", "pow",
+    "invert", "logarithm", "squareRoot", "sigmoid", "logit", "exp", "pow",
     "round", "add", "minMax", "transformNull", "keepLastValue",
     "interpolate", "isNonNull",
     "removeAboveValue", "removeBelowValue",
@@ -498,6 +498,7 @@ def _registry() -> dict[str, Callable]:
         "minMax": lambda d, s: sf.min_max(d[0]),
         "sigmoid": lambda d, s: sf.sigmoid_series(d[0]),
         "logit": lambda d, s: sf.logit_series(d[0]),
+        "exp": lambda d, s: sf.exp_series(d[0]),
         "round": lambda d, s: sf.round_series(
             d[0], int(s[0]) if s else 0
         ),
@@ -636,6 +637,7 @@ def _registry() -> dict[str, Callable]:
         ),
         # evaluator special-case: re-renders a template per name prefix
         "applyByNode": None,
+        "aliasQuery": None,
         # generator functions (wave 4b) — leaf-style, no series argument;
         # intercepted in render() because they need the request window
         "time": None,
@@ -905,6 +907,10 @@ _KW_PARAMS: dict[str, tuple[tuple[str, object], ...]] = {
     "applyByNode": (
         ("nodeNum", _Required), ("templateFunction", _Required),
         ("newName", None),
+    ),
+    "aliasQuery": (
+        ("search", _Required), ("replace", _Required),
+        ("newName", _Required),
     ),
     "reduceSeries": (
         ("reduceFunction", _Required), ("reduceNode", _Required),
@@ -1464,6 +1470,60 @@ def render(
             if out is None:
                 raise ValueError("applyByNode: no series matched")
             return out
+        if name == "aliasQuery":
+            # graphite aliasQuery(series, search, replace, newName): each
+            # series name is regex-substituted into a NEW target, that
+            # target evaluated, and the LAST value of its first series
+            # sprintf'd into newName. One bounded evaluation per distinct
+            # input name (the applyByNode contract — series count, never
+            # data-proportional). Deviation: "first series" is the
+            # alphabetically-first metric (graphite takes fetch order's
+            # first; identical when the query resolves to one series —
+            # the intended use).
+            if len(dfs) != 1 or len(scalars) != 3:
+                raise ValueError(
+                    "aliasQuery(series, search, replace, newName)"
+                )
+            import re as _re
+
+            from pyspark.sql import functions as _F
+
+            search, replace, new_name = (str(x) for x in scalars)
+            names = sorted(
+                r["metric"]
+                for r in dfs[0].select("metric").distinct().collect()
+            )
+            renames: dict[str, str] = {}
+            for nm in names:
+                new_query = _re.sub(search, replace, nm)
+                sub = ev(_Parser(_tokenize(new_query)).parse(), w)
+                first = sub.agg(_F.min("metric").alias("m")).collect()[0]
+                if first.m is None:
+                    raise ValueError(
+                        f"aliasQuery: no series found with query: "
+                        f"{new_query}"
+                    )
+                last = (
+                    sub.where(
+                        (_F.col("metric") == first.m)
+                        & _F.col("value").isNotNull()
+                    )
+                    .orderBy(_F.col("bucket_ts").desc())
+                    .select("value")
+                    .limit(1)
+                    .collect()
+                )
+                if not last:
+                    raise ValueError(
+                        f"aliasQuery: cannot get last value of series: "
+                        f"{first.m}"
+                    )
+                renames[nm] = new_name % last[0].value
+            mapping = _F.create_map(
+                *[x for k, v in renames.items()
+                  for x in (_F.lit(k), _F.lit(v))]
+            )
+            return dfs[0].withColumn("metric", mapping[_F.col("metric")])
         if name == "seriesByTag":
             # leaf-style call (graphite 1.1): no series argument — the
             # tag predicates select from the whole catalog. The catalog

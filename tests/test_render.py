@@ -337,6 +337,7 @@ def test_render_fuzz_random_compositions(spark):
         "minMax({X})",
         "sigmoid({X})",
         "logit({X})",
+        "exp({X})",
         "round({X}, 1)",
         "add({X}, 5)",
         "groupByNodes({X}, 'sum', 0)",
@@ -1023,7 +1024,7 @@ def test_keyword_arguments_full_catalog(spark):
         "absolute", "aliasByMetric", "areaBetween", "averageSeries",
         "cactiStyle", "changed", "countSeries", "cumulative",
         "derivative", "diffSeries", "diffSeriesLists", "divideSeries",
-        "divideSeriesLists", "drawAsInfinite", "fallbackSeries",
+        "divideSeriesLists", "drawAsInfinite", "exp", "fallbackSeries",
         "group", "integral", "invert",
         "isNonNull", "logit", "maxSeries", "minMax", "minSeries",
         "multiplySeries", "multiplySeriesLists", "offsetToZero",
@@ -1475,6 +1476,63 @@ def test_as_percent_nodes_grouping(spark):
     none = sorted(map(tuple, render(
         "asPercent(*.web.*, None)", fetch).collect()))
     assert bare == none
+
+
+def test_exp_and_alias_query(spark):
+    """r11 catalog closure vs graphite-web 1.1: ``exp()`` (e^x per
+    value, gaps stay gaps) and ``aliasQuery()`` (each series name
+    regex-substituted into a NEW target whose last value sprintfs into
+    newName — graphite's per-series re-query)."""
+    import math
+
+    rows = [
+        ("channel.power.1", 0, 1.0), ("channel.power.1", 3600, 2.0),
+        ("channel.power.2", 0, 3.0), ("channel.power.2", 3600, None),
+        ("channel.freq.1", 0, 100.0), ("channel.freq.1", 3600, 101.0),
+        ("channel.freq.2", 0, 200.0), ("channel.freq.2", 3600, None),
+    ]
+    base = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+
+    def fetch(glob):
+        from kenshin_backup_spark.functions.deterministic import glob_to_regex
+        return base.where(F.col("metric").rlike(glob_to_regex(glob)))
+
+    # exp: e^x per point, gaps stay gaps (approx: the JVM's Math.exp
+    # and CPython's libm differ by up to 1 ulp)
+    got = {(r.metric, r.bucket_ts): r.value
+           for r in render("exp(channel.power.*)", fetch).collect()}
+    assert got[("channel.power.1", 0)] == pytest.approx(
+        math.exp(1.0), rel=1e-15)
+    assert got[("channel.power.1", 3600)] == pytest.approx(
+        math.exp(2.0), rel=1e-15)
+    assert got[("channel.power.2", 3600)] is None
+
+    # aliasQuery: power.N -> freq.N; the last NON-GAP value of the
+    # queried series feeds the sprintf (freq.2's 3600 slot is a gap,
+    # so its last value is 200 at slot 0)
+    out = render(
+        "aliasQuery(channel.power.*, 'power', 'freq', 'Channel %d MHz')",
+        fetch,
+    ).collect()
+    assert {r.metric for r in out} == {"Channel 101 MHz", "Channel 200 MHz"}
+    vals = {(r.metric, r.bucket_ts): r.value for r in out}
+    assert vals[("Channel 101 MHz", 3600)] == 2.0  # values unchanged
+
+    # keyword form binds through _KW_PARAMS
+    kw = render(
+        "aliasQuery(channel.power.*, 'power', 'freq', "
+        "newName='Channel %d MHz')", fetch,
+    ).collect()
+    assert sorted(map(tuple, kw)) == sorted(map(tuple, out))
+
+    # graphite raises when the substituted query matches nothing
+    with pytest.raises(ValueError, match="no series found"):
+        render(
+            "aliasQuery(channel.power.*, 'power', 'nosuch', 'x %d')",
+            fetch,
+        )
 
 
 def test_time_shift_refetch(spark):
