@@ -328,6 +328,76 @@ class Engine:
             out = part if out is None else out.unionByName(part)
         return out
 
+    def render_pie(
+        self,
+        target: str,
+        from_ts: int | str,
+        until_ts: int | str,
+        *,
+        pie_mode: str = "average",
+        now_ts: int | None = None,
+        x_files_factor: float | None = None,
+    ) -> DataFrame:
+        """graphite's PIE render — ``&graphType=pie&pieMode=...``
+        collapses each series of the evaluated target to ONE number,
+        the per-slice value of the pie chart (graphite-web
+        render/views.py's pie branch over render/functions.py's
+        ``PieFunctions``: average / maximum / minimum — the last
+        render-API surface next to the line graph). Returns a
+        ``(metric, value)`` frame, one row per series of the evaluated
+        target.
+
+        Kernels (gaps are the frame's NULL slots):
+
+        - ``average`` — graphite's ``safeDiv(safeSum, safeLen)``: gaps
+          ignored; an all-gap series yields a NULL slice (graphite emits
+          ``None`` and the pie renderer skips it — the row is kept here
+          so the caller sees the series existed).
+        - ``maximum`` / ``minimum`` — gap-ignoring max/min. Documented
+          deviation: graphite-web 1.1's ``pieMinimum`` is python-2
+          ``min()``, where ``None`` sorts below every number, so any
+          single gap collapses the slice to None; here gaps are ignored
+          (the safe semantics ``pieMaximum`` already has, and what the
+          py3 line of graphite settled on).
+
+        Literal slices: graphite's pie endpoint also accepts constant
+        ``target=name:value`` slices — views.py treats ANY pie target
+        containing ``:`` as a literal, splitting on the FIRST colon and
+        raising on a non-numeric value; mirrored here (the row is a
+        1-row plan that never touches the store).
+
+        Scale: the reduction is one gap-ignoring aggregate per series
+        keyed on the series name — a map-side-combined groupBy stacked
+        on the render plan; no new shuffle beyond the render's own."""
+        if pie_mode not in ("average", "maximum", "minimum"):
+            raise ValueError(
+                f"render_pie: unknown pieMode {pie_mode!r} "
+                "(graphite accepts average, maximum, minimum)"
+            )
+        if ":" in target:
+            name, _, raw = target.partition(":")
+            try:
+                value = float(raw)
+            except ValueError:
+                raise ValueError(
+                    f"render_pie: invalid literal pie target {target!r} "
+                    "(expected name:value)"
+                ) from None
+            return self.spark.range(1).select(
+                F.lit(name).alias("metric"),
+                F.lit(value).cast("double").alias("value"),
+            )
+        frame = self.render(
+            target, from_ts, until_ts,
+            now_ts=now_ts, x_files_factor=x_files_factor,
+        )
+        kernel = {"average": F.avg, "maximum": F.max, "minimum": F.min}[
+            pie_mode
+        ]
+        return frame.groupBy("metric").agg(
+            kernel("value").cast("double").alias("value")
+        )
+
     # -- maintenance ----------------------------------------------------------
 
     def delete(self, glob: str) -> dict[str, dict[int, int]]:

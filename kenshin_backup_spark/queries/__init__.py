@@ -99,6 +99,7 @@ from kenshin_backup_spark.queries import (
     batch79,
     batch80,
     batch81,
+    batch82,
     llm,
     relational,
     relational2,
@@ -191,28 +192,33 @@ _MODULES = (
     batch79,
     batch80,
     batch81,
+    batch82,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
 #: entries, so this ordering is evidence policy. Round-11 re-curation
 #: (COVERAGE.md's standing rule — the burn-down stays closed, windows
 #: hold in priority order):
-#: 1. re-certs of changed code — round 11's changes (ADVICE r10: the
-#:    asPercent kwarg-nodes dispatch, the timeStack sign normalization,
-#:    as_percent_nodes total-only keys) live on branches NO existing
-#:    cert exercises, so the changed-code evidence IS the two new
-#:    batch80 certs below; no prior cert's plan changed (verified by
-#:    the full-registry sim).
-#: 2. the NEW round-11 certs (batch80/81): the asPercent grouping form
-#:    with a series total + keyword nodes + a total-only group key
+#: 1. re-certs of changed code — round 11 changed (a) the ADVICE-r10
+#:    branches (asPercent kwarg-nodes dispatch, timeStack sign
+#:    normalization, as_percent_nodes total-only keys), whose
+#:    changed-code evidence IS the new batch80 certs below (no prior
+#:    cert's plan touched those branches), and (b) the winnowing
+#:    codepoint-array build (batch53 — split('') replaces the O(n²)
+#:    per-position substring; output row-identical), re-certified by
+#:    seating ``dedup_winnowing_pairs`` first.
+#: 2. the NEW round-11 certs (batch80/81/82): the asPercent grouping
+#:    form with a series total + keyword nodes + a total-only group key
 #:    (fails pre-fix on both ADVICE-r10 asPercent items),
 #:    timeStack('-1d') on the Engine refetch rail (fails on the
-#:    pre-fix future-shift), and aliasQuery (the r11 catalog-closure
-#:    per-series re-query) — all exact-parity green at sf0.001 AND
-#:    sf0.01 before rotation;
+#:    pre-fix future-shift), aliasQuery (the r11 catalog-closure
+#:    per-series re-query), and the pie render surface (all three
+#:    pieMode kernels + the literal slice through Engine.render_pie) —
+#:    all exact-parity green at sf0.001 AND sf0.01 before rotation;
 #: 3. the five r4 rows the r10 window displaced (its queue);
-#: 4. the next-oldest evidence: the first 42 rows of the 48-row r5
-#:    cohort (alphabetical). The last six r5 rows (tsdb_rollup_cascade_1d,
+#: 4. the next-oldest evidence: the first 40 rows of the 48-row r5
+#:    cohort (alphabetical). The last eight r5 rows
+#:    (tsdb_period_over_period, tsdb_rate_irate, tsdb_rollup_cascade_1d,
 #:    tsdb_sort_by_maxima, tsdb_wide_series_grid, tsdb_xff_guard,
 #:    window_cume_dist, window_range_price_band) carry to the r12 queue.
 #: The 9 rows-only-by-design queries (approx_distinct_parts,
@@ -224,19 +230,23 @@ _MODULES = (
 #: rotates out keeps exact-cell parity coverage in
 #: tests/test_oracle_parity.py.
 _PRIORITY = (
-    # --- 1+2. new round-11 certs (batch80/81) — also the changed-code
-    # evidence: they pin the ADVICE-r10 fixes and the catalog-closure
-    # aliasQuery end-to-end ----------------------------------------------------
+    # --- 1. changed-code re-cert: the batch53 winnowing codepoint-array
+    # rewrite (split('') for the O(n²) per-position substring) ------------------
+    "dedup_winnowing_pairs",
+    # --- 2. new round-11 certs (batch80/81/82) — batch80/81 are also the
+    # changed-code evidence for the ADVICE-r10 fixes and the
+    # catalog-closure aliasQuery; batch82 pins the pie render surface ----------
     "graphite_render_aspercent_nodes",
     "graphite_render_timestack_neg",
     "graphite_render_aliasquery",
+    "graphite_render_pie",
     # --- 3. the five r4 rows the r10 window displaced -------------------------
     "tsdb_rollup_1h",
     "tsdb_slo_burn_rate",
     "tsdb_theilsen_trend",
     "upsert_latest_state",
     "window_topk_parts_per_brand",
-    # --- 4. next-oldest evidence: the r5 cohort (first 42 of 48) --------------
+    # --- 4. next-oldest evidence: the r5 cohort (first 40 of 48) --------------
     "agg_boolean_bitwise",
     "agg_covar_corr_quantized",
     "agg_mode_priority",
@@ -277,8 +287,6 @@ _PRIORITY = (
     "tpch_q8_market_share",
     "tsdb_hopping_window",
     "tsdb_integral_persecond",
-    "tsdb_period_over_period",
-    "tsdb_rate_irate",
 )
 
 

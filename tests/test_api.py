@@ -423,3 +423,53 @@ def test_engine_render_max_data_points(spark, tmp_path):
         usable = [v for v in vals if v is not None]
         if usable and band in mx:
             assert abs(mx[band] - max(usable)) < 1e-9
+
+
+def test_engine_render_pie(spark, tmp_path):
+    """The pie render surface (graphite's &graphType=pie&pieMode=...):
+    every kernel reduces each series to graphite's slice value over the
+    rendered points (gaps ignored), the literal name:value target form
+    short-circuits, and an unknown mode fails loudly."""
+    import pytest
+
+    eng = _engine(spark, tmp_path)
+    pts = _points(spark)
+    eng.write(pts)
+
+    es = F.unix_timestamp("ts").cast("long")
+    b = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
+    lo, hi = b.lo - b.lo % 3600, b.hi + 1
+
+    full = eng.render("*", lo, hi).collect()
+    by_metric: dict[str, list[float]] = {}
+    for r in full:
+        by_metric.setdefault(r.metric, []).append(r.value)
+
+    kernels = {
+        "average": lambda v: sum(v) / len(v),
+        "maximum": max,
+        "minimum": min,
+    }
+    for mode, k in kernels.items():
+        got = {
+            r.metric: r.value
+            for r in eng.render_pie("*", lo, hi, pie_mode=mode).collect()
+        }
+        assert set(got) == set(by_metric)
+        for m, vals in by_metric.items():
+            usable = [v for v in vals if v is not None]
+            if usable:
+                assert abs(got[m] - k(usable)) < 1e-9
+            else:
+                assert got[m] is None
+
+    # literal slice: ANY pie target containing ':' is a constant slice
+    # (graphite splits on the first colon); non-numeric values fail loud
+    lit = eng.render_pie("free_space:42.5", lo, hi).collect()
+    assert [(r.metric, r.value) for r in lit] == [("free_space", 42.5)]
+
+    with pytest.raises(ValueError, match="literal"):
+        eng.render_pie("free:space:1", lo, hi)
+
+    with pytest.raises(ValueError, match="pieMode"):
+        eng.render_pie("*", lo, hi, pie_mode="median")
