@@ -127,10 +127,13 @@ SHOWCASE = [
     ),
     (
         "dedup_winnowing_pairs",
-        "Winnowing fingerprint dedup (round 4): the gram explode and "
-        "polynomial hash are scan-side Generate+Project (no UDF); the "
-        "min-selection window partitions by doc_id; the pair join is a "
-        "hash equi-join on the 8-byte fingerprint with a df-capped "
+        "Winnowing fingerprint dedup (round 4; r11 scan rewrite): the "
+        "codepoint array, per-position polynomial hashes, window minima "
+        "and per-doc dedup all evaluate ARRAY-SIDE in one scan "
+        "projection (split('') builds the char array in one O(n) pass — "
+        "the old per-position substring was quadratic in document "
+        "length); only SELECTED fingerprints become rows; the pair join "
+        "is a hash equi-join on the 8-byte fingerprint with a df-capped "
         "posting list — char-level dedup with zero cross joins.",
     ),
     (
@@ -192,6 +195,16 @@ SHOWCASE = [
         "plan dispatches on a LITERAL — the per-row regexp_extract "
         "disappears entirely from the hinted path. Same single "
         "consolidation Exchange as the maxdatapoints cert.",
+    ),
+    (
+        "graphite_render_pie",
+        "Pie render surface (round 11): each pieMode kernel is ONE "
+        "gap-ignoring aggregate keyed on the series name, stacked "
+        "directly on the render plan — the partial+final HashAggregate "
+        "pair REUSES the grid's metric clustering, so the plan adds NO "
+        "new Exchange at all (graphite-web walks every series in Python "
+        "per slice); the literal name:value slice is a 1-row local plan "
+        "that never touches the store.",
     ),
     (
         "tpch_q18_large_volume",
