@@ -463,6 +463,28 @@ def test_engine_render_pie(spark, tmp_path):
             else:
                 assert got[m] is None
 
+    # all-gap series (DETERMINISTIC, not fixture-dependent): a second
+    # store holds one metric that stops emitting halfway; a pie over the
+    # silent half keeps the series as a NULL slice (graphite emits None
+    # and the pie renderer skips it) while the live metric still scores
+    mid = lo + ((hi - lo) // 2 // 3600) * 3600
+    eng2 = Engine(
+        spark,
+        str(tmp_path / "store2"),
+        policies=[Policy(name="h", pattern=".*", steps=(3600,), agg="sum")],
+    )
+    eng2.write(
+        pts.select(F.lit("quiet").alias("metric"), "ts", "value").where(
+            es < mid
+        ).unionByName(pts.select(F.lit("busy").alias("metric"), "ts", "value"))
+    )
+    gap = {
+        r.metric: r.value
+        for r in eng2.render_pie("*", mid, hi, pie_mode="average").collect()
+    }
+    assert gap["quiet"] is None
+    assert gap["busy"] is not None
+
     # literal slice: ANY pie target containing ':' is a constant slice
     # (graphite splits on the first colon); non-numeric values fail loud
     lit = eng.render_pie("free_space:42.5", lo, hi).collect()
