@@ -203,10 +203,11 @@ _MODULES = (
 #:    branches (asPercent kwarg-nodes dispatch, timeStack sign
 #:    normalization, as_percent_nodes total-only keys), whose
 #:    changed-code evidence IS the new batch80 certs below (no prior
-#:    cert's plan touched those branches), and (b) the winnowing
-#:    codepoint-array build (batch53 — split('') replaces the O(n²)
-#:    per-position substring; output row-identical), re-certified by
-#:    seating ``dedup_winnowing_pairs`` first.
+#:    cert's plan touched those branches), and (b) the two batch53
+#:    char-array builds (split('') replaces the O(n²) per-position
+#:    substring in the winnowing gram hash AND the BPE adjacent-pair
+#:    build; output row-identical), re-certified by seating
+#:    ``dedup_winnowing_pairs`` and ``text_bpe_pair_merges`` first.
 #: 2. the NEW round-11 certs (batch80/81/82): the asPercent grouping
 #:    form with a series total + keyword nodes + a total-only group key
 #:    (fails pre-fix on both ADVICE-r10 asPercent items),
@@ -216,11 +217,12 @@ _MODULES = (
 #:    pieMode kernels + the literal slice through Engine.render_pie) —
 #:    all exact-parity green at sf0.001 AND sf0.01 before rotation;
 #: 3. the five r4 rows the r10 window displaced (its queue);
-#: 4. the next-oldest evidence: the first 40 rows of the 48-row r5
-#:    cohort (alphabetical). The last eight r5 rows
-#:    (tsdb_period_over_period, tsdb_rate_irate, tsdb_rollup_cascade_1d,
-#:    tsdb_sort_by_maxima, tsdb_wide_series_grid, tsdb_xff_guard,
-#:    window_cume_dist, window_range_price_band) carry to the r12 queue.
+#: 4. the next-oldest evidence: the first 39 rows of the 48-row r5
+#:    cohort (alphabetical). The last nine r5 rows
+#:    (tsdb_integral_persecond, tsdb_period_over_period, tsdb_rate_irate,
+#:    tsdb_rollup_cascade_1d, tsdb_sort_by_maxima, tsdb_wide_series_grid,
+#:    tsdb_xff_guard, window_cume_dist, window_range_price_band) carry
+#:    to the r12 queue.
 #: The 9 rows-only-by-design queries (approx_distinct_parts,
 #: approx_event_percentiles, emb_intrinsic_dimension,
 #: emb_kmeans_clusters, emb_mmr_rerank*, events_rolling_wau_hll,
@@ -230,9 +232,11 @@ _MODULES = (
 #: rotates out keeps exact-cell parity coverage in
 #: tests/test_oracle_parity.py.
 _PRIORITY = (
-    # --- 1. changed-code re-cert: the batch53 winnowing codepoint-array
-    # rewrite (split('') for the O(n²) per-position substring) ------------------
+    # --- 1. changed-code re-certs: the batch53 codepoint/char-array
+    # rewrites (split('') for the O(n²) per-position substring — the
+    # winnowing gram hash and the BPE adjacent-pair build) ----------------------
     "dedup_winnowing_pairs",
+    "text_bpe_pair_merges",
     # --- 2. new round-11 certs (batch80/81/82) — batch80/81 are also the
     # changed-code evidence for the ADVICE-r10 fixes and the
     # catalog-closure aliasQuery; batch82 pins the pie render surface ----------
@@ -246,7 +250,7 @@ _PRIORITY = (
     "tsdb_theilsen_trend",
     "upsert_latest_state",
     "window_topk_parts_per_brand",
-    # --- 4. next-oldest evidence: the r5 cohort (first 40 of 48) --------------
+    # --- 4. next-oldest evidence: the r5 cohort (first 39 of 48) --------------
     "agg_boolean_bitwise",
     "agg_covar_corr_quantized",
     "agg_mode_priority",
@@ -286,7 +290,6 @@ _PRIORITY = (
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",
     "tsdb_hopping_window",
-    "tsdb_integral_persecond",
 )
 
 

@@ -202,11 +202,18 @@ def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w"
         )
     ).where(F.length("w") >= 2)
-    pairs = words.select(
+    # adjacent pairs from the O(n) char array (element_at is O(1));
+    # substring(w, i, 2) per position is O(i) on UTF8String — quadratic
+    # on pathological long [a-z]+ runs, the same latent shape the r11
+    # winnowing rewrite removed. The char array materializes ONCE in its
+    # own projection (a split inside the lambda would re-split per
+    # element). Identical output: ASCII-only words (the [a-z]+
+    # extraction), length >= 2 filtered above.
+    pairs = words.select(F.split("w", "").alias("c")).select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("w") - 1),
-                lambda i: F.substring(F.col("w"), i, 2),
+            F.expr(
+                "transform(sequence(1, size(c) - 1), "
+                "i -> concat(element_at(c, i), element_at(c, i + 1)))"
             )
         ).alias("pair")
     )
