@@ -398,6 +398,36 @@ class Engine:
             kernel("value").cast("double").alias("value")
         )
 
+    def render_pie_many(
+        self,
+        targets: list[str] | tuple[str, ...],
+        from_ts: int | str,
+        until_ts: int | str,
+        *,
+        pie_mode: str = "average",
+        now_ts: int | None = None,
+        x_files_factor: float | None = None,
+    ) -> DataFrame:
+        """SEVERAL pie targets in one call — the shape of a real graphite
+        pie request (``&graphType=pie&target=a&target=b...``): views.py
+        walks the target list and appends every target's slices to ONE
+        data list, so expression targets and literal ``name:value``
+        slices mix freely and duplicate slice names are kept (graphite's
+        pie data is a list, not a dict). Returns the union of the
+        per-target ``(metric, value)`` frames — one lazy plan, scheduled
+        as one job like :meth:`render_many`."""
+        if not targets:
+            raise ValueError("render_pie_many: need at least one target")
+        out: DataFrame | None = None
+        for t in targets:
+            part = self.render_pie(
+                t, from_ts, until_ts,
+                pie_mode=pie_mode, now_ts=now_ts,
+                x_files_factor=x_files_factor,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
     # -- maintenance ----------------------------------------------------------
 
     def delete(self, glob: str) -> dict[str, dict[int, int]]:

@@ -495,3 +495,14 @@ def test_engine_render_pie(spark, tmp_path):
 
     with pytest.raises(ValueError, match="pieMode"):
         eng.render_pie("*", lo, hi, pie_mode="median")
+
+    # multi-target pie request: expression + literal targets mix into ONE
+    # slice list (graphite appends per target; duplicate names are kept)
+    many = eng.render_pie_many(["view", "view", "quota:100"], lo, hi)
+    rows = sorted((r.metric, r.value) for r in many.collect())
+    view_avg = [r for r in rows if r[0] == "view"]
+    assert len(view_avg) == 2 and view_avg[0] == view_avg[1]
+    assert ("quota", 100.0) in rows
+
+    with pytest.raises(ValueError, match="at least one"):
+        eng.render_pie_many([], lo, hi)
