@@ -1493,12 +1493,26 @@ def average_outside_percentile(df: DataFrame, n: float) -> DataFrame:
     return df.join(F.broadcast(keep), "metric")
 
 
+def _drop_internal(df: DataFrame) -> DataFrame:
+    """Strip ``__``-prefixed bookkeeping columns (sortBy*'s
+    ``__series_order``) at a frame-combining boundary. Branches arriving
+    at a union can disagree on decoration (``group(sortByMaxima(a), b)``
+    crashed on the schema mismatch — r11 fuzz find), and a rank computed
+    over ONE branch is meaningless over the union (graphite concatenates
+    lists; a DataFrame union has no order to concatenate). Downstream
+    order consumers fall back to the documented name order; the
+    sort-then-limit idiom wraps the sort directly and is unaffected."""
+    internal = [c for c in df.columns if c.startswith("__")]
+    return df.drop(*internal) if internal else df
+
+
 def group_series(dfs: list[DataFrame]) -> DataFrame:
     """graphite ``group(...)``: the plain union of every argument's
-    series (lets one target mix selections)."""
-    out = dfs[0]
+    series (lets one target mix selections). Sort bookkeeping resets at
+    the union (see :func:`_drop_internal`)."""
+    out = _drop_internal(dfs[0])
     for d in dfs[1:]:
-        out = out.unionByName(d)
+        out = out.unionByName(_drop_internal(d))
     return out
 
 
@@ -2812,10 +2826,10 @@ def unique_series(dfs: list[DataFrame]) -> DataFrame:
     each series NAME only from the FIRST list that contains it (the
     deterministic stand-in for graphite's first-occurrence rule). The
     per-list name frames are tiny → broadcast anti-joins."""
-    out = dfs[0]
+    out = _drop_internal(dfs[0])  # branch schemas must agree (r11 fuzz)
     seen = dfs[0].select("metric").distinct()
     for d in dfs[1:]:
-        fresh = d.join(F.broadcast(seen), "metric", "left_anti")
+        fresh = _drop_internal(d).join(F.broadcast(seen), "metric", "left_anti")
         out = out.unionByName(fresh)
         seen = seen.unionByName(
             d.select("metric").distinct()
@@ -2836,6 +2850,8 @@ def fallback_series(df: DataFrame, fallback: DataFrame) -> DataFrame:
     exist, otherwise the fallback. Emptiness is decided IN-PLAN: a 1-row
     count of the primary frame broadcast onto both branches (no driver
     action, so the whole target still compiles to one lazy plan)."""
+    df = _drop_internal(df)  # branch schemas must agree (r11 fuzz find)
+    fallback = _drop_internal(fallback)
     cnt = df.agg(F.count(F.lit(1)).alias("__n"))
     a = df.crossJoin(F.broadcast(cnt)).where(F.col("__n") > 0).drop("__n")
     b = (

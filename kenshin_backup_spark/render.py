@@ -58,7 +58,7 @@ _TOKEN = re.compile(
     r"""
       (?P<ws>\s+)
     | (?P<string>'[^']*'|"[^"]*")
-    | (?P<number>-?\d+\.\d+|-?\d+(?![\w.*{]))
+    | (?P<number>-?\d+(?:\.\d+)?[eE]-?\d+(?![\w.*{])|-?\d+\.\d+|-?\d+(?![\w.*{]))
     | (?P<lparen>\()
     | (?P<rparen>\))
     | (?P<comma>,)
@@ -150,7 +150,10 @@ class _Parser:
             return ("str", t.text[1:-1])
         if t.kind == "number":
             self.take()
-            return ("num", float(t.text) if "." in t.text else int(t.text))
+            # scientific notation is a FLOAT, like graphite's sciNumber
+            # (grammar.py: (float|int) 'e' int — exponent sign '-' only)
+            is_float = "." in t.text or "e" in t.text.lower()
+            return ("num", float(t.text) if is_float else int(t.text))
         # graphite booleans (sortBy(x, 'avg', true)) — a bare true/false
         # NOT followed by '(' is a literal, never a metric leaf
         if (

@@ -1903,3 +1903,54 @@ def test_alias_preserves_consolidation_hint(spark):
         "logarithm(consolidateBy(c.m, 'max'), 2)", fetch, max_data_points=2,
     ).collect()))
     assert a == b and a
+
+
+def test_scientific_notation_numbers(spark):
+    """graphite's grammar accepts scientific-notation numbers
+    (grammar.py sciNumber: (float|int) 'e' int, exponent sign '-' only)
+    — found by the r11 extended fuzz: maximumBelow(x, 9e9) was a parse
+    error. Sci numbers are floats, like graphite's."""
+    from kenshin_backup_spark.render import _Parser, _tokenize
+
+    ast = _Parser(_tokenize("scale(cpu.*, 1e3)")).parse()
+    assert ast == ("call", "scale", [("leaf", "cpu.*"), ("num", 1000.0)])
+    ast = _Parser(_tokenize("offset(cpu.*, -2.5e-2)")).parse()
+    assert ast[2][1] == ("num", -0.025)
+
+    fetch = _fetch_fn(spark)
+    rows = render("maximumBelow(cpu.*, 9e9)", fetch).collect()
+    assert rows  # everything is below 9e9 — nothing filtered
+    sc = {(r.metric, r.bucket_ts): r.value
+          for r in render("scale(mem.used, 1e2)", fetch).collect()}
+    base = {(r.metric, r.bucket_ts): r.value
+            for r in render("scale(mem.used, 100)", fetch).collect()}
+    assert sc == base
+
+
+def test_combine_boundaries_reset_sort_bookkeeping(spark):
+    """Frame-combining functions must accept a sortBy*-decorated branch
+    next to a plain one (r11 fuzz find: the __series_order bookkeeping
+    column crashed unionByName with a schema mismatch). The rank resets
+    at the boundary — documented; sort-then-limit wraps the sort
+    directly and keeps composing."""
+    fetch = _fetch_fn(spark)
+    for t in (
+        "group(sortByMaxima(cpu.*), mem.used)",
+        "sumSeries(sortByTotal(cpu.*), mem.used)",
+        "unique(sortByMaxima(cpu.*), mem.used)",
+        "fallbackSeries(sortByMaxima(cpu.*), constantLine(1))",
+        # fallback branch taken: primary sorted-then-emptied
+        "fallbackSeries(sortByMaxima(exclude(cpu.*, '.')), constantLine(1))",
+    ):
+        df = render(t, fetch, from_ts=0, until_ts=600)
+        assert set(df.columns) == {"metric", "bucket_ts", "value"}, t
+        df.collect()
+    # the sort-then-limit idiom is unaffected by the boundary reset
+    lim = render("limit(sortByMaxima(cpu.*), 1)", fetch).collect()
+    mx = render("sortByMaxima(cpu.*)", fetch).collect()
+    best = max(
+        {r.metric for r in mx},
+        key=lambda m: max(r.value for r in mx if r.metric == m
+                          and r.value is not None),
+    )
+    assert {r.metric for r in lim} == {best}
