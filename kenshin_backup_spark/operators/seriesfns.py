@@ -53,6 +53,19 @@ def absolute(df: DataFrame) -> DataFrame:
     return df.withColumn("value", F.abs("value").cast("double"))
 
 
+def _qsum(q) -> Column:
+    """SUM of a quantized-long column in DECIMAL(38,0). Value-identical
+    to the plain long SUM wherever that didn't overflow (a decimal sum of
+    the same integers, then the same promotion to double at the enclosing
+    division/cast), but never an ANSI ARITHMETIC_OVERFLOW crash: a
+    bytes-scale counter (1e12) over a few hundred points overflows the
+    int64 quantized total (r11 fuzz find, reproduced at realistic
+    magnitudes on sortByTotal/averageAbove). DuckDB oracles need no
+    change — its SUM(BIGINT) already accumulates in HUGEINT. Same
+    rationale as the established DECIMAL Σq² moments (series_stdev)."""
+    return F.sum(q.cast("decimal(38,0)"))
+
+
 def time_shift(df: DataFrame, shift_seconds: int) -> DataFrame:
     """graphite ``timeShift()``: move the series along the time axis
     (negative = into the past, for period-over-period comparison)."""
@@ -72,8 +85,13 @@ def keep_last_value(df: DataFrame, limit: int | None = None) -> DataFrame:
     marker = F.when(F.col("value").isNotNull(), F.col("bucket_ts"))
     last_seen = F.last(marker, ignorenulls=True).over(w)
     step = F.col("bucket_ts") - F.lag("bucket_ts").over(_w())
-    # slots are uniform per series; estimate step as the min positive diff
-    step_est = F.min(step).over(W.partitionBy("metric"))
+    # slots are uniform per series; estimate step as the min POSITIVE
+    # diff — the positivity filter matters: duplicate (metric, bucket_ts)
+    # rows (a self-union like group(x, x)) give a 0 diff, and an
+    # unfiltered min made the division below an ANSI DIVIDE_BY_ZERO
+    # crash (r11 fuzz find). All-duplicate series leave the estimate
+    # NULL → the distance is NULL → no limited fill, never a crash.
+    step_est = F.min(F.when(step > 0, step)).over(W.partitionBy("metric"))
     gap_slots = ((F.col("bucket_ts") - last_seen) / step_est).cast("long")
     return df.withColumn(
         "value", F.when(gap_slots <= limit, filled).otherwise(F.col("value"))
@@ -152,7 +170,7 @@ def integral(df: DataFrame) -> DataFrame:
     q = F.floor(F.col("value") * QUANT).cast("long")
     w = _w().rowsBetween(W.unboundedPreceding, 0)
     return df.withColumn(
-        "value", (F.sum(q).over(w) / F.lit(float(QUANT))).cast("double")
+        "value", (_qsum(q).over(w) / F.lit(float(QUANT))).cast("double")
     )
 
 
@@ -173,7 +191,7 @@ def moving_average(
     q = F.floor(F.col("value") * QUANT).cast("long")
     w = _w().rowsBetween(-int(window_points), -1)
     avg = (
-        F.sum(q).over(w) / (F.lit(float(QUANT)) * F.count(q).over(w))
+        _qsum(q).over(w) / (F.lit(float(QUANT)) * F.count(q).over(w))
     ).cast("double")
     ok = _xff_window_gate(
         w, F.row_number().over(_w()) > int(window_points), x_files_factor
@@ -202,7 +220,7 @@ def moving_average_time(
     )
     first = F.min("bucket_ts").over(W.partitionBy("metric"))
     avg = (
-        F.sum(q).over(w) / (F.lit(float(QUANT)) * F.count(q).over(w))
+        _qsum(q).over(w) / (F.lit(float(QUANT)) * F.count(q).over(w))
     ).cast("double")
     ok = _xff_window_gate(
         w,
@@ -227,9 +245,9 @@ def summarize(df: DataFrame, interval_seconds: int, func: str = "sum") -> DataFr
     bucket = (F.col("bucket_ts") - (F.col("bucket_ts") % interval_seconds)).cast("long")
     q = F.floor(F.col("value") * QUANT).cast("long")
     aggs = {
-        "sum": (F.sum(q) / F.lit(float(QUANT))).cast("double"),
+        "sum": (_qsum(q) / F.lit(float(QUANT))).cast("double"),
         # sequential divisions match _combine's oracle-mirrorable order
-        "avg": (F.sum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
+        "avg": (_qsum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
         "max": F.max("value"),
         "min": F.min("value"),
         "count": F.count("value").cast("double"),
@@ -321,10 +339,10 @@ def average_series(df: DataFrame, name: str = "averageSeries") -> DataFrame:
 def _combine(df: DataFrame, func: str) -> DataFrame:
     q = F.floor(F.col("value") * QUANT).cast("long")
     aggs = {
-        "sum": (F.sum(q) / F.lit(float(QUANT))).cast("double"),
+        "sum": (_qsum(q) / F.lit(float(QUANT))).cast("double"),
         # sequential divisions, matching the oracle's SUM/1e6/COUNT order
         # (division is not associative in float)
-        "avg": (F.sum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
+        "avg": (_qsum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
         "max": F.max("value"),
         "min": F.min("value"),
     }
@@ -364,7 +382,7 @@ def series_stdev(df: DataFrame) -> DataFrame:
     qd = q.cast("decimal(19,0)")
     agg = df.groupBy("metric").agg(
         F.count(q).alias("n"),
-        F.sum(q).alias("s1"),
+        _qsum(q).alias("s1"),
         F.sum(qd * qd).alias("s2"),
     )
     var_num = F.greatest(
@@ -393,7 +411,7 @@ def sort_by_total(df: DataFrame) -> DataFrame:
     total, descending; ties → metric asc."""
     q = F.floor(F.col("value") * QUANT).cast("long")
     tot = df.groupBy("metric").agg(
-        (F.sum(q) / F.lit(float(QUANT))).cast("double").alias("series_total")
+        (_qsum(q) / F.lit(float(QUANT))).cast("double").alias("series_total")
     )
     return with_global_prefix(
         tot, [F.desc("series_total"), F.asc("metric")], row_number_col="rank"
@@ -431,7 +449,7 @@ def sort_by_total_series(df: DataFrame) -> DataFrame:
     """graphite ``sortByTotal()`` in CANONICAL form (quantized-exact
     totals; see :func:`sort_by_total` for the ranking-table variant)."""
     q = F.floor(F.col("value") * QUANT).cast("long")
-    total = (F.sum(q) / F.lit(float(QUANT))).cast("double")
+    total = (_qsum(q) / F.lit(float(QUANT))).cast("double")
     return _with_series_order(df, total)
 
 
@@ -547,8 +565,8 @@ def as_percent(
     out = df.withColumn("__q", q).withColumn(
         "value",
         F.when(
-            F.sum("__q").over(w) != 0,
-            (F.col("__q").cast("double") / F.sum("__q").over(w).cast("double")) * 100.0,
+            _qsum(F.col("__q")).over(w) != 0,
+            (F.col("__q").cast("double") / _qsum(F.col("__q")).over(w).cast("double")) * 100.0,
         ),
     )
     return out.drop("__q")
@@ -593,7 +611,7 @@ def as_percent_nodes(
     tot = (
         src.withColumn("__k", key)
         .groupBy("__k", "bucket_ts")
-        .agg(F.sum(q).alias("__tq"))
+        .agg(_qsum(q).alias("__tq"))
     )
     pct = (
         df.withColumn("__k", key)
@@ -716,7 +734,7 @@ def _series_mean(df: DataFrame) -> DataFrame:
     """Per-series quantized-exact mean over non-gap slots."""
     q = F.floor(F.col("value") * QUANT).cast("long")
     return df.groupBy("metric").agg(
-        (F.sum(q) / F.lit(float(QUANT)) / F.count(q))
+        (_qsum(q) / F.lit(float(QUANT)) / F.count(q))
         .cast("double")
         .alias("__mean")
     )
@@ -811,7 +829,7 @@ def stddev_series(df: DataFrame, name: str = "stddevSeries") -> DataFrame:
         .groupBy("metric", "bucket_ts")
         .agg(
             F.count("__q").alias("n"),
-            F.sum("__q").alias("s1"),
+            _qsum(F.col("__q")).alias("s1"),
             F.sum(F.col("__qd") * F.col("__qd")).alias("s2"),
         )
     )
@@ -1100,7 +1118,7 @@ def moving_sum(
     q = F.floor(F.col("value") * QUANT).cast("long")
     w, ok = _moving_frame(df, window_points, window_seconds,
                           x_files_factor)
-    val = (F.sum(q).over(w) / F.lit(float(QUANT))).cast("double")
+    val = (_qsum(q).over(w) / F.lit(float(QUANT))).cast("double")
     return df.withColumn("value", F.when(ok, val))
 
 
@@ -1240,7 +1258,7 @@ def weighted_average(
         F.col("__w").isNotNull(), F.floor(F.col("__w") * QUANT).cast("long")
     )
     g = j.groupBy("bucket_ts").agg(
-        F.sum(qp).alias("__sp"), F.sum(qw).alias("__sw")
+        _qsum(qp).alias("__sp"), _qsum(qw).alias("__sw")
     )
     return g.select(
         F.lit("weightedAverage").alias("metric"),
@@ -1438,7 +1456,7 @@ def hitcount(
     return (
         df.withColumn("__q", q)
         .groupBy("metric", bucket.alias("bucket_ts"))
-        .agg((F.sum("__q") / F.lit(float(QUANT))).cast("double").alias("value"))
+        .agg((_qsum(F.col("__q")) / F.lit(float(QUANT))).cast("double").alias("value"))
     )
 
 
@@ -1460,7 +1478,7 @@ def integral_by_interval(df: DataFrame, interval_seconds: int) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, 0)
     )
     return df.withColumn(
-        "value", (F.sum(q).over(w) / F.lit(float(QUANT))).cast("double")
+        "value", (_qsum(q).over(w) / F.lit(float(QUANT))).cast("double")
     )
 
 
@@ -1782,7 +1800,7 @@ def stdev_series_window(
     q = F.floor(F.col("value") * _STDEV_QUANT).cast("long")
     qd = q.cast("decimal(19,0)")
     n = F.count(q).over(w)
-    s1 = F.sum(q).over(w)
+    s1 = _qsum(q).over(w)
     s2 = F.sum(qd * qd).over(w)
     nd = n.cast("double")
     var_num = F.greatest(
@@ -2086,9 +2104,9 @@ def aggregate_line(df: DataFrame, func: str = "avg") -> DataFrame:
     avg/sum). Per-series 1-row aggregate broadcast back."""
     q = F.floor(F.col("value") * QUANT).cast("long")
     aggs = {
-        "avg": (F.sum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
-        "average": (F.sum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
-        "sum": (F.sum(q) / F.lit(float(QUANT))).cast("double"),
+        "avg": (_qsum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
+        "average": (_qsum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
+        "sum": (_qsum(q) / F.lit(float(QUANT))).cast("double"),
         "min": F.min("value"),
         "max": F.max("value"),
         "last": F.max(
@@ -2439,7 +2457,7 @@ def _series_key(df: DataFrame, func: str) -> DataFrame:
         )
     q = F.floor(F.col("value") * QUANT).cast("long")
     if func in ("average", "avg"):
-        key = (F.sum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double")
+        key = (_qsum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double")
     elif func in ("current", "last"):
         key = F.max(
             F.when(
@@ -2453,7 +2471,7 @@ def _series_key(df: DataFrame, func: str) -> DataFrame:
     elif func == "min":
         key = F.min("value")
     elif func in ("sum", "total"):
-        key = (F.sum(q) / F.lit(float(QUANT))).cast("double")
+        key = (_qsum(q) / F.lit(float(QUANT))).cast("double")
     elif func == "median":
         arr = F.array_sort(
             F.collect_list(F.when(F.col("value").isNotNull(), F.col("value")))
@@ -2473,7 +2491,7 @@ def _series_key(df: DataFrame, func: str) -> DataFrame:
         n = F.count(qs).cast("double")
         var = (
             F.sum(qd * qd).cast("double") / n
-            - (F.sum(qs).cast("double") / n) ** 2
+            - (_qsum(qs).cast("double") / n) ** 2
         ) / F.lit(float(_STDEV_QUANT) ** 2)
         key = F.when(n > 0, F.sqrt(F.greatest(var, F.lit(0.0)))).cast(
             "double"
@@ -2557,11 +2575,11 @@ def _combine_grouped(df: DataFrame, func: str) -> DataFrame:
     no series-list order to honor."""
     q = F.floor(F.col("value") * QUANT).cast("long")
     simple = {
-        "sum": (F.sum(q) / F.lit(float(QUANT))).cast("double"),
-        "total": (F.sum(q) / F.lit(float(QUANT))).cast("double"),
-        "avg": (F.sum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
+        "sum": (_qsum(q) / F.lit(float(QUANT))).cast("double"),
+        "total": (_qsum(q) / F.lit(float(QUANT))).cast("double"),
+        "avg": (_qsum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
         "average": (
-            F.sum(q) / F.lit(float(QUANT)) / F.count(q)
+            _qsum(q) / F.lit(float(QUANT)) / F.count(q)
         ).cast("double"),
         "max": F.max("value"),
         "min": F.min("value"),
@@ -2604,7 +2622,7 @@ def _combine_grouped(df: DataFrame, func: str) -> DataFrame:
             .groupBy(F.col("__grp").alias("metric"), F.col("bucket_ts"))
             .agg(
                 F.count("__q").alias("n"),
-                F.sum("__q").alias("s1"),
+                _qsum(F.col("__q")).alias("s1"),
                 F.sum(F.col("__qd") * F.col("__qd")).alias("s2"),
             )
         )
@@ -2903,8 +2921,8 @@ def legend_value(df: DataFrame, *value_types: str) -> DataFrame:
             raise ValueError(f"legendValue type must be one of {sorted(fns)}")
     q = F.floor(F.col("value") * QUANT).cast("long")
     aggs = {
-        "avg": (F.sum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
-        "sum": (F.sum(q) / F.lit(float(QUANT))).cast("double"),
+        "avg": (_qsum(q) / F.lit(float(QUANT)) / F.count(q)).cast("double"),
+        "sum": (_qsum(q) / F.lit(float(QUANT))).cast("double"),
         "min": F.min("value"),
         "max": F.max("value"),
         "last": F.max(

@@ -1954,3 +1954,20 @@ def test_combine_boundaries_reset_sort_bookkeeping(spark):
                           and r.value is not None),
     )
     assert {r.metric for r in lim} == {best}
+
+
+def test_keep_last_value_limit_duplicate_timestamps(spark):
+    """keepLastValue(limit) over a frame with duplicate (metric,
+    bucket_ts) rows — graphite's group(x, x) produces the same series
+    twice — must not divide by zero estimating the slot step (r11 fuzz
+    find: the min step diff included the duplicates' 0). The fill
+    values must match the single-series form slot-for-slot."""
+    fetch = _fetch_fn(spark)
+    dup = render("keepLastValue(group(cpu.*, cpu.*), 2)", fetch).collect()
+    one = {
+        (r.metric, r.bucket_ts): r.value
+        for r in render("keepLastValue(cpu.*, 2)", fetch).collect()
+    }
+    assert dup
+    for r in dup:
+        assert r.value == one[(r.metric, r.bucket_ts)], (r.metric, r.bucket_ts)

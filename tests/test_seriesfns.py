@@ -1073,3 +1073,34 @@ def test_sort_by_name_natural_matches_graphite_padded_key(spark):
         .orderBy("__series_order").collect()
     ]
     assert got == want
+
+
+def test_quantized_sums_survive_large_magnitudes(spark):
+    """Every quantized SUM aggregate must survive realistic large
+    magnitudes: a bytes-scale counter (1e12) over 200 points overflowed
+    the int64 quantized total under ANSI mode (r11 fuzz find — the sums
+    now accumulate in DECIMAL(38,0), exactly like DuckDB's HUGEINT
+    SUM(BIGINT)). Values must equal the plain-double expectation to
+    1e-6-quantization precision."""
+    from kenshin_backup_spark.render import render
+
+    rows = [("m", t * 60, 1.0e12 + t) for t in range(200)]
+    df = spark.createDataFrame(rows, ["metric", "bucket_ts", "value"])
+
+    def fetch(glob):
+        return df
+
+    # aggregate paths: per-series totals/means, banded sums, windows
+    for target in (
+        "sortByTotal(m)", "averageAbove(m, 0)", "summarize(m, '1h', 'sum')",
+        "integral(m)", "movingSum(m, 5)", "aggregateLine(m, 'sum')",
+        "weightedAverage(m, m, 0)", "hitcount(m, '1h')",
+    ):
+        out = render(target, fetch, from_ts=0, until_ts=12000).collect()
+        assert out, target
+
+    # value spot-check: the quantized series total is exact
+    tot = render("aggregateLine(m, 'sum')", fetch,
+                 from_ts=0, until_ts=12000).collect()
+    expected = sum(1.0e12 + t for t in range(200))
+    assert abs(tot[0].value - expected) < 1.0, tot[0].value
