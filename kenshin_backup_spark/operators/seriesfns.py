@@ -1317,12 +1317,17 @@ def sort_by_name_series(
 
 
 def _series_step() -> Column:
-    """Per-series grid step, estimated as the minimum positive
+    """Per-series grid step, estimated as the minimum POSITIVE
     ``bucket_ts`` diff (the canonical frame carries no step metadata;
-    graphite reads it from the fetched series header). NULL for
-    single-point series — consumers surface that as a gap."""
+    graphite reads it from the fetched series header). The positivity
+    filter matters: duplicate (metric, bucket_ts) rows — a self-union
+    like ``group(x, x)`` — give a 0 diff, and an unfiltered min made
+    every division by the step an ANSI DIVIDE_BY_ZERO (r11 fuzz find,
+    same class as keep_last_value's inline estimate). NULL for
+    single-point or all-duplicate series — consumers surface that as a
+    gap."""
     step = F.col("bucket_ts") - F.lag("bucket_ts").over(_w())
-    return F.min(step).over(W.partitionBy("metric"))
+    return F.min(F.when(step > 0, step)).over(W.partitionBy("metric"))
 
 
 def alias_sub(df: DataFrame, search: str, replace: str) -> DataFrame:
@@ -3203,7 +3208,13 @@ def holt_winters_analysis(
             lambda a, b: a["t"] - b["t"],
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    step = F.coalesce(F.array_min(diffs), F.lit(60).cast("bigint"))
+    # min POSITIVE diff: duplicate timestamps (self-union inputs) give a
+    # 0 diff and the season division below became an ANSI
+    # DIVIDE_BY_ZERO (r11 fuzz find — same class as _series_step)
+    step = F.coalesce(
+        F.array_min(F.filter(diffs, lambda d: d > 0)),
+        F.lit(60).cast("bigint"),
+    )
     # graphite: season_length = 86400 // step; the fold needs L ≥ 2
     per = per.withColumn(
         "__L",

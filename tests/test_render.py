@@ -1971,3 +1971,20 @@ def test_keep_last_value_limit_duplicate_timestamps(spark):
     assert dup
     for r in dup:
         assert r.value == one[(r.metric, r.bucket_ts)], (r.metric, r.bucket_ts)
+
+
+def test_series_step_duplicate_timestamps(spark):
+    """Every _series_step consumer must survive duplicate (metric,
+    bucket_ts) rows — graphite's group(x, x) — without the ANSI
+    DIVIDE_BY_ZERO the plain-min step estimate produced (r11 fuzz,
+    second wave: interpolate(limit), perSecond, integralByInterval,
+    holtWinters' season fold)."""
+    fetch = _fetch_fn(spark)
+    for t in (
+        "interpolate(group(mem.used, mem.used), 2)",
+        "perSecond(group(mem.used, mem.used))",
+        "integralByInterval(group(mem.used, mem.used), '1h')",
+        "holtWintersForecast(areaBetween(log(mem.used, 2), log(mem.used, 2)))",
+    ):
+        out = render(t, fetch, from_ts=0, until_ts=600).collect()
+        assert out, t
