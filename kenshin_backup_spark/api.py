@@ -337,6 +337,7 @@ class Engine:
         pie_mode: str = "average",
         now_ts: int | None = None,
         x_files_factor: float | None = None,
+        include_empty: bool = True,
     ) -> DataFrame:
         """graphite's PIE render — ``&graphType=pie&pieMode=...``
         collapses each series of the evaluated target to ONE number,
@@ -352,7 +353,11 @@ class Engine:
         - ``average`` — graphite's ``safeDiv(safeSum, safeLen)``: gaps
           ignored; an all-gap series yields a NULL slice (graphite emits
           ``None`` and the pie renderer skips it — the row is kept here
-          so the caller sees the series existed).
+          by default so the caller sees the series existed; pass
+          ``include_empty=False`` for graphite's skip-None rendering).
+          CALLERS COMPUTING SLICE FRACTIONS (value / sum of values) must
+          either pass ``include_empty=False`` or NULL-filter first — a
+          NULL slice nulls a plain SUM total (ADVICE r11).
         - ``maximum`` / ``minimum`` — gap-ignoring max/min. Documented
           deviation: graphite-web 1.1's ``pieMinimum`` is python-2
           ``min()``, where ``None`` sorts below every number, so any
@@ -394,9 +399,12 @@ class Engine:
         kernel = {"average": F.avg, "maximum": F.max, "minimum": F.min}[
             pie_mode
         ]
-        return frame.groupBy("metric").agg(
+        slices = frame.groupBy("metric").agg(
             kernel("value").cast("double").alias("value")
         )
+        if not include_empty:
+            slices = slices.where(F.col("value").isNotNull())
+        return slices
 
     def render_pie_many(
         self,
@@ -407,6 +415,7 @@ class Engine:
         pie_mode: str = "average",
         now_ts: int | None = None,
         x_files_factor: float | None = None,
+        include_empty: bool = True,
     ) -> DataFrame:
         """SEVERAL pie targets in one call — the shape of a real graphite
         pie request (``&graphType=pie&target=a&target=b...``): views.py
@@ -415,7 +424,13 @@ class Engine:
         slices mix freely and duplicate slice names are kept (graphite's
         pie data is a list, not a dict). Returns the union of the
         per-target ``(metric, value)`` frames — one lazy plan, scheduled
-        as one job like :meth:`render_many`."""
+        as one job like :meth:`render_many`.
+
+        NULL slices: unions AMPLIFY the all-gap case — one all-gap
+        series in ANY target nulls a plain ``SUM(value)`` over the
+        combined slice list. Pass ``include_empty=False`` (graphite's
+        skip-None pie rendering, applied per target) or NULL-filter
+        before totaling (ADVICE r11)."""
         if not targets:
             raise ValueError("render_pie_many: need at least one target")
         out: DataFrame | None = None
@@ -424,6 +439,7 @@ class Engine:
                 t, from_ts, until_ts,
                 pie_mode=pie_mode, now_ts=now_ts,
                 x_files_factor=x_files_factor,
+                include_empty=include_empty,
             )
             out = part if out is None else out.unionByName(part)
         return out

@@ -100,6 +100,7 @@ from kenshin_backup_spark.queries import (
     batch80,
     batch81,
     batch82,
+    batch83,
     llm,
     relational,
     relational2,
@@ -193,36 +194,30 @@ _MODULES = (
     batch80,
     batch81,
     batch82,
+    batch83,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
-#: entries, so this ordering is evidence policy. Round-11 re-curation
+#: entries, so this ordering is evidence policy. Round-12 re-curation
 #: (COVERAGE.md's standing rule — the burn-down stays closed, windows
 #: hold in priority order):
-#: 1. re-certs of changed code — round 11 changed (a) the ADVICE-r10
-#:    branches (asPercent kwarg-nodes dispatch, timeStack sign
-#:    normalization, as_percent_nodes total-only keys), whose
-#:    changed-code evidence IS the new batch80 certs below (no prior
-#:    cert's plan touched those branches), and (b) the two batch53
-#:    char-array builds (split('') replaces the O(n²) per-position
-#:    substring in the winnowing gram hash AND the BPE adjacent-pair
-#:    build; output row-identical), re-certified by seating
-#:    ``dedup_winnowing_pairs`` and ``text_bpe_pair_merges`` first.
-#: 2. the NEW round-11 certs (batch80/81/82): the asPercent grouping
-#:    form with a series total + keyword nodes + a total-only group key
-#:    (fails pre-fix on both ADVICE-r10 asPercent items),
-#:    timeStack('-1d') on the Engine refetch rail (fails on the
-#:    pre-fix future-shift), aliasQuery (the r11 catalog-closure
-#:    per-series re-query), and the pie render surface (all three
-#:    pieMode kernels + the literal slice through Engine.render_pie) —
-#:    all exact-parity green at sf0.001 AND sf0.01 before rotation;
-#: 3. the five r4 rows the r10 window displaced (its queue);
-#: 4. the next-oldest evidence: the first 39 rows of the 48-row r5
-#:    cohort (alphabetical). The last nine r5 rows
-#:    (tsdb_integral_persecond, tsdb_period_over_period, tsdb_rate_irate,
-#:    tsdb_rollup_cascade_1d, tsdb_sort_by_maxima, tsdb_wide_series_grid,
-#:    tsdb_xff_guard, window_cume_dist, window_range_price_band) carry
-#:    to the r12 queue.
+#: 1. changed-code cert — round 12 rewired group()/unique() to carry
+#:    graphite's CONCATENATION order through the union
+#:    (seriesfns._concat_order, ADVICE r11); the changed-code evidence
+#:    IS the new batch83 cert (no prior cert's plan evaluates group/
+#:    unique — verified by grep over queries/). The OTHER r12 changes
+#:    need no re-cert: the averageOutsidePercentile empty-band fix and
+#:    the removeBetweenPercentile guard touch functions in NO registry
+#:    query (pytest-pinned, VERDICT r11 #1), and render_pie's new
+#:    include_empty flag defaults to the certified behavior (the
+#:    certified plan is unchanged).
+#: 2. the nine r5 rows the r11 window could not seat (its queue);
+#: 3. the next-oldest evidence: the first 40 rows of the 46-row r6
+#:    cohort (alphabetical, latest-green == r6 computed from the
+#:    CORRECTNESS_r01–r11 union). The last six r6 rows
+#:    (tsdb_heatmap_buckets, tsdb_moving_median, tsdb_multires_rollup,
+#:    tsdb_rollup_salted_1h, tsdb_seasonal_profile, tsdb_tukey_outliers)
+#:    carry to the r13 queue, then the r7 cohort.
 #: The 9 rows-only-by-design queries (approx_distinct_parts,
 #: approx_event_percentiles, emb_intrinsic_dimension,
 #: emb_kmeans_clusters, emb_mmr_rerank*, events_rolling_wau_hll,
@@ -232,64 +227,60 @@ _MODULES = (
 #: rotates out keeps exact-cell parity coverage in
 #: tests/test_oracle_parity.py.
 _PRIORITY = (
-    # --- 1. changed-code re-certs: the batch53 codepoint/char-array
-    # rewrites (split('') for the O(n²) per-position substring — the
-    # winnowing gram hash and the BPE adjacent-pair build) ----------------------
-    "dedup_winnowing_pairs",
-    "text_bpe_pair_merges",
-    # --- 2. new round-11 certs (batch80/81/82) — batch80/81 are also the
-    # changed-code evidence for the ADVICE-r10 fixes and the
-    # catalog-closure aliasQuery; batch82 pins the pie render surface ----------
-    "graphite_render_aspercent_nodes",
-    "graphite_render_timestack_neg",
-    "graphite_render_aliasquery",
-    "graphite_render_pie",
-    # --- 3. the five r4 rows the r10 window displaced -------------------------
-    "tsdb_rollup_1h",
-    "tsdb_slo_burn_rate",
-    "tsdb_theilsen_trend",
-    "upsert_latest_state",
-    "window_topk_parts_per_brand",
-    # --- 4. next-oldest evidence: the r5 cohort (first 39 of 48) --------------
-    "agg_boolean_bitwise",
-    "agg_covar_corr_quantized",
-    "agg_mode_priority",
-    "agg_string_concat_sorted",
-    "agg_value_histogram",
-    "batch_session_windows",
-    "emb_dimension_stats",
-    "graphite_aspercent",
-    "graphite_divide_series",
-    "graphite_series_by_tag",
-    "graphite_tag_catalog",
-    "llm_sequence_packing",
-    "llm_stratified_sample",
-    "scalar_date_arithmetic",
-    "scalar_levenshtein_names",
-    "scalar_null_conditionals",
-    "scalar_regexp_extract_all",
-    "scalar_string_family2",
-    "source_avro_roundtrip",
-    "source_orc_roundtrip",
-    "source_text_lineproto",
-    "streaming_avro_ingest_rollup",
-    "streaming_dedup_slots",
-    "streaming_enrich_bands",
-    "streaming_hopping_rollup",
-    "streaming_sharded_rollup",
-    "streaming_update_sink_rollup",
-    "text_pii_mask",
-    "tpch_q11_important_parts",
-    "tpch_q12_ship_lag",
-    "tpch_q13_order_count_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q16_supplier_relation",
-    "tpch_q18_large_orders",
-    "tpch_q20_dominant_suppliers",
-    "tpch_q22_cohort",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tsdb_hopping_window",
+    # --- 1. round-12 changed-code cert: the group()/unique()
+    # concatenation order (batch83; ADVICE r11) -------------------------------
+    "graphite_render_group_order",
+    # --- 2. the nine r5 rows the r11 window could not seat --------------------
+    "tsdb_integral_persecond",
+    "tsdb_period_over_period",
+    "tsdb_rate_irate",
+    "tsdb_rollup_cascade_1d",
+    "tsdb_sort_by_maxima",
+    "tsdb_wide_series_grid",
+    "tsdb_xff_guard",
+    "window_cume_dist",
+    "window_range_price_band",
+    # --- 3. next-oldest evidence: the r6 cohort (first 40 of 46) --------------
+    "cohort_retention_weekly",
+    "dedup_cross_source_report",
+    "dedup_lsh_precision_report",
+    "dedup_method_agreement",
+    "dedup_ngram_containment",
+    "dedup_sentence_exact",
+    "emb_centroid_by_label",
+    "emb_int8_quantize_stats",
+    "emb_norm_outliers",
+    "events_ab_assignment_balance",
+    "events_attribution_linear",
+    "events_dau_mau_stickiness",
+    "events_inter_arrival",
+    "events_top_paths",
+    "graphite_minmax_band",
+    "graphite_moving_minmax",
+    "graphite_npercentile_clip",
+    "graphite_transform_chain",
+    "hybrid_search_rrf",
+    "layout_compaction_plan",
+    "layout_partition_skew_report",
+    "layout_zorder_key",
+    "llm_corpus_mix_report",
+    "llm_quality_weighted_sample",
+    "scalar_math_family2",
+    "source_json_roundtrip",
+    "text_gopher_quality_gate",
+    "text_langid_f1",
+    "text_readability_scores",
+    "text_repetition_signals",
+    "text_tfidf_keywords",
+    "text_word_rarity",
+    "tsdb_anomaly_zscore",
+    "tsdb_bollinger_bands",
+    "tsdb_capacity_forecast_linreg",
+    "tsdb_counter_rate_wrap",
+    "tsdb_dominant_period",
+    "tsdb_downsample_maxdev",
+    "tsdb_gap_islands",
+    "tsdb_gap_ratio",
 )
 
 

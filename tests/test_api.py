@@ -484,6 +484,21 @@ def test_engine_render_pie(spark, tmp_path):
     }
     assert gap["quiet"] is None
     assert gap["busy"] is not None
+    # include_empty=False is graphite's skip-None rendering: the NULL
+    # slice drops, so a plain SUM total over the slices is non-NULL
+    # (the slice-fraction safety valve — ADVICE r11)
+    nn = {
+        r.metric: r.value
+        for r in eng2.render_pie(
+            "*", mid, hi, pie_mode="average", include_empty=False
+        ).collect()
+    }
+    assert set(nn) == {"busy"}
+    many = eng2.render_pie_many(
+        ["*", "fixed:1.5"], mid, hi, include_empty=False
+    ).collect()
+    assert all(r.value is not None for r in many)
+    assert {r.metric for r in many} == {"busy", "fixed"}
 
     # literal slice: ANY pie target containing ':' is a constant slice
     # (graphite splits on the first colon); non-numeric values fail loud

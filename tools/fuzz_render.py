@@ -1,0 +1,290 @@
+"""Extended render-grammar fuzz — the standing per-round program.
+
+Drives ``Engine.render`` end-to-end (refetch_fn wired), so the
+re-fetching functions — ``hitcount(alignToInterval=true)``,
+``smartSummarize(alignTo=...)``, ``timeShift``/``timeStack``, the
+holtWinters family, ``linearRegression`` source windows — are
+first-class fuzz targets instead of whitelisted noise (the r11 judge
+run drowned one real bug under 16 copies of the by-design bare-rail
+``hitcount`` error; VERDICT r11 #2).
+
+Two generation dimensions:
+
+1. **Random compositions** over the full supported template grammar
+   (depth ≤ ``--depth``), seeded and reproducible.
+2. **Degenerate-input wrappers** (VERDICT r11 #4): with probability
+   ~0.35 a composition step is wrapped in one of the degenerate
+   transforms — all-gap (``removeBelowValue(x, 9e9)``), empty series
+   set (``exclude(x, '.')``), duplicate timestamps (``group(x, x)``),
+   extreme magnitude (``scale(x, 1e12)``) — AND every degenerate
+   wrapper is crossed with every sensitive-family template once,
+   deterministically, so the percentile / step-estimate / quantized-sum
+   paths see the degenerate case by construction, not by luck. The
+   r11 fix wave (sci-notation, sortBy bookkeeping, keepLastValue step,
+   int64 sum overflow, duplicate-ts step) and the r12
+   averageOutsidePercentile empty-band fix all live in this class.
+
+Acceptable failure count: ZERO. The only tolerated outcomes are the
+documented graphite-parity LOUD errors listed in ``EXPECTED_ERRORS``
+(graphite itself raises there — a loud match is parity, not a bug).
+
+Usage::
+
+    python tools/fuzz_render.py [--seed N] [--count N] [--depth N]
+
+Exit code 0 iff no unexpected failure. Prints one line per failure
+with the exact target string for reproduction.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import re
+import sys
+import tempfile
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Sensitive families: every degenerate wrapper crosses each of these
+# once, deterministically (the by-construction grid). Chosen because
+# they pick from collected arrays, estimate slot steps, or accumulate
+# quantized sums — the three code paths every degenerate-input bug so
+# far has lived in.
+SENSITIVE = [
+    "averageOutsidePercentile({X}, 90)",
+    "nPercentile({X}, 75)",
+    "percentileOfSeries({X}, 50)",
+    "percentileOfSeries({X}, 50, true)",
+    "removeAbovePercentile({X}, 90)",
+    "removeBelowPercentile({X}, 10, true)",
+    "removeBetweenPercentile({X}, 80)",
+    "movingMedian({X}, 3)",
+    "aggregate({X}, 'median')",
+    "groupByNode({X}, 0, 'median')",
+    "keepLastValue({X}, 2)",
+    "interpolate({X}, 2)",
+    "perSecond({X})",
+    "integralByInterval({X}, '2h')",
+    "scaleToSeconds({X}, 60)",
+    "sortByTotal({X})",
+    "averageAbove({X}, 0)",
+    "weightedAverage({X}, {X}, 0)",
+    "asPercent({X})",
+    "stddevSeries({X})",
+    "stdev({X}, 3)",
+    "exponentialMovingAverage({X}, 3)",
+    "holtWintersForecast({X})",
+    "linearRegression({X})",
+    "aggregateLine({X}, 'avg')",
+    "mostDeviant({X}, 2)",
+    "summarize({X}, '2h', 'last')",
+    "smartSummarize({X}, '2h', 'sum')",
+    "hitcount({X}, '2h', true)",
+]
+
+# Degenerate wrappers (the new fuzz dimension).
+DEGENERATE = [
+    "removeBelowValue({X}, 9e9)",   # every value → gap
+    "removeAboveValue({X}, -9e9)",  # every value → gap (other edge)
+    "exclude({X}, '.')",            # empty series set
+    "group({X}, {X})",              # duplicate (metric, ts) rows
+    "scale({X}, 1e12)",             # extreme magnitude (quantized sums)
+    "scale({X}, -1e12)",            # extreme negative magnitude
+    "transformNull({X}, 9.9e12)",   # gaps → extreme constant
+    "timeSlice({X}, 0, 0)",         # window masked to (at most) one slot
+]
+
+# Documented graphite-parity LOUD errors: graphite-web raises on the
+# same input, so raising is the correct behavior, not a failure. Keep
+# this list SHORT and exact — anything unlisted is a bug.
+EXPECTED_ERRORS = [
+    # aliasQuery: no series matched / all-gap last value — graphite's
+    # functions.py raises Exception('No series...') on both
+    (r"aliasQuery", r"aliasQuery"),
+]
+
+
+def general_templates() -> list[str]:
+    """The random-composition grammar: the committed test's template
+    set (tests/test_render.py) plus the Engine-rail re-fetch forms the
+    bare-render fuzz could not express."""
+    return SENSITIVE + DEGENERATE + [
+        "scale({X}, 2.5)", "offset({X}, -1)", "absolute({X})",
+        "derivative({X})", "integral({X})", "keepLastValue({X})",
+        "movingAverage({X}, '2h')", "movingAverage({X}, 3)",
+        "movingSum({X}, 2)", "movingMin({X}, '2h')", "movingMax({X}, 2)",
+        "movingWindow({X}, 2, 'sum')", "movingWindow({X}, '2h', 'max')",
+        "summarize({X}, '2h')", "summarize({X}, '2h', 'max')",
+        "summarize({X}, '2h', alignToFrom=true)",
+        "timeShift({X}, '1h')", "timeShift({X}, '-1d')",
+        "timeStack({X}, '1d', 0, 2)", "timeStack({X}, '-1d', 0, 2)",
+        "alias({X}, 'a b')", "aliasByNode({X}, 0)", "aliasByMetric({X})",
+        "aliasSub({X}, 'cpu', 'core')", "aliasByTags({X}, 'name')",
+        "transformNull({X}, 0)", "removeAboveValue({X}, 3)",
+        "removeBelowValue({X}, 1)", "removeEmptySeries({X})",
+        "removeEmptySeries({X}, 0.5)", "isNonNull({X})", "changed({X})",
+        "delay({X}, 1)", "sumSeries({X})", "averageSeries({X})",
+        "minSeries({X})", "maxSeries({X})", "countSeries({X})",
+        "rangeOfSeries({X})", "multiplySeries({X})", "powSeries({X})",
+        "diffSeries({X}, {X})", "divideSeries({X}, {X})",
+        "sumSeriesLists({X}, {X})", "diffSeriesLists({X}, {X})",
+        "multiplySeriesLists({X}, {X})", "divideSeriesLists({X}, {X})",
+        "aggregateSeriesLists({X}, {X}, 'sum')",
+        "exclude({X}, 'idle')", "grep({X}, 'cpu')", "limit({X}, 2)",
+        "currentBelow({X}, 9e9)", "currentAbove({X}, -9e9)",
+        "highestCurrent({X}, 2)", "lowestCurrent({X}, 2)",
+        "highestAverage({X}, 2)", "highestMax({X}, 2)",
+        "highest({X}, 2, 'max')", "lowest({X}, 2)",
+        "minimumAbove({X}, -9e9)", "maximumBelow({X}, 9e9)",
+        "maximumAbove({X}, 0.5)", "minimumBelow({X}, 9e9)",
+        "averageBelow({X}, 9e9)", "filterSeries({X}, 'max', '>', -9e9)",
+        "sortByMaxima({X})", "sortByMinima({X})", "sortByName({X})",
+        "sortByName({X}, true, true)", "sortBy({X}, 'total', true)",
+        "sortBy({X})", "unique({X}, {X})", "fallbackSeries({X}, {X})",
+        "fallbackSeries({X}, constantLine(1))",
+        "groupByNode({X}, 0, 'sum')", "groupByNode({X}, 0)",
+        "groupByNodes({X}, 'sum', 0)", "groupByTags({X}, 'sum', 'dc')",
+        "aggregate({X}, 'range')", "aggregate({X}, 'sum', 0.5)",
+        "aggregateWithWildcards({X}, 'sum', 0)",
+        "sumSeriesWithWildcards({X}, 0)",
+        "averageSeriesWithWildcards({X}, 1)",
+        "multiplySeriesWithWildcards({X}, 1)",
+        "mapSeries({X}, 0)", "pow({X}, 2)", "invert({X})",
+        "squareRoot({X})", "logarithm({X})", "logarithm({X}, 2)",
+        "exp({X})", "sigmoid({X})", "logit({X})", "round({X}, 1)",
+        "add({X}, 5)", "offsetToZero({X})", "minMax({X})",
+        "nonNegativeDerivative({X})", "nonNegativeDerivative({X}, 100)",
+        "perSecond({X}, 100, 0)", "substr({X}, 0, 1)",
+        "cumulative({X})", "stacked({X})", "cactiStyle({X})",
+        "legendValue({X}, 'avg', 'max')", "legendValue({X}, valueTypes='avg')",
+        "consolidateBy({X}, 'max')", "xFilesFactor({X}, 0.5)",
+        "setXFilesFactor({X}, 0.25)", "alpha({X}, 0.5)", "dashed({X})",
+        "drawAsInfinite({X})", "secondYAxis({X})", "color({X}, 'red')",
+        "lineWidth({X}, 2)", "areaBetween({X}, {X})",
+        "useSeriesAbove({X}, 0.5, 'cpu', 'mem')",
+        "aggregateLine({X}, 'last')", "interpolate({X})",
+        "hitcount({X}, '2h')", "hitcount({X}, intervalString='2h')",
+        "smartSummarize({X}, '2h', 'max', alignTo='hours')",
+        "holtWintersConfidenceBands({X})", "holtWintersAberration({X})",
+        "events('deploy')", "sin('s', 2)", "time('t')",
+        "randomWalk('r')", "constantLine(4)", "threshold(3)",
+        "identity('i')",
+    ]
+
+
+def degenerate_grid() -> list[str]:
+    """Every degenerate wrapper × every sensitive family, once."""
+    out = []
+    for deg in DEGENERATE:
+        for fam in SENSITIVE:
+            out.append(fam.replace("{X}", deg))
+    return out
+
+
+def is_expected(target: str, err: BaseException) -> bool:
+    msg = f"{type(err).__name__}: {err}"
+    for fn_pat, msg_pat in EXPECTED_ERRORS:
+        if re.search(fn_pat, target) and re.search(msg_pat, msg):
+            return True
+    return False
+
+
+def build_engine(spark, root: str):
+    from pyspark.sql import functions as F
+
+    from kenshin_backup_spark.api import Engine
+    from kenshin_backup_spark.operators.policies import Policy
+
+    eng = Engine(
+        spark, root,
+        policies=[Policy(name="p", pattern=".*", steps=(600, 3600),
+                         agg="average")],
+    )
+    # 2 days of 10-min points for three series with distinct shapes,
+    # ending at a fixed "now" (no Date.now — reproducibility)
+    now = 1_700_000_000 - (1_700_000_000 % 3600)
+    rows = []
+    for i in range(288):
+        ts = now - (288 - i) * 600
+        rows.append(("cpu.load", ts, float((i * 7) % 23)))
+        if i % 3 != 0:  # gappy series
+            rows.append(("cpu.idle", ts, float(100 - (i % 50))))
+        rows.append(("mem.used", ts, 5.0))
+    pts = spark.createDataFrame(
+        rows, "metric string, ts long, value double"
+    ).select("metric", F.col("ts").cast("timestamp").alias("ts"), "value")
+    eng.write(pts)
+    ev = spark.createDataFrame(
+        [(now - 3600, "deploy web", ["deploy"]),
+         (now - 7200, "incident db", ["incident", "db"])],
+        "when long, what string, tags array<string>",
+    )
+    eng.write_events(ev)
+    return eng, now
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=None,
+                    help="RNG seed (default: time-derived, printed)")
+    ap.add_argument("--count", type=int, default=300,
+                    help="random compositions (the degenerate grid "
+                         "always runs in full first)")
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--skip-grid", action="store_true",
+                    help="skip the deterministic degenerate grid")
+    args = ap.parse_args()
+    seed = args.seed if args.seed is not None else int(time.time()) % 100000
+    print(f"fuzz_render: seed={seed} count={args.count} depth={args.depth}")
+
+    from kenshin_backup_spark.session import get_spark
+
+    spark = get_spark("fuzz-render")
+    tmp = tempfile.mkdtemp(prefix="fuzz_render_store_")
+    eng, now = build_engine(spark, tmp)
+    from_ts, until_ts = now - 86400, now
+
+    templates = general_templates()
+    rng = random.Random(seed)
+    cases: list[str] = [] if args.skip_grid else degenerate_grid()
+    for _ in range(args.count):
+        target = rng.choice(("cpu.*", "{cpu,mem}.*", "mem.used"))
+        for _ in range(rng.randint(1, args.depth)):
+            # ~35%: force a degenerate wrapper into the chain
+            pool = DEGENERATE if rng.random() < 0.35 else templates
+            target = rng.choice(pool).replace("{X}", target)
+        cases.append(target)
+
+    failures = 0
+    expected = 0
+    t0 = time.time()
+    for i, target in enumerate(cases):
+        try:
+            df = eng.render(target, from_ts, until_ts, now_ts=now)
+            cols = set(df.columns)
+            assert cols == {"metric", "bucket_ts", "value"}, cols
+            df.collect()
+        except KeyboardInterrupt:
+            raise
+        except BaseException as e:  # noqa: BLE001 — report and continue
+            if is_expected(target, e):
+                expected += 1
+                continue
+            failures += 1
+            print(f"FAIL [{i}]: {target}")
+            print("  " + traceback.format_exception_only(type(e), e)[-1].strip())
+        if (i + 1) % 50 == 0:
+            print(f"  ... {i + 1}/{len(cases)} "
+                  f"({failures} fail, {expected} expected-loud, "
+                  f"{time.time() - t0:.0f}s)")
+    print(f"fuzz_render: {len(cases)} cases, {failures} failures, "
+          f"{expected} expected-loud errors, {time.time() - t0:.0f}s")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
