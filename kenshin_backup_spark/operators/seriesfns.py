@@ -309,18 +309,23 @@ def group_by_node(
 ) -> DataFrame:
     """graphite ``groupByNode(n, callback='average')``: merge all series
     sharing the n-th name component, combining same-bucket values with
-    ``func`` (sum/avg/max/min — quantized-exact for sum/avg). The
-    default callback is graphite's ``average`` (r9 fix — it was ``sum``
-    here; every in-repo caller passes the callback explicitly).
-    ``average`` normalizes to the combine kernel's ``avg``.
+    ``func``. The default callback is graphite's ``average`` (r9 fix —
+    it was ``sum`` here; every in-repo caller passes the callback
+    explicitly). ``average`` normalizes to the combine kernel's ``avg``.
+
+    The fast sum/avg/max/min kernels keep the original one-aggregate
+    plan; the REST of graphite's aggFuncs (median / stddev / count /
+    range / multiply / pow) route through :func:`_combine_grouped`,
+    which needs the original member names for its completeness gates
+    (r12 fuzz find: ``groupByNode(x, 0, 'median')`` was a loud reject).
 
     One hash aggregate on (node, bucket_ts) — the merged key is coarser
     than the input key, so this is a shrinking map-side-combinable shuffle.
     """
-    return _combine(
-        df.withColumn("metric", _node(node)),
-        "avg" if func == "average" else func,
-    )
+    f = "avg" if func == "average" else func
+    if f in ("sum", "avg", "max", "min"):
+        return _combine(df.withColumn("metric", _node(node)), f)
+    return _combine_grouped(df.withColumn("__grp", _node(node)), func)
 
 
 def sum_series(df: DataFrame, name: str = "sumSeries") -> DataFrame:
@@ -377,13 +382,21 @@ def series_stdev(df: DataFrame) -> DataFrame:
     Σq² would overflow — and error under ANSI — once |value| exceeds
     ~3e6, i.e. q² > 2^63). DuckDB oracles mirror this for free: its
     SUM(BIGINT) is already HUGEINT.
+
+    Out-of-envelope values (|v| beyond ~6e14 — only reachable when an
+    upstream function ESCALATES magnitudes, e.g. multiplySeriesLists of
+    two 1e12-scale counters) would overflow even the DECIMAL(38,0) Σq²:
+    ``try_sum`` turns that into a NULL stdev (a gap) instead of an ANSI
+    crash — r12 fuzz find; graphite degrades to float imprecision there,
+    our DOCUMENTED DEVIATION degrades to a gap. In-envelope results are
+    bit-identical (try_sum == sum when no overflow).
     """
     q = F.floor(F.col("value") * _STDEV_QUANT).cast("long")
     qd = q.cast("decimal(19,0)")
     agg = df.groupBy("metric").agg(
         F.count(q).alias("n"),
         _qsum(q).alias("s1"),
-        F.sum(qd * qd).alias("s2"),
+        F.try_sum(qd * qd).alias("s2"),
     )
     var_num = F.greatest(
         F.col("n").cast("double") * F.col("s2").cast("double")
@@ -394,7 +407,9 @@ def series_stdev(df: DataFrame) -> DataFrame:
     return agg.select(
         "metric",
         F.col("n").cast("long").alias("n"),
-        F.when(F.col("n") > 0, sd).cast("double").alias("stdev"),
+        F.when((F.col("n") > 0) & F.col("s2").isNotNull(), sd)
+        .cast("double")
+        .alias("stdev"),
     )
 
 
@@ -819,7 +834,9 @@ def stddev_series(df: DataFrame, name: str = "stddevSeries") -> DataFrame:
     order-insensitive, so partial aggregation is safe. Σq² accumulates in
     DECIMAL(38,0) so values up to ~9e15 in magnitude stay exact (an int64
     q² overflows — erroring under ANSI — beyond |value| ≈ 3e6); DuckDB's
-    SUM(BIGINT) is HUGEINT, so oracles need no change."""
+    SUM(BIGINT) is HUGEINT, so oracles need no change. Σq² uses
+    ``try_sum`` so escalated out-of-envelope magnitudes gap instead of
+    crashing (see :func:`series_stdev` — r12)."""
     q = F.floor(F.col("value") * _STDEV_QUANT).cast("long")
     qd = q.cast("decimal(19,0)")
     g = (
@@ -830,7 +847,7 @@ def stddev_series(df: DataFrame, name: str = "stddevSeries") -> DataFrame:
         .agg(
             F.count("__q").alias("n"),
             _qsum(F.col("__q")).alias("s1"),
-            F.sum(F.col("__qd") * F.col("__qd")).alias("s2"),
+            F.try_sum(F.col("__qd") * F.col("__qd")).alias("s2"),
         )
     )
     var = (
@@ -840,7 +857,10 @@ def stddev_series(df: DataFrame, name: str = "stddevSeries") -> DataFrame:
     return g.select(
         "metric",
         "bucket_ts",
-        F.when(F.col("n") > 0, F.sqrt(F.greatest(var, F.lit(0.0))))
+        F.when(
+            (F.col("n") > 0) & F.col("s2").isNotNull(),
+            F.sqrt(F.greatest(var, F.lit(0.0))),
+        )
         .cast("double")
         .alias("value"),
     )
@@ -1672,13 +1692,19 @@ def group_by_tags(df: DataFrame, func: str, *tags: str) -> DataFrame:
     tag NOT listed, keeping one output series per combination of the
     listed tags (named ``name;tag=value;...``). Aggregation goes through
     the same quantized ``_combine`` kernels as sum/avg/min/max
-    Series — per-bucket, shuffle keyed on the collapsed name."""
+    Series — per-bucket, shuffle keyed on the collapsed name — with the
+    rest of graphite's aggFuncs routed through :func:`_combine_grouped`
+    like group_by_node (r12)."""
     name_parts: list[Column] = [series_name("metric")]
     for t in sorted(tags):
         name_parts.append(F.lit(f";{t}="))
         name_parts.append(tag_value("metric", t))
-    collapsed = df.withColumn("metric", F.concat(*name_parts))
-    return _combine(collapsed, func)
+    f = "avg" if func == "average" else func
+    if f in ("sum", "avg", "max", "min"):
+        return _combine(df.withColumn("metric", F.concat(*name_parts)), f)
+    return _combine_grouped(
+        df.withColumn("__grp", F.concat(*name_parts)), func
+    )
 
 
 # --- wave 3 (round 7): regression / window-stack / wildcard-merge tail ------
@@ -1858,20 +1884,22 @@ def stdev_series_window(
 
     Exact integer moments like :func:`series_stdev`: Σq in BIGINT, Σq²
     in DECIMAL(38,0) so large values can't overflow, one final double
-    sqrt (same ``sqrt(n·Σv² − (Σv)²)/n`` expression graphite uses)."""
+    sqrt (same ``sqrt(n·Σv² − (Σv)²)/n`` expression graphite uses);
+    ``try_sum`` gaps escalated out-of-envelope magnitudes instead of
+    crashing (see :func:`series_stdev` — r12)."""
     w = _w().rowsBetween(-(int(points) - 1), 0)
     q = F.floor(F.col("value") * _STDEV_QUANT).cast("long")
     qd = q.cast("decimal(19,0)")
     n = F.count(q).over(w)
     s1 = _qsum(q).over(w)
-    s2 = F.sum(qd * qd).over(w)
+    s2 = F.try_sum(qd * qd).over(w)
     nd = n.cast("double")
     var_num = F.greatest(
         nd * s2.cast("double") - s1.cast("double") * s1.cast("double"),
         F.lit(0.0),
     )
     sd = F.sqrt(var_num) / (nd * float(_STDEV_QUANT))
-    ok = (n > 0) & (
+    ok = (n > 0) & s2.isNotNull() & (
         nd / F.lit(float(points)) >= F.lit(float(window_tolerance))
     )
     return df.withColumn("value", F.when(ok, sd).cast("double"))
@@ -2255,9 +2283,13 @@ def group_by_nodes(df: DataFrame, func: str, *nodes: int) -> DataFrame:
     """graphite ``groupByNodes(func, n1, n2, ...)``: the multi-node
     generalization of :func:`group_by_node` — merge series sharing ALL
     the selected name components, combining same-bucket values with
-    ``func``. Same shrinking map-side-combinable shuffle."""
+    ``func``. Same shrinking map-side-combinable shuffle; same full
+    kernel routing as group_by_node (r12)."""
     key = F.concat_ws(".", *[_node(n) for n in nodes])
-    return _combine(df.withColumn("metric", key), func)
+    f = "avg" if func == "average" else func
+    if f in ("sum", "avg", "max", "min"):
+        return _combine(df.withColumn("metric", key), f)
+    return _combine_grouped(df.withColumn("__grp", key), func)
 
 
 def smart_summarize(
@@ -2552,13 +2584,14 @@ def _series_key(df: DataFrame, func: str) -> DataFrame:
         qs = F.floor(F.col("value") * _STDEV_QUANT).cast("long")
         qd = qs.cast("decimal(19,0)")
         n = F.count(qs).cast("double")
+        s2 = F.try_sum(qd * qd)  # out-of-envelope → NULL key, not a crash
         var = (
-            F.sum(qd * qd).cast("double") / n
+            s2.cast("double") / n
             - (_qsum(qs).cast("double") / n) ** 2
         ) / F.lit(float(_STDEV_QUANT) ** 2)
-        key = F.when(n > 0, F.sqrt(F.greatest(var, F.lit(0.0)))).cast(
-            "double"
-        )
+        key = F.when(
+            (n > 0) & s2.isNotNull(), F.sqrt(F.greatest(var, F.lit(0.0)))
+        ).cast("double")
     elif func == "count":
         key = F.count("value").cast("double")
     else:  # range / rangeOf
@@ -2634,8 +2667,12 @@ def _combine_grouped(df: DataFrame, func: str) -> DataFrame:
     gap-completeness kernels (multiply — graphite's safeMul/safePow
     return None when ANY member is None OR missing). Kernels are the
     same quantized/exact-moment expressions as the specific variants.
-    Order-dependent kernels (diff, last) are rejected: a DataFrame has
-    no series-list order to honor."""
+    The order-dependent kernels (diff, last/current) use the frame
+    model's DOCUMENTED stand-in for graphite's series-list order — name
+    order (the same deviation multiply/pow's fold order carries):
+    ``last`` is the lexically-last member's non-gap value, ``diff`` is
+    graphite's safeDiff (first non-gap member minus the sum of the
+    rest, quantized-exact as ``(2·q_first − Σq)/1e6``)."""
     q = F.floor(F.col("value") * QUANT).cast("long")
     simple = {
         "sum": (_qsum(q) / F.lit(float(QUANT))).cast("double"),
@@ -2654,6 +2691,47 @@ def _combine_grouped(df: DataFrame, func: str) -> DataFrame:
         return (
             df.groupBy(F.col("__grp").alias("metric"), F.col("bucket_ts"))
             .agg(simple[func].alias("value"))
+        )
+    if func in ("diff", "last", "current"):
+        # bounded collect: one struct per member series per bucket —
+        # series count, never data volume (the multiply/pow contract)
+        rows = F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("value").isNotNull(),
+                    F.struct(
+                        F.col("metric").alias("m"),
+                        F.col("value").alias("v"),
+                        q.alias("q"),
+                    ),
+                )
+            )
+        )
+        g = df.groupBy(
+            F.col("__grp").alias("metric"), F.col("bucket_ts")
+        ).agg(rows.alias("__rows"))
+        n = F.size("__rows")
+        if func in ("last", "current"):
+            # graphite safeLast: last non-gap by list order (name order)
+            val = F.when(n > 0, F.element_at("__rows", -1)["v"])
+        else:
+            # graphite safeDiff = v0 − Σrest = 2·v0 − Σall over non-gaps
+            total = F.aggregate(
+                "__rows",
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, r: acc + r["q"],
+            )
+            val = F.when(
+                n > 0,
+                (
+                    F.lit(2).cast("decimal(38,0)")
+                    * F.element_at("__rows", 1)["q"]
+                    - total
+                ).cast("double")
+                / F.lit(float(QUANT)),
+            )
+        return g.select(
+            "metric", "bucket_ts", val.cast("double").alias("value")
         )
     if func == "median":
         arr = F.array_sort(
@@ -2686,7 +2764,7 @@ def _combine_grouped(df: DataFrame, func: str) -> DataFrame:
             .agg(
                 F.count("__q").alias("n"),
                 _qsum(F.col("__q")).alias("s1"),
-                F.sum(F.col("__qd") * F.col("__qd")).alias("s2"),
+                F.try_sum(F.col("__qd") * F.col("__qd")).alias("s2"),
             )
         )
         var = (
@@ -2696,7 +2774,10 @@ def _combine_grouped(df: DataFrame, func: str) -> DataFrame:
         return g.select(
             "metric",
             "bucket_ts",
-            F.when(F.col("n") > 0, F.sqrt(F.greatest(var, F.lit(0.0))))
+            F.when(
+                (F.col("n") > 0) & F.col("s2").isNotNull(),
+                F.sqrt(F.greatest(var, F.lit(0.0))),
+            )
             .cast("double")
             .alias("value"),
         )
@@ -2750,8 +2831,7 @@ def _combine_grouped(df: DataFrame, func: str) -> DataFrame:
         )
     raise ValueError(
         "aggregate func must be one of sum/avg/min/max/median/stddev/"
-        f"count/range/multiply/pow (order-dependent kernels are not "
-        f"representable in the frame model); got {func!r}"
+        f"count/range/multiply/pow/diff/last/current; got {func!r}"
     )
 
 

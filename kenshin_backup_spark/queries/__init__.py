@@ -212,7 +212,7 @@ _MODULES = (
 #:    include_empty flag defaults to the certified behavior (the
 #:    certified plan is unchanged).
 #: 2. the nine r5 rows the r11 window could not seat (its queue);
-#: 3. the next-oldest evidence: the first 40 rows of the 46-row r6
+#: 3. the next-oldest evidence: the first 39 rows of the 46-row r6
 #:    cohort (alphabetical, latest-green == r6 computed from the
 #:    CORRECTNESS_r01–r11 union). The last six r6 rows
 #:    (tsdb_heatmap_buckets, tsdb_moving_median, tsdb_multires_rollup,
@@ -227,9 +227,13 @@ _MODULES = (
 #: rotates out keeps exact-cell parity coverage in
 #: tests/test_oracle_parity.py.
 _PRIORITY = (
-    # --- 1. round-12 changed-code cert: the group()/unique()
-    # concatenation order (batch83; ADVICE r11) -------------------------------
+    # --- 1. round-12 changed-code certs: the group()/unique()
+    # concatenation order (batch83; ADVICE r11), and the r12-fuzz fix
+    # wave's one certified plan change — series_stdev's Σq² moment now
+    # try_sums (graphite_deviant_rank re-cert; the groupByNode kernel
+    # widening keeps the certified 'sum' path byte-identical) ----------------
     "graphite_render_group_order",
+    "graphite_deviant_rank",
     # --- 2. the nine r5 rows the r11 window could not seat --------------------
     "tsdb_integral_persecond",
     "tsdb_period_over_period",
@@ -240,7 +244,7 @@ _PRIORITY = (
     "tsdb_xff_guard",
     "window_cume_dist",
     "window_range_price_band",
-    # --- 3. next-oldest evidence: the r6 cohort (first 40 of 46) --------------
+    # --- 3. next-oldest evidence: the r6 cohort (first 39 of 46) --------------
     "cohort_retention_weekly",
     "dedup_cross_source_report",
     "dedup_lsh_precision_report",
@@ -280,7 +284,6 @@ _PRIORITY = (
     "tsdb_dominant_period",
     "tsdb_downsample_maxdev",
     "tsdb_gap_islands",
-    "tsdb_gap_ratio",
 )
 
 

@@ -354,6 +354,10 @@ def test_render_fuzz_random_compositions(spark):
         # round-8 wave 4: the generic family
         "aggregate({X}, 'median')",
         "aggregate({X}, 'range')",
+        "aggregate({X}, 'diff')",
+        "aggregate({X}, 'last')",
+        "groupByNode({X}, 0, 'median')",
+        "groupByNodes({X}, 'stddev', 0)",
         "aggregateWithWildcards({X}, 'sum', 0)",
         "multiplySeriesWithWildcards({X}, 1)",
         "movingWindow({X}, 2, 'sum')",
@@ -2088,3 +2092,66 @@ def test_group_unique_concat_order(spark):
     ).collect()
     assert {r.metric for r in rows} == {"mem.used"}
     assert len(rows) == 12  # 6 slots × the two branch copies
+
+
+def test_group_by_node_full_kernel_set(spark):
+    """groupByNode / groupByNodes / groupByTags accept graphite's full
+    aggFuncName set (r12 fuzz find: 'median' was a loud 4-kernel
+    reject). The fast sum/avg/max/min path is untouched; the rest routes
+    through _combine_grouped's quantized kernels."""
+    fetch = _fetch_fn(spark)
+    med = {r.bucket_ts: r.value for r in render(
+        "groupByNode(cpu.*, 0, 'median')", fetch).collect()}
+    # cpu.load [1,4,2,8,5,3] ∥ cpu.idle [9,6,7,1,2,4] → pairwise medians
+    assert med == {0: 5.0, 3600: 5.0, 7200: 4.5, 10800: 4.5,
+                   14400: 3.5, 18000: 3.5}
+    rng = {r.bucket_ts: r.value for r in render(
+        "groupByNodes(cpu.*, 'range', 0)", fetch).collect()}
+    assert rng == {0: 8.0, 3600: 2.0, 7200: 5.0, 10800: 7.0,
+                   14400: 3.0, 18000: 1.0}
+    cnt = {r.value for r in render(
+        "groupByNode(cpu.*, 0, 'count')", fetch).collect()}
+    assert cnt == {2.0}
+    # metric name stays the selected node
+    assert {r.metric for r in render(
+        "groupByNode(cpu.*, 0, 'median')", fetch).collect()} == {"cpu"}
+    # order-dependent kernels follow the documented name-order stand-in:
+    # safeLast = the lexically-last member's non-gap value, safeDiff =
+    # first minus the rest (cpu.idle sorts first, cpu.load last)
+    last = {r.bucket_ts: r.value for r in render(
+        "groupByNode(cpu.*, 0, 'last')", fetch).collect()}
+    assert last == {0: 1.0, 3600: 4.0, 7200: 2.0, 10800: 8.0,
+                    14400: 5.0, 18000: 3.0}
+    diff = {r.bucket_ts: r.value for r in render(
+        "groupByNode(cpu.*, 0, 'diff')", fetch).collect()}
+    assert diff == {0: 8.0, 3600: 2.0, 7200: 5.0, 10800: -7.0,
+                    14400: -3.0, 18000: 1.0}
+    # unknown kernels stay loud
+    with pytest.raises(ValueError, match="nosuch"):
+        render("groupByNode(cpu.*, 0, 'nosuch')", fetch).collect()
+
+
+def test_stdev_overflow_gaps_not_crash(spark):
+    """The Σq² second-moment DECIMAL(38,0) sums must GAP (try_sum →
+    NULL), not raise ANSI ARITHMETIC_OVERFLOW, when an upstream function
+    escalates magnitudes past the quantized envelope (r12 fuzz find:
+    stddevSeries over the product of two 1e12-scaled series — each
+    saturated q² is ~8.5e37, two of them overflow the decimal sum).
+    graphite degrades to float imprecision there; we degrade to a gap —
+    documented deviation. In-envelope results are bit-identical."""
+    fetch = _fetch_fn(spark)
+    big = ("multiplySeriesLists(scale({cpu,mem}.*, 1e12), "
+           "scale({cpu,mem}.*, 1e12))")
+    out = render(f"stddevSeries({big})", fetch).collect()
+    assert out and all(r.value is None for r in out)
+    # per-series moment (mostDeviant/stdev ranking) and the sortBy key
+    # path survive the same inputs
+    dev = render(f"mostDeviant({big}, 2)", fetch).collect()
+    assert len({r.metric for r in dev}) == 2
+    render(f"highest({big}, 1, 'stddev')", fetch).collect()
+    render(f"groupByNode({big}, 0, 'stddev')", fetch).collect()
+    render(f"stdev({big}, 3)", fetch).collect()
+    # in-envelope stdev still computes real numbers (no behavior change)
+    sd = {r.value for r in render(
+        "stddevSeries(scale(mem.used, 1e9))", fetch).collect()}
+    assert sd == {0.0}  # constant series → zero deviation, not NULL

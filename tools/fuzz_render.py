@@ -64,7 +64,12 @@ SENSITIVE = [
     "removeBetweenPercentile({X}, 80)",
     "movingMedian({X}, 3)",
     "aggregate({X}, 'median')",
+    "aggregate({X}, 'diff')",
+    "aggregate({X}, 'last')",
     "groupByNode({X}, 0, 'median')",
+    "groupByNode({X}, 0, 'stddev')",
+    "groupByNodes({X}, 'diff', 0)",
+    "groupByTags({X}, 'last', 'name')",
     "keepLastValue({X}, 2)",
     "interpolate({X}, 2)",
     "perSecond({X})",
@@ -176,12 +181,20 @@ def general_templates() -> list[str]:
     ]
 
 
+BASE_TARGETS = ("cpu.*", "{cpu,mem}.*", "mem.used")
+
+
 def degenerate_grid() -> list[str]:
-    """Every degenerate wrapper × every sensitive family, once."""
+    """Every degenerate wrapper × every sensitive family, once, over a
+    rotating base selection. (r12 harness fix: the first cut left the
+    ``{X}`` placeholder unsubstituted, so grid cases fetched an empty
+    series set instead of degenerate DATA — caught because the grid then
+    failed to reproduce the one overflow the random composer found.)"""
     out = []
-    for deg in DEGENERATE:
-        for fam in SENSITIVE:
-            out.append(fam.replace("{X}", deg))
+    for i, deg in enumerate(DEGENERATE):
+        for j, fam in enumerate(SENSITIVE):
+            base = BASE_TARGETS[(i + j) % len(BASE_TARGETS)]
+            out.append(fam.replace("{X}", deg).replace("{X}", base))
     return out
 
 
@@ -252,7 +265,7 @@ def main() -> int:
     rng = random.Random(seed)
     cases: list[str] = [] if args.skip_grid else degenerate_grid()
     for _ in range(args.count):
-        target = rng.choice(("cpu.*", "{cpu,mem}.*", "mem.used"))
+        target = rng.choice(BASE_TARGETS)
         for _ in range(rng.randint(1, args.depth)):
             # ~35%: force a degenerate wrapper into the chain
             pool = DEGENERATE if rng.random() < 0.35 else templates
