@@ -857,9 +857,18 @@ def test_generic_aggregate_and_wildcards(spark):
          for r in S.multiply_series_with_wildcards(df, 0).collect()}
     assert m[("a", 0)] == 10.0 and m[("a", 60)] == 60.0
     assert m[("b", 0)] == 2.0 and m[("b", 60)] is None
+    # r12: diff/last join the kernel set over the documented name-order
+    # stand-in (safeDiff = first non-gap member minus the rest; safeLast
+    # = lexically-last member's non-gap value); unknown kernels stay loud
+    d = {r.bucket_ts: r.value
+         for r in S.aggregate_series(df, "diff").collect()}
+    assert d == {0: -11.0, 60: -17.0}  # 1-(2+10); 3-20 (gap skipped)
+    lst = {r.bucket_ts: r.value
+           for r in S.aggregate_series(df, "last").collect()}
+    assert lst == {0: 10.0, 60: 20.0}
     import pytest as _p
     with _p.raises(ValueError):
-        S.aggregate_series(df, "diff")
+        S.aggregate_series(df, "nosuch")
 
 
 def test_generic_moving_window_and_pow(spark):

@@ -263,21 +263,34 @@ def main() -> int:
 
     templates = general_templates()
     rng = random.Random(seed)
-    cases: list[str] = [] if args.skip_grid else degenerate_grid()
+    grid = [] if args.skip_grid else degenerate_grid()
+    # (target, max_data_points, request xFilesFactor): the grid runs
+    # with plain request params; random compositions also draw the
+    # request-parameter dimension (graphite's maxDataPoints pixel
+    # consolidation and the request-level xFilesFactor default) with
+    # p≈0.25 each, so consolidate_points sees every composition shape.
+    cases: list[tuple[str, int | None, float | None]] = [
+        (t, None, None) for t in grid
+    ]
     for _ in range(args.count):
         target = rng.choice(BASE_TARGETS)
         for _ in range(rng.randint(1, args.depth)):
             # ~35%: force a degenerate wrapper into the chain
             pool = DEGENERATE if rng.random() < 0.35 else templates
             target = rng.choice(pool).replace("{X}", target)
-        cases.append(target)
+        mdp = rng.choice((5, 17, 64)) if rng.random() < 0.25 else None
+        xff = rng.choice((0.0, 0.25, 0.9)) if rng.random() < 0.25 else None
+        cases.append((target, mdp, xff))
 
     failures = 0
     expected = 0
     t0 = time.time()
-    for i, target in enumerate(cases):
+    for i, (target, mdp, xff) in enumerate(cases):
         try:
-            df = eng.render(target, from_ts, until_ts, now_ts=now)
+            df = eng.render(
+                target, from_ts, until_ts, now_ts=now,
+                max_data_points=mdp, x_files_factor=xff,
+            )
             cols = set(df.columns)
             assert cols == {"metric", "bucket_ts", "value"}, cols
             df.collect()
@@ -288,7 +301,8 @@ def main() -> int:
                 expected += 1
                 continue
             failures += 1
-            print(f"FAIL [{i}]: {target}")
+            req = f" (maxDataPoints={mdp}, xff={xff})" if (mdp or xff) else ""
+            print(f"FAIL [{i}]: {target}{req}")
             print("  " + traceback.format_exception_only(type(e), e)[-1].strip())
         if (i + 1) % 50 == 0:
             print(f"  ... {i + 1}/{len(cases)} "
