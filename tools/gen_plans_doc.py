@@ -137,6 +137,16 @@ SHOWCASE = [
         "posting list — char-level dedup with zero cross joins.",
     ),
     (
+        "graphite_render_group_order",
+        "Concatenation-order selection (round 12): the group()/unique() "
+        "order rank (`_concat_order`) touches only one-row-per-series "
+        "frames — distinct, a struct-min groupBy, a range-rank keyed by "
+        "series count — and broadcast-joins the rank back; limit stays "
+        "the TakeOrdered-over-survivors pattern. The render's archive "
+        "scan and hourly grid are unchanged: ordering metadata never "
+        "reshuffles data volume.",
+    ),
+    (
         "incremental_rollup_merge",
         "Incremental MV maintenance (round 4): the latest-day boundary "
         "attaches as a broadcast 1-row scalar (no driver collect, no "
@@ -276,7 +286,20 @@ def main() -> None:
             # keep the plan tree + the scan detail blocks; drop column lists
             text = re.sub(r"Output \[\d+\]: \[[^\]]*\]", "Output: [...]", text)
             text = re.sub(r"Arguments: [^\n]{120,}", "Arguments: [...]", text)
-            out.append(f"## {name}\n\n{why}\n\n```\n{text.strip()}\n```\n")
+            lines = text.strip().splitlines()
+            if len(lines) > 400:
+                # render_many unions duplicate whole render trees — the
+                # property each showcase demonstrates lives in the tree
+                # HEAD (exchanges, join strategies, scan pushdown), so
+                # keep that and say what was elided
+                kept = "\n".join(lines[:250])
+                text = (
+                    f"{kept}\n... [{len(lines) - 250} further plan lines "
+                    "elided — repeated per-target subtrees]"
+                )
+            else:
+                text = "\n".join(lines)
+            out.append(f"## {name}\n\n{why}\n\n```\n{text}\n```\n")
     out.append(FOOTER)
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
