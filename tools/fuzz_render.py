@@ -178,10 +178,19 @@ def general_templates() -> list[str]:
         "events('deploy')", "sin('s', 2)", "time('t')",
         "randomWalk('r')", "constantLine(4)", "threshold(3)",
         "identity('i')",
+        # per-series re-query (the expected-loud surface: a rewrite that
+        # resolves is fine, one that matches nothing raises like graphite)
+        "aliasQuery({X}, 'used', 'used', 'same %d')",
+        "aliasQuery({X}, 'cpu', 'nope', 'x %d')",
     ]
 
 
-BASE_TARGETS = ("cpu.*", "{cpu,mem}.*", "mem.used")
+BASE_TARGETS = (
+    "cpu.*", "{cpu,mem}.*", "mem.used",
+    # the tagged-store selector: compositions then exercise every
+    # wrapper over graphite-1.1 tagged names (";dc=...;app=...")
+    "seriesByTag('dc=east')",
+)
 
 
 def degenerate_grid() -> list[str]:
@@ -217,8 +226,10 @@ def build_engine(spark, root: str):
         policies=[Policy(name="p", pattern=".*", steps=(600, 3600),
                          agg="average")],
     )
-    # 2 days of 10-min points for three series with distinct shapes,
-    # ending at a fixed "now" (no Date.now — reproducibility)
+    # 2 days of 10-min points for three plain series with distinct
+    # shapes PLUS three graphite-1.1 tagged series (the seriesByTag /
+    # groupByTags / aliasByTags surface), ending at a fixed "now"
+    # (no Date.now — reproducibility)
     now = 1_700_000_000 - (1_700_000_000 % 3600)
     rows = []
     for i in range(288):
@@ -227,6 +238,10 @@ def build_engine(spark, root: str):
         if i % 3 != 0:  # gappy series
             rows.append(("cpu.idle", ts, float(100 - (i % 50))))
         rows.append(("mem.used", ts, 5.0))
+        rows.append(("req;dc=east;app=a", ts, float(i % 11)))
+        rows.append(("req;dc=east;app=b", ts, float((i * 3) % 17)))
+        if i % 4 == 0:  # sparse tagged series
+            rows.append(("req;dc=west;app=a", ts, float(i % 7)))
     pts = spark.createDataFrame(
         rows, "metric string, ts long, value double"
     ).select("metric", F.col("ts").cast("timestamp").alias("ts"), "value")
