@@ -54,6 +54,12 @@ def parse_interval(text: str | int | float) -> int:
 
 # --- tokenizer / parser -----------------------------------------------------
 
+# The glob token's trailing ``(?:;tag=value)*`` arm makes a BARE TAGGED
+# NAME (``mem.used;dc=east;app=a`` — what seriesByTag yields and what
+# graphite-1.1's tagdb resolves directly) a parseable leaf: it reaches
+# fetch as an exact-match (or glob) metric predicate like any other
+# name. Required by every function that RE-QUERIES a series name
+# (aliasQuery) over a tagged store — r12 fuzz find #1.
 _TOKEN = re.compile(
     r"""
       (?P<ws>\s+)
@@ -63,7 +69,8 @@ _TOKEN = re.compile(
     | (?P<rparen>\))
     | (?P<comma>,)
     | (?P<eq>=)
-    | (?P<glob>(?:\{[^}]*\}|[A-Za-z_*?\[\]])(?:\{[^}]*\}|[\w.\-*?\[\]])*)
+    | (?P<glob>(?:\{[^}]*\}|[A-Za-z_*?\[\]])(?:\{[^}]*\}|[\w.\-*?\[\]])*
+                (?:;[\w.\-]+=[\w.\-*?:/%+]*)*)
     """,
     re.VERBOSE,
 )
@@ -1471,7 +1478,9 @@ def render(
                     )
                 out = sub if out is None else out.unionByName(sub)
             if out is None:
-                raise ValueError("applyByNode: no series matched")
+                # graphite: no prefixes → the loop never runs → []
+                # (same empty-set parity class as aliasQuery, r13)
+                return dfs[0]
             return out
         if name == "aliasQuery":
             # graphite aliasQuery(series, search, replace, newName): each
@@ -1496,6 +1505,11 @@ def render(
                 r["metric"]
                 for r in dfs[0].select("metric").distinct().collect()
             )
+            if not names:
+                # graphite: aliasQuery over an empty list returns the
+                # empty list — and a zero-entry create_map would type as
+                # map<void,void> and fail analysis (r12 fuzz find #2)
+                return dfs[0]
             renames: dict[str, str] = {}
             for nm in names:
                 new_query = _re.sub(search, replace, nm)

@@ -2053,7 +2053,10 @@ def test_remove_between_percentile_all_gap_bucket(spark):
         "removeBetweenPercentile(timeSlice(cpu.*, '1h', '6h'), 80)",
         fetch,
     ).collect()}
-    assert masked <= base or masked  # no crash; sane subset behavior
+    # the gap bucket contributes nothing, so the kept set is a subset
+    # of the plain form (ADVICE r12: the old `<= base or masked` form
+    # was a tautology)
+    assert masked <= base
 
 
 def test_group_unique_concat_order(spark):
@@ -2155,3 +2158,74 @@ def test_stdev_overflow_gaps_not_crash(spark):
     sd = {r.value for r in render(
         "stddevSeries(scale(mem.used, 1e9))", fetch).collect()}
     assert sd == {0.0}  # constant series → zero deviation, not NULL
+
+
+def test_aliasquery_tagged_requery_and_empty_set(spark):
+    """The two r12-judge fresh-seed fuzz finds, pinned (VERDICT r12):
+
+    1. TAGGED-NAME re-query — aliasQuery rebuilds a target string from
+       each input series NAME and re-parses it, so a graphite-1.1
+       tagged name (``req;dc=east;app=a`` — exactly what seriesByTag
+       yields) must be a parseable leaf. The glob token now carries
+       ``;tag=value`` suffixes and the bare tagged name resolves as an
+       exact-match fetch (graphite's tagdb resolves it directly).
+    2. EMPTY SERIES SET — aliasQuery over an empty input returns the
+       empty frame like graphite's empty list; a zero-entry
+       ``create_map`` would type as map<void,void> and fail analysis.
+    """
+    # tokenizer: a bare tagged name is ONE leaf token
+    ast = _Parser(_tokenize("mem.used;dc=east;app=a")).parse()
+    assert ast == ("leaf", "mem.used;dc=east;app=a")
+    # ... and keyword arguments still tokenize as glob '=' value
+    kw = _Parser(_tokenize("summarize(m, '1h', alignToFrom=true)")).parse()
+    assert kw[2][2] == ("kw", "alignToFrom", ("bool", True))
+
+    rows = [
+        ("req;dc=east;app=a", 0, 1.0),
+        ("req;dc=east;app=a", 3600, 2.0),
+        ("req;dc=east;app=a", 7200, 7.0),
+        ("req;dc=east;app=b", 0, 3.0),
+        ("req;dc=east;app=b", 3600, None),
+        ("req;dc=east;app=b", 7200, 4.0),
+        ("mem.used", 0, 5.0),
+        ("mem.used", 3600, 5.0),
+    ]
+    base = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+
+    def fetch(glob):
+        # the Engine contract: None → whole catalog (seriesByTag);
+        # glob-free → exact match (how a tagged leaf resolves)
+        from kenshin_backup_spark.functions.deterministic import glob_to_regex
+        if glob is None:
+            return base
+        if not any(ch in glob for ch in "*?{["):
+            return base.where(F.col("metric") == glob)
+        return base.where(F.col("metric").rlike(glob_to_regex(glob)))
+
+    # judge repro 1: search matches nothing → the re-query IS the
+    # tagged name; last non-gap values 7 and 4 sprintf into newName
+    out = render(
+        "squareRoot(aliasQuery(seriesByTag('dc=east'), "
+        "'used', 'used', 'same %d'))",
+        fetch,
+    ).collect()
+    assert {r.metric for r in out} == {"same 7", "same 4"}
+    got = {(r.metric, r.bucket_ts): r.value for r in out}
+    assert got[("same 7", 7200)] == pytest.approx(7.0 ** 0.5)
+    assert got[("same 4", 3600)] is None  # gaps stay gaps
+
+    # a bare tagged name is a valid render target on its own
+    direct = render("req;dc=east;app=b", fetch).collect()
+    assert sorted((r.bucket_ts, r.value) for r in direct) == [
+        (0, 3.0), (3600, None), (7200, 4.0)
+    ]
+
+    # judge repro 2: empty input set → empty output, no analysis error
+    empty = render(
+        "dashed(keepLastValue(aliasQuery(exclude(mem.used, '.'), "
+        "'used', 'used', 'same %d'), 2))",
+        fetch,
+    ).collect()
+    assert empty == []
