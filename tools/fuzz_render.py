@@ -23,6 +23,11 @@ Two generation dimensions:
    r11 fix wave (sci-notation, sortBy bookkeeping, keepLastValue step,
    int64 sum overflow, duplicate-ts step) and the r12
    averageOutsidePercentile empty-band fix all live in this class.
+   r13 adds the NAME-degenerate axes: every name-sensitive family
+   (re-query / re-parse / name-split functions — aliasQuery,
+   applyByNode, asPercent, weightedAverage, …) crossed with tagged
+   graphite-1.1 names and the empty series set, the two combinations
+   the r12-judge fresh seed drew that the r12 grid did not construct.
 
 Acceptable failure count: ZERO. The only tolerated outcomes are the
 documented graphite-parity LOUD errors listed in ``EXPECTED_ERRORS``
@@ -105,11 +110,16 @@ DEGENERATE = [
 
 # Documented graphite-parity LOUD errors: graphite-web raises on the
 # same input, so raising is the correct behavior, not a failure. Keep
-# this list SHORT and exact — anything unlisted is a bug.
+# this list SHORT and exact — anything unlisted is a bug. Message
+# patterns are anchored to the SPECIFIC loud-parity errors (ADVICE r12:
+# matching the bare function name would also swallow unrelated crashes
+# whose message merely echoes the target string).
 EXPECTED_ERRORS = [
-    # aliasQuery: no series matched / all-gap last value — graphite's
-    # functions.py raises Exception('No series...') on both
-    (r"aliasQuery", r"aliasQuery"),
+    # aliasQuery: rewritten query matched nothing / matched an all-gap
+    # series — graphite's functions.py raises Exception('No series...')
+    # on both
+    (r"aliasQuery", r"aliasQuery: no series found with query"),
+    (r"aliasQuery", r"aliasQuery: cannot get last value of series"),
 ]
 
 
@@ -117,7 +127,7 @@ def general_templates() -> list[str]:
     """The random-composition grammar: the committed test's template
     set (tests/test_render.py) plus the Engine-rail re-fetch forms the
     bare-render fuzz could not express."""
-    return SENSITIVE + DEGENERATE + [
+    return SENSITIVE + DEGENERATE + NAME_SENSITIVE + [
         "scale({X}, 2.5)", "offset({X}, -1)", "absolute({X})",
         "derivative({X})", "integral({X})", "keepLastValue({X})",
         "movingAverage({X}, '2h')", "movingAverage({X}, 3)",
@@ -192,6 +202,38 @@ BASE_TARGETS = (
     "seriesByTag('dc=east')",
 )
 
+# Name-sensitive families: functions that RE-QUERY, re-parse, split, or
+# group on the series NAME itself — the r12-judge finds (tagged-name ×
+# aliasQuery, empty-set × aliasQuery) both lived here, drawn by the
+# random dimension only. The name-degenerate grid crosses each with
+# every NAME_DEGENERATE base deterministically (VERDICT r12 #2).
+NAME_SENSITIVE = [
+    "aliasQuery({X}, 'used', 'used', 'same %d')",
+    "aliasQuery({X}, 'req', 'req', 'n %d')",
+    "applyByNode({X}, 0, 'sumSeries(%)')",
+    "applyByNode({X}, 0, 'sumSeries(%)', 'total.%')",
+    "asPercent({X})",
+    "asPercent({X}, None, 0)",
+    "weightedAverage({X}, {X}, 0)",
+    "aliasByNode({X}, 0)",
+    "aliasByTags({X}, 'name', 'dc')",
+    "groupByTags({X}, 'sum', 'dc')",
+    "groupByNode({X}, 0, 'median')",
+    "useSeriesAbove({X}, 0.5, 'req', 'mem')",
+    "sortByName({X}, natural=true)",
+    "aggregateWithWildcards({X}, 'sum', 0)",
+]
+
+# Name-degenerate bases: tagged graphite-1.1 names (what seriesByTag
+# yields) and the empty series set — the two axes the r12 degenerate
+# grid did not cross with the name-sensitive families.
+NAME_DEGENERATE = (
+    "seriesByTag('dc=east')",                 # multi-series tagged
+    "seriesByTag('app=a')",                   # tagged incl. sparse
+    "exclude(mem.used, '.')",                 # empty set, plain names
+    "exclude(seriesByTag('dc=east'), 'req')", # empty set, tagged store
+)
+
 
 def degenerate_grid() -> list[str]:
     """Every degenerate wrapper × every sensitive family, once, over a
@@ -204,6 +246,11 @@ def degenerate_grid() -> list[str]:
         for j, fam in enumerate(SENSITIVE):
             base = BASE_TARGETS[(i + j) % len(BASE_TARGETS)]
             out.append(fam.replace("{X}", deg).replace("{X}", base))
+    # name-degenerate axes (r13): every name-sensitive family over
+    # every tagged / empty-set base, once — by construction, not luck
+    for fam in NAME_SENSITIVE:
+        for base in NAME_DEGENERATE:
+            out.append(fam.replace("{X}", base))
     return out
 
 
