@@ -101,6 +101,7 @@ from kenshin_backup_spark.queries import (
     batch81,
     batch82,
     batch83,
+    batch84,
     llm,
     relational,
     relational2,
@@ -195,29 +196,32 @@ _MODULES = (
     batch81,
     batch82,
     batch83,
+    batch84,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
-#: entries, so this ordering is evidence policy. Round-12 re-curation
+#: entries, so this ordering is evidence policy. Round-13 re-curation
 #: (COVERAGE.md's standing rule — the burn-down stays closed, windows
 #: hold in priority order):
-#: 1. changed-code cert — round 12 rewired group()/unique() to carry
-#:    graphite's CONCATENATION order through the union
-#:    (seriesfns._concat_order, ADVICE r11); the changed-code evidence
-#:    IS the new batch83 cert (no prior cert's plan evaluates group/
-#:    unique — verified by grep over queries/). The OTHER r12 changes
-#:    need no re-cert: the averageOutsidePercentile empty-band fix and
-#:    the removeBetweenPercentile guard touch functions in NO registry
-#:    query (pytest-pinned, VERDICT r11 #1), and render_pie's new
-#:    include_empty flag defaults to the certified behavior (the
-#:    certified plan is unchanged).
-#: 2. the nine r5 rows the r11 window could not seat (its queue);
-#: 3. the next-oldest evidence: the first 39 rows of the 46-row r6
-#:    cohort (alphabetical, latest-green == r6 computed from the
-#:    CORRECTNESS_r01–r11 union). The last six r6 rows
-#:    (tsdb_heatmap_buckets, tsdb_moving_median, tsdb_multires_rollup,
-#:    tsdb_rollup_salted_1h, tsdb_seasonal_profile, tsdb_tukey_outliers)
-#:    carry to the r13 queue, then the r7 cohort.
+#: 1. changed-code cert — round 13 widened-kernel certification:
+#:    graphite_groupbynode_median (batch84, VERDICT r12 #4) drives the
+#:    r12 groupByNode aggFunc widening (_combine_grouped median) through
+#:    Engine.render. The OTHER r13 changes need no re-cert: the two
+#:    aliasQuery fuzz fixes (VERDICT r12 #1) are a tokenizer extension
+#:    (identical tokens for every certified target — none contains ';')
+#:    and empty-set early returns in aliasQuery/applyByNode (the
+#:    certified non-empty plans are byte-identical) — pytest-pinned in
+#:    tests/test_render.py::test_aliasquery_tagged_requery_and_empty_set.
+#: 2. the SEVEN remaining r6 rows (the r12 queue — alphabetical; the
+#:    r12 _PRIORITY comment said six, omitting tsdb_gap_ratio);
+#: 3. the next-oldest evidence: the first 42 rows of the 50-row r7
+#:    cohort (alphabetical, latest-green == r7 computed from the
+#:    CORRECTNESS_r01–r12 union). The last eight r7 rows
+#:    (tsdb_downsample_minmax_pairs, tsdb_forecast_backtest,
+#:    tsdb_histogram_shard_merge, tsdb_namespace_levels,
+#:    tsdb_vshape_patterns, unpivot_lineitem_measures,
+#:    window_frame_distinct_users, window_percent_rank_acctbal)
+#:    carry to the r14 queue, then the r8 cohort.
 #: The 9 rows-only-by-design queries (approx_distinct_parts,
 #: approx_event_percentiles, emb_intrinsic_dimension,
 #: emb_kmeans_clusters, emb_mmr_rerank*, events_rolling_wau_hll,
@@ -227,63 +231,60 @@ _MODULES = (
 #: rotates out keeps exact-cell parity coverage in
 #: tests/test_oracle_parity.py.
 _PRIORITY = (
-    # --- 1. round-12 changed-code certs: the group()/unique()
-    # concatenation order (batch83; ADVICE r11), and the r12-fuzz fix
-    # wave's one certified plan change — series_stdev's Σq² moment now
-    # try_sums (graphite_deviant_rank re-cert; the groupByNode kernel
-    # widening keeps the certified 'sum' path byte-identical) ----------------
-    "graphite_render_group_order",
-    "graphite_deviant_rank",
-    # --- 2. the nine r5 rows the r11 window could not seat --------------------
-    "tsdb_integral_persecond",
-    "tsdb_period_over_period",
-    "tsdb_rate_irate",
-    "tsdb_rollup_cascade_1d",
-    "tsdb_sort_by_maxima",
-    "tsdb_wide_series_grid",
-    "tsdb_xff_guard",
-    "window_cume_dist",
-    "window_range_price_band",
-    # --- 3. next-oldest evidence: the r6 cohort (first 39 of 46) --------------
-    "cohort_retention_weekly",
-    "dedup_cross_source_report",
-    "dedup_lsh_precision_report",
-    "dedup_method_agreement",
-    "dedup_ngram_containment",
-    "dedup_sentence_exact",
-    "emb_centroid_by_label",
-    "emb_int8_quantize_stats",
-    "emb_norm_outliers",
-    "events_ab_assignment_balance",
-    "events_attribution_linear",
-    "events_dau_mau_stickiness",
-    "events_inter_arrival",
-    "events_top_paths",
-    "graphite_minmax_band",
-    "graphite_moving_minmax",
-    "graphite_npercentile_clip",
-    "graphite_transform_chain",
-    "hybrid_search_rrf",
-    "layout_compaction_plan",
-    "layout_partition_skew_report",
-    "layout_zorder_key",
-    "llm_corpus_mix_report",
-    "llm_quality_weighted_sample",
-    "scalar_math_family2",
-    "source_json_roundtrip",
-    "text_gopher_quality_gate",
-    "text_langid_f1",
-    "text_readability_scores",
-    "text_repetition_signals",
-    "text_tfidf_keywords",
-    "text_word_rarity",
-    "tsdb_anomaly_zscore",
-    "tsdb_bollinger_bands",
-    "tsdb_capacity_forecast_linreg",
-    "tsdb_counter_rate_wrap",
-    "tsdb_dominant_period",
-    "tsdb_downsample_maxdev",
-    "tsdb_gap_islands",
+    # --- 1. round-13 changed-code cert: the r12 groupByNode aggFunc
+    # widening, certified end-to-end (batch84; VERDICT r12 #4) ------------
+    "graphite_groupbynode_median",
+    # --- 2. the seven remaining r6 rows (the r12 queue) -------------------
+    "tsdb_gap_ratio",
+    "tsdb_heatmap_buckets",
+    "tsdb_moving_median",
+    "tsdb_multires_rollup",
+    "tsdb_rollup_salted_1h",
+    "tsdb_seasonal_profile",
+    "tsdb_tukey_outliers",
+    # --- 3. next-oldest evidence: the r7 cohort (first 42 of 50) ----------
+    "agg_skewness_kurtosis",
+    "array_hof_embeddings",
+    "array_set_ops_shingles",
+    "asof_click_next_purchase",
+    "dedup_embedding_cosine",
+    "dedup_graph_degree_stats",
+    "dedup_substring_spans",
+    "dq_constraint_report",
+    "emb_drift_by_label",
+    "emb_truncation_recall",
+    "events_audience_overlap",
+    "events_user_gini_diversity",
+    "gdpr_erasure_audit",
+    "graph_triangle_stats",
+    "json_roundtrip_events",
+    "lineitem_discount_effectiveness",
+    "lineitem_shipping_delays",
+    "lineitem_weighted_median",
+    "llm_cluster_representative",
+    "llm_jaccard_threshold_sweep",
+    "llm_mix_rebalance_plan",
+    "map_props_entries",
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    "orders_backlog_over_time",
+    "orders_cohort_ltv",
+    "orders_duplicate_payments",
+    "orders_market_basket",
+    "orders_yoy_growth",
+    "part_brand_share_shift",
+    "privacy_k_anonymity_report",
+    "source_csv_malformed_handling",
+    "source_schema_evolution",
+    "sql_api_revenue_by_nation",
+    "streaming_counter_resets",
+    "supplier_concentration_hhi",
+    "text_bigram_novelty",
+    "text_code_detection",
+    "text_vocab_growth",
+    "tsdb_alert_rule_eval",
+    "tsdb_changepoint_cusum",
+    "tsdb_counter_gauge_classify",
 )
 
 

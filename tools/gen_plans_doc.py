@@ -147,6 +147,17 @@ SHOWCASE = [
         "reshuffles data volume.",
     ),
     (
+        "graphite_groupbynode_median",
+        "Widened groupByNode kernel (round 13): the per-bucket median "
+        "routes through _combine_grouped — ONE hash aggregate on the "
+        "coarser (group, bucket) key whose collect_list is bounded by "
+        "member count per group (series count, never data volume), then "
+        "an array_sort + element_at middle pick. The groupBy key is "
+        "coarser than the input key, so the shuffle shrinks and "
+        "partial-aggregates map-side; the render under it is the "
+        "unchanged archive fetch + hourly grid.",
+    ),
+    (
         "incremental_rollup_merge",
         "Incremental MV maintenance (round 4): the latest-day boundary "
         "attaches as a broadcast 1-row scalar (no driver collect, no "
