@@ -294,8 +294,15 @@ def sort_by_maxima(df: DataFrame) -> DataFrame:
 
 
 def _node(n: int):
-    # dot-separated name component n (0-based), like graphite's nodes
-    return F.element_at(F.split("metric", r"\."), n + 1)
+    # dot-separated name component n, with graphite's PYTHON indexing:
+    # a NEGATIVE n counts from the end (aliasByNode(x, -1) = last node —
+    # graphite's aggKey does parts[node], plain list indexing; r13 fix:
+    # the old n+1 mapping sent -1 to the always-invalid element_at 0).
+    # element_at's negative form is exactly from-the-end, and
+    # out-of-range stays LOUD on both engines (python IndexError ↔ ANSI
+    # INVALID_ARRAY_INDEX); positive-node expressions are unchanged.
+    n = int(n)
+    return F.element_at(F.split("metric", r"\."), n + 1 if n >= 0 else n)
 
 
 def alias_by_node(df: DataFrame, *nodes: int) -> DataFrame:
@@ -610,16 +617,21 @@ def as_percent_nodes(
 
     Names are kept (same documented deviation as the other asPercent
     forms — graphite renames to ``asPercent(name, totalName)``, a
-    legend concern). A name too short for a node position contributes
-    NULL to the key (concat_ws skips it) where graphite would
-    IndexError — the frame model has no exception channel per series.
+    legend concern). Node positions are graphite's PYTHON indices:
+    negatives count from the end (r13), and a name too short for a
+    node position stays LOUD on both engines (python IndexError ↔ ANSI
+    INVALID_ARRAY_INDEX — Spark 4 defaults ANSI on).
 
     Scale note: one (key, bucket) aggregation over the render frame,
     broadcast back — group count ≤ series count, never data-volume
     proportional."""
     parts = F.split(F.col("metric"), r"\.")
     key = F.concat_ws(
-        ".", *[F.element_at(parts, int(n) + 1) for n in nodes]
+        ".",
+        *[
+            F.element_at(parts, int(n) + 1 if int(n) >= 0 else int(n))
+            for n in nodes
+        ],
     )
     q = F.floor(F.col("value") * 1_000_000).cast("long")
     src = total if total is not None else df
@@ -1858,7 +1870,9 @@ def time_stack(
     end−start a small literal — plan width is bounded by the argument,
     not the data."""
     if end <= start:
-        raise ValueError("timeStack needs start < end")
+        # graphite: range(start, end) is empty → the empty list (r13
+        # loud-to-empty parity, same class as aliasQuery/applyByNode)
+        return df.limit(0)
     unit = unit_label or _interval_label(int(interval_seconds))
     copies = [
         time_stack_copy(df, int(interval_seconds), i, unit)
@@ -3590,7 +3604,12 @@ def reduce_series(
             f"reduceSeries function must be one of {sorted(kernels)}"
         )
     parts = F.split(F.col("metric"), r"\.")
-    node = F.element_at(parts, int(reduce_node) + 1)  # element_at is 1-based
+    # graphite python indexing: 1-based element_at for n>=0, from-the-end
+    # negatives pass through (r13, same mapping as _node)
+    node = F.element_at(
+        parts, int(reduce_node) + 1 if int(reduce_node) >= 0 else
+        int(reduce_node)
+    )
     prefix = F.array_join(F.slice(parts, 1, int(reduce_node)), ".")
 
     def side(matcher: str, vcol: str) -> DataFrame:

@@ -59,7 +59,11 @@ def parse_interval(text: str | int | float) -> int:
 # graphite-1.1's tagdb resolves directly) a parseable leaf: it reaches
 # fetch as an exact-match (or glob) metric predicate like any other
 # name. Required by every function that RE-QUERIES a series name
-# (aliasQuery) over a tagged store — r12 fuzz find #1.
+# (aliasQuery) over a tagged store — r12 fuzz find #1. A glob may also
+# START with ``.`` (graphite's Word-of-printables grammar accepts
+# ``.*``): templating functions build such targets from EMPTY prefixes
+# (applyByNode(x, -2, 'f(%.*)') over a dotless name), and the leaf then
+# fetches nothing — graceful-empty, like graphite's finder.
 _TOKEN = re.compile(
     r"""
       (?P<ws>\s+)
@@ -69,7 +73,7 @@ _TOKEN = re.compile(
     | (?P<rparen>\))
     | (?P<comma>,)
     | (?P<eq>=)
-    | (?P<glob>(?:\{[^}]*\}|[A-Za-z_*?\[\]])(?:\{[^}]*\}|[\w.\-*?\[\]])*
+    | (?P<glob>(?:\{[^}]*\}|[A-Za-z_*?\[\].])(?:\{[^}]*\}|[\w.\-*?\[\]])*
                 (?:;[\w.\-]+=[\w.\-*?:/%+]*)*)
     """,
     re.VERBOSE,
@@ -1367,7 +1371,8 @@ def render(
                 if len(scalars) > 2 and scalars[2] is not None else 7
             )
             if t_end <= t_start:
-                raise ValueError("timeStack needs start < end")
+                # graphite: range(start, end) is empty → the empty list
+                return ev(series_nodes[0], w).limit(0)
             out = None
             for i in range(t_start, t_end):
                 sub = ev(series_nodes[0], w) if i == 0 else ev(
@@ -1456,12 +1461,19 @@ def render(
             new_name = str(scalars[2]) if len(scalars) > 2 else None
             from pyspark.sql import functions as _F
 
-            prefix_col = _F.array_join(
-                _F.slice(
-                    _F.split(_F.col("metric"), r"\."), 1, node_num + 1
-                ),
-                ".",
+            # graphite: prefix = '.'.join(parts[:nodeNum+1]) — python
+            # slice semantics: positive clamps at the name length,
+            # negative drops components from the end (r13; F.slice
+            # rejects a negative length, so derive it from size)
+            _parts = _F.split(_F.col("metric"), r"\.")
+            _plen = (
+                _F.lit(node_num + 1)
+                if node_num >= 0
+                else _F.greatest(
+                    _F.lit(0), _F.size(_parts) + _F.lit(node_num + 1)
+                )
             )
+            prefix_col = _F.array_join(_F.slice(_parts, 1, _plen), ".")
             prefixes = sorted(
                 r["p"]
                 for r in dfs[0].select(prefix_col.alias("p"))

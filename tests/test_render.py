@@ -2229,3 +2229,91 @@ def test_aliasquery_tagged_requery_and_empty_set(spark):
         fetch,
     ).collect()
     assert empty == []
+
+
+def test_negative_node_indices(spark):
+    """graphite's node arguments are PYTHON list indices (aggKey does
+    parts[node]), so negatives count from the end — aliasByNode(x, -1)
+    renames to the LAST name component, a staple of real dashboards.
+    The old n+1 mapping sent -1 to the always-invalid element_at(arr, 0)
+    (r13 probe find). Positive-node expressions are unchanged;
+    out-of-range indices stay loud on both engines (python IndexError ↔
+    ANSI INVALID_ARRAY_INDEX)."""
+    rows = [("svc.cpu.load", 0, 1.0), ("svc.cpu.idle", 0, 2.0),
+            ("app.mem.load", 0, 4.0)]
+    base = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+
+    def fetch(glob):
+        from kenshin_backup_spark.functions.deterministic import glob_to_regex
+        return base.where(F.col("metric").rlike(glob_to_regex(glob)))
+
+    got = sorted({r.metric for r in render(
+        "aliasByNode(*.*.*, -1)", fetch).collect()})
+    assert got == ["idle", "load"]
+    summed = sorted((r.metric, r.value) for r in render(
+        "groupByNode(*.*.*, -1, 'sum')", fetch).collect())
+    assert summed == [("idle", 2.0), ("load", 5.0)]
+    mixed = sorted({r.metric for r in render(
+        "aliasByNode(*.*.*, 0, -2)", fetch).collect()})
+    assert mixed == ["app.mem", "svc.cpu"]
+    multi = sorted((r.metric, r.value) for r in render(
+        "groupByNodes(*.*.*, 'max', -1, 0)", fetch).collect())
+    assert multi == [("idle.svc", 2.0), ("load.app", 4.0),
+                     ("load.svc", 1.0)]
+    # out-of-range stays loud, like graphite's IndexError
+    with pytest.raises(Exception):
+        render("aliasByNode(*.*.*, 9)", fetch).collect()
+    # asPercent's node grouping takes the same python indices
+    asp = sorted((r.metric, round(r.value, 6)) for r in render(
+        "asPercent(*.*.*, None, -1)", fetch).collect())
+    assert asp == [("app.mem.load", 80.0), ("svc.cpu.idle", 100.0),
+                   ("svc.cpu.load", 20.0)]
+    # applyByNode: prefix = '.'.join(parts[:nodeNum+1]) — python slice,
+    # so -2 drops the last component (graphite parity; F.slice rejects
+    # a negative length, the render layer derives it from size)
+    abn = sorted((r.metric, r.value) for r in render(
+        "applyByNode(*.*.*, -2, 'sumSeries(%.*)')", fetch).collect())
+    assert abn == [("sumSeries", 3.0), ("sumSeries", 4.0)]
+    # ... and over a DOTLESS name the prefix is EMPTY, so the template
+    # yields 'sumSeries(.*)' — a leading-dot glob is a valid leaf that
+    # fetches nothing (graphite's permissive grammar + empty finder),
+    # never a tokenizer error (r13 fuzz find, seed 777001)
+    ast = _Parser(_tokenize("sumSeries(.*)")).parse()
+    assert ast == ("call", "sumSeries", [("leaf", ".*")])
+    dotless = spark.createDataFrame(
+        [("req", 0, 1.0)], "metric string, bucket_ts long, value double"
+    )
+
+    def fetch_dotless(glob):
+        from kenshin_backup_spark.functions.deterministic import (
+            glob_to_regex,
+        )
+        if glob is None:
+            return dotless
+        if not any(ch in glob for ch in "*?{["):
+            return dotless.where(F.col("metric") == glob)
+        return dotless.where(F.col("metric").rlike(glob_to_regex(glob)))
+
+    assert render(
+        "applyByNode(req, -2, 'sumSeries(%.*)')", fetch_dotless
+    ).collect() == []
+
+
+def test_timestack_empty_shift_range(spark):
+    """timeStack with start >= end: graphite's range(start, end) is
+    empty, so it returns the empty list — not an error (r13
+    loud-to-empty parity, same class as aliasQuery/applyByNode over
+    empty sets)."""
+    fetch = _fetch_fn(spark)
+    assert render(
+        "timeStack(cpu.*, '1d', 0, 0)", fetch, from_ts=0, until_ts=3600
+    ).collect() == []
+    assert render(
+        "timeStack(cpu.*, '1d', 3, 1)", fetch, from_ts=0, until_ts=3600
+    ).collect() == []
+    # the normal stacked form still stacks
+    assert render(
+        "timeStack(cpu.*, '1d', 0, 2)", fetch, from_ts=0, until_ts=3600
+    ).collect()

@@ -222,6 +222,14 @@ NAME_SENSITIVE = [
     "useSeriesAbove({X}, 0.5, 'req', 'mem')",
     "sortByName({X}, natural=true)",
     "aggregateWithWildcards({X}, 'sum', 0)",
+    # negative node indices — graphite's python list indexing (r13 fix:
+    # -1 used to hit the always-invalid element_at(arr, 0))
+    "aliasByNode({X}, -1)",
+    "groupByNode({X}, -1, 'sum')",
+    "groupByNodes({X}, 'max', -1, 0)",
+    "applyByNode({X}, -2, 'sumSeries(%.*)')",
+    "asPercent({X}, None, -1)",
+    "timeStack({X}, '1d', 0, 0)",
 ]
 
 # Name-degenerate bases: tagged graphite-1.1 names (what seriesByTag
