@@ -31,25 +31,34 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
+from kenshin_backup_spark.attime import _unit_seconds
 from kenshin_backup_spark.operators import seriesfns as sf
 
 # --- interval strings -------------------------------------------------------
 
-_UNITS = {"s": 1, "sec": 1, "min": 60, "m": 60, "h": 3600, "hour": 3600,
-          "d": 86400, "day": 86400, "w": 604800, "week": 604800}
-
-
 def parse_interval(text: str | int | float) -> int:
-    """``'1h'`` → 3600; bare numbers are seconds (graphite semantics)."""
+    """``'1h'`` → 3600; bare numbers are seconds (graphite semantics).
+
+    Units resolve by PREFIX exactly like graphite's ``getUnitString``
+    (attime's shared table): ``seconds/minutes/hours/days/weeks/
+    months(=30d)/years(=365d)`` all by their leading letters, so
+    ``'2hours'``, ``'1mon'`` and ``'10y'`` are valid intervals —
+    graphite's summarize/hitcount/moving* call parseTimeOffset on the
+    same strings (r13; the old exact-key table rejected mon/y and the
+    long spellings, and ACCEPTED a bare ``'m'`` graphite rejects as
+    ambiguous min/month)."""
     if isinstance(text, (int, float)):
         return int(text)
     m = re.fullmatch(r"\s*(-?\d+)\s*([a-zA-Z]*)\s*", text)
     if not m:
         raise ValueError(f"bad interval {text!r}")
     n, unit = int(m.group(1)), m.group(2).lower()
-    if unit and unit not in _UNITS:
-        raise ValueError(f"bad interval unit {unit!r} in {text!r}")
-    return n * (_UNITS[unit] if unit else 1)
+    if not unit:
+        return n
+    try:
+        return n * _unit_seconds(unit)
+    except ValueError:
+        raise ValueError(f"bad interval unit {unit!r} in {text!r}") from None
 
 
 # --- tokenizer / parser -----------------------------------------------------
@@ -192,6 +201,15 @@ class _Parser:
         return self.expr()
 
     def parse(self):
+        # graphite's grammar has no top-level scalar: a WHOLE target
+        # that is a bare number is a pathExpression (Word-of-printables)
+        # fetched as a metric name. constantLine-derived series names
+        # ("4.0") re-query exactly this way through aliasQuery — the
+        # leaf then fetches nothing and aliasQuery raises graphite's
+        # 'no series found' (r13 fuzz find, seed 999003). Numbers in
+        # ARGUMENT position are unaffected (arg() consumes them first).
+        if len(self.toks) == 1 and self.toks[0].kind == "number":
+            return ("leaf", self.toks[0].text)
         node = self.expr()
         if self.peek() is not None:
             raise ValueError(f"trailing input at {self.peek()}")
@@ -1592,6 +1610,11 @@ def render(
         return _hinted(name, scalars, dfs, reg[name](dfs, scalars))
 
     out = ev(_Parser(_tokenize(target)).parse())
+    # graphite's renderView gates on `if maxDataPoints:` — 0 (and any
+    # non-positive request value) is falsy, meaning NO consolidation,
+    # not an error (r13 parity; the kernel itself stays loud on < 1)
+    if max_data_points is not None and int(max_data_points) < 1:
+        max_data_points = None
     if max_data_points is not None:
         state = hints.get(id(out), {})
         # series-level hint wins; the request default fills its absence

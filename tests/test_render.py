@@ -47,8 +47,18 @@ def test_parse_interval():
     assert parse_interval("2d") == 172800
     assert parse_interval(90) == 90
     assert parse_interval("90") == 90
+    # graphite getUnitString parity (r13): units resolve by PREFIX,
+    # months/years exist, and a bare 'm' is ambiguous → rejected
+    assert parse_interval("2hours") == 7200
+    assert parse_interval("3minutes") == 180
+    assert parse_interval("1mon") == 30 * 86400
+    assert parse_interval("1month") == 30 * 86400
+    assert parse_interval("10y") == 10 * 365 * 86400
+    assert parse_interval("5seconds") == 5
     with pytest.raises(ValueError):
         parse_interval("1parsec")
+    with pytest.raises(ValueError):
+        parse_interval("5m")
 
 
 def test_parse_shapes():
@@ -2317,3 +2327,45 @@ def test_timestack_empty_shift_range(spark):
     assert render(
         "timeStack(cpu.*, '1d', 0, 2)", fetch, from_ts=0, until_ts=3600
     ).collect()
+
+
+def test_max_data_points_zero_is_no_op(spark):
+    """graphite's renderView gates consolidation on `if maxDataPoints:`
+    — a 0 (or negative) request value is falsy and means NO
+    consolidation, not an error (r13 parity). The kernel itself stays
+    loud on a direct < 1 call."""
+    fetch = _fetch_fn(spark)
+    plain = sorted(map(tuple, render("cpu.*", fetch).collect()))
+    zeroed = sorted(map(tuple, render(
+        "cpu.*", fetch, max_data_points=0).collect()))
+    assert zeroed == plain
+    neg = sorted(map(tuple, render(
+        "cpu.*", fetch, max_data_points=-5).collect()))
+    assert neg == plain
+    with pytest.raises(ValueError, match="maxDataPoints"):
+        sf.consolidate_points(fetch("cpu.*"), 0)
+
+
+def test_bare_number_target_is_a_path(spark):
+    """graphite's grammar has no top-level scalar: a whole target that
+    is a bare number is a pathExpression fetched as a METRIC NAME.
+    constantLine names its series by value ("4.0"), so aliasQuery's
+    re-query rail rebuilds exactly such targets — the leaf fetches
+    nothing and aliasQuery raises graphite's 'No series found' (r13
+    fuzz find, seed 999003; the old parser errored with 'expected
+    expression' before the fetch). Argument-position numbers are
+    unaffected."""
+    fetch = _fetch_fn(spark)
+    ast = _Parser(_tokenize("4.0")).parse()
+    assert ast == ("leaf", "4.0")
+    assert render("42", fetch).collect() == []
+    with pytest.raises(ValueError, match="no series found with query"):
+        render(
+            "aliasQuery(scale(constantLine(4), -1e12), 'cpu', 'nope', "
+            "'x %d')",
+            fetch, from_ts=0, until_ts=3600,
+        )
+    # argument numbers still parse as scalars
+    assert _Parser(_tokenize("scale(a.b, 4.0)")).parse() == (
+        "call", "scale", [("leaf", "a.b"), ("num", 4.0)]
+    )

@@ -348,7 +348,8 @@ def main() -> int:
             # ~35%: force a degenerate wrapper into the chain
             pool = DEGENERATE if rng.random() < 0.35 else templates
             target = rng.choice(pool).replace("{X}", target)
-        mdp = rng.choice((5, 17, 64)) if rng.random() < 0.25 else None
+        # 0 is graphite's falsy no-consolidation request value (r13)
+        mdp = rng.choice((0, 5, 17, 64)) if rng.random() < 0.25 else None
         xff = rng.choice((0.0, 0.25, 0.9)) if rng.random() < 0.25 else None
         cases.append((target, mdp, xff))
 
