@@ -300,7 +300,9 @@ def _node(n: int):
     # the old n+1 mapping sent -1 to the always-invalid element_at 0).
     # element_at's negative form is exactly from-the-end, and
     # out-of-range stays LOUD on both engines (python IndexError ↔ ANSI
-    # INVALID_ARRAY_INDEX); positive-node expressions are unchanged.
+    # INVALID_ARRAY_INDEX — ANSI is pinned in session.RUNTIME_CONFS, so
+    # the contract holds on 3.5 where ANSI defaults OFF; ADVICE r13);
+    # positive-node expressions are unchanged.
     n = int(n)
     return F.element_at(F.split("metric", r"\."), n + 1 if n >= 0 else n)
 
@@ -3610,7 +3612,19 @@ def reduce_series(
         parts, int(reduce_node) + 1 if int(reduce_node) >= 0 else
         int(reduce_node)
     )
-    prefix = F.array_join(F.slice(parts, 1, int(reduce_node)), ".")
+    # graphite prefix key: '.'.join(nodes[0:reduceNode]) — for a negative
+    # reduceNode that python slice DROPS components from the end, so the
+    # slice LENGTH is size+reduceNode (clamped at 0), never the negative
+    # value itself (ADVICE r13 — F.slice rejects a negative length at
+    # runtime; positive lengths keep the literal form, plans unchanged).
+    _plen = (
+        F.lit(int(reduce_node))
+        if int(reduce_node) >= 0
+        else F.greatest(
+            F.lit(0), F.size(parts) + F.lit(int(reduce_node))
+        )
+    )
+    prefix = F.array_join(F.slice(parts, 1, _plen), ".")
 
     def side(matcher: str, vcol: str) -> DataFrame:
         return df.where(node == matcher).select(

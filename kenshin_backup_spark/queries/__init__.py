@@ -102,6 +102,7 @@ from kenshin_backup_spark.queries import (
     batch82,
     batch83,
     batch84,
+    batch85,
     llm,
     relational,
     relational2,
@@ -197,31 +198,31 @@ _MODULES = (
     batch82,
     batch83,
     batch84,
+    batch85,
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
-#: entries, so this ordering is evidence policy. Round-13 re-curation
+#: entries, so this ordering is evidence policy. Round-14 re-curation
 #: (COVERAGE.md's standing rule — the burn-down stays closed, windows
 #: hold in priority order):
-#: 1. changed-code cert — round 13 widened-kernel certification:
-#:    graphite_groupbynode_median (batch84, VERDICT r12 #4) drives the
-#:    r12 groupByNode aggFunc widening (_combine_grouped median) through
-#:    Engine.render. The OTHER r13 changes need no re-cert: the two
-#:    aliasQuery fuzz fixes (VERDICT r12 #1) are a tokenizer extension
-#:    (identical tokens for every certified target — none contains ';')
-#:    and empty-set early returns in aliasQuery/applyByNode (the
-#:    certified non-empty plans are byte-identical) — pytest-pinned in
-#:    tests/test_render.py::test_aliasquery_tagged_requery_and_empty_set.
-#: 2. the SEVEN remaining r6 rows (the r12 queue — alphabetical; the
-#:    r12 _PRIORITY comment said six, omitting tsdb_gap_ratio);
-#: 3. the next-oldest evidence: the first 42 rows of the 50-row r7
-#:    cohort (alphabetical, latest-green == r7 computed from the
-#:    CORRECTNESS_r01–r12 union). The last eight r7 rows
-#:    (tsdb_downsample_minmax_pairs, tsdb_forecast_backtest,
-#:    tsdb_histogram_shard_merge, tsdb_namespace_levels,
-#:    tsdb_vshape_patterns, unpivot_lineitem_measures,
-#:    window_frame_distinct_users, window_percent_rank_acctbal)
-#:    carry to the r14 queue, then the r8 cohort.
+#: 1. changed-code certs — the two batch85 adds (both VERDICT/ADVICE
+#:    traceable): graphite_negnode_summarize_units (VERDICT r13 #1 —
+#:    the r13 parity-wave composite: negative name nodes + the
+#:    'mon'/'hours' prefix-unit table + falsy maxDataPoints, one hash)
+#:    and graphite_reduce_apply_negnode (ADVICE r13 mediums #1+#2 —
+#:    applyByNode(-1)'s empty prefix and reduceSeries' negative
+#:    reduceNode group key, both FIXED this round and certified
+#:    through Engine.render). The other r14 changes need no re-cert:
+#:    the ANSI conf pin (session.RUNTIME_CONFS) is a no-op on the 4.x
+#:    engine every cert runs on, and positive-node applyByNode/
+#:    reduceSeries expressions are byte-identical by construction
+#:    (branch-on-sign only adds the negative arm).
+#: 2. the remaining EIGHT r7 rows (queued by the r13 comment, verified
+#:    against the CORRECTNESS_r01–r13 union);
+#: 3. the full r8 cohort (39 rows, alphabetical, latest-green == r8);
+#: 4. one r9 row (agg_grouping_sets, alphabetically first) to fill the
+#:    window to 50. The rest of the r9 cohort (38 rows) heads the r15
+#:    queue.
 #: The 9 rows-only-by-design queries (approx_distinct_parts,
 #: approx_event_percentiles, emb_intrinsic_dimension,
 #: emb_kmeans_clusters, emb_mmr_rerank*, events_rolling_wau_hll,
@@ -231,60 +232,61 @@ _MODULES = (
 #: rotates out keeps exact-cell parity coverage in
 #: tests/test_oracle_parity.py.
 _PRIORITY = (
-    # --- 1. round-13 changed-code cert: the r12 groupByNode aggFunc
-    # widening, certified end-to-end (batch84; VERDICT r12 #4) ------------
-    "graphite_groupbynode_median",
-    # --- 2. the seven remaining r6 rows (the r12 queue) -------------------
-    "tsdb_gap_ratio",
-    "tsdb_heatmap_buckets",
-    "tsdb_moving_median",
-    "tsdb_multires_rollup",
-    "tsdb_rollup_salted_1h",
-    "tsdb_seasonal_profile",
-    "tsdb_tukey_outliers",
-    # --- 3. next-oldest evidence: the r7 cohort (first 42 of 50) ----------
-    "agg_skewness_kurtosis",
-    "array_hof_embeddings",
-    "array_set_ops_shingles",
-    "asof_click_next_purchase",
-    "dedup_embedding_cosine",
-    "dedup_graph_degree_stats",
-    "dedup_substring_spans",
-    "dq_constraint_report",
-    "emb_drift_by_label",
-    "emb_truncation_recall",
-    "events_audience_overlap",
-    "events_user_gini_diversity",
-    "gdpr_erasure_audit",
-    "graph_triangle_stats",
-    "json_roundtrip_events",
-    "lineitem_discount_effectiveness",
-    "lineitem_shipping_delays",
-    "lineitem_weighted_median",
-    "llm_cluster_representative",
-    "llm_jaccard_threshold_sweep",
-    "llm_mix_rebalance_plan",
-    "map_props_entries",
-    "multimodal_binary_meta",
-    "multimodal_frame_sample",
-    "orders_backlog_over_time",
-    "orders_cohort_ltv",
-    "orders_duplicate_payments",
-    "orders_market_basket",
-    "orders_yoy_growth",
-    "part_brand_share_shift",
-    "privacy_k_anonymity_report",
-    "source_csv_malformed_handling",
-    "source_schema_evolution",
-    "sql_api_revenue_by_nation",
-    "streaming_counter_resets",
-    "supplier_concentration_hhi",
-    "text_bigram_novelty",
-    "text_code_detection",
-    "text_vocab_growth",
-    "tsdb_alert_rule_eval",
-    "tsdb_changepoint_cusum",
-    "tsdb_counter_gauge_classify",
+    # --- 1. round-14 changed-code certs (batch85; VERDICT r13 #1 and
+    # ADVICE r13 mediums #1+#2) --------------------------------------------
+    "graphite_negnode_summarize_units",
+    "graphite_reduce_apply_negnode",
+    # --- 2. the eight remaining r7 rows (the r13 queue) --------------------
+    "tsdb_downsample_minmax_pairs",
+    "tsdb_forecast_backtest",
+    "tsdb_histogram_shard_merge",
+    "tsdb_namespace_levels",
+    "tsdb_vshape_patterns",
+    "unpivot_lineitem_measures",
+    "window_frame_distinct_users",
+    "window_percent_rank_acctbal",
+    # --- 3. the r8 cohort (39 rows, alphabetical) --------------------------
+    "agg_cube_priority_status",
+    "agg_distinct_counts",
+    "agg_grouping_flags",
+    "agg_rollup_flag_status",
+    "dedup_ngram_jaccard",
+    "emb_ann_ivf_seeded",
+    "emb_knn_label_vote",
+    "emb_mmr_rerank",
+    "graph_pagerank_quantized",
+    "graphite_exclude_average",
+    "graphite_groupbynode_sum",
+    "join_anti_customers_no_orders",
+    "join_cross_grid",
+    "join_null_safe_status",
+    "join_outer_customer_orders",
+    "llm_contamination_report",
+    "pivot_status_by_priority",
+    "scalar_bitwise_shift",
+    "scalar_date_family2",
+    "scalar_split_part_family",
+    "scalar_string_family3",
+    "scalar_string_part_names",
+    "text_fingerprints",
+    "text_langid_heuristic",
+    "text_pii_scan",
+    "text_stats_by_lang",
+    "tpch_q10_returned_items",
+    "tpch_q17_small_quantity",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tsdb_derivative",
+    "tsdb_downsample_lttb_exact",
+    "tsdb_fetch_keep_last",
+    "tsdb_holt_linear_forecast",
+    "tsdb_moving_avg",
+    "window_lag_lead_orders",
+    "window_ntile_quartiles",
+    "window_suffix_revenue",
+    # --- 4. window fill: the alphabetically-first r9 row --------------------
+    "agg_grouping_sets",
 )
 
 

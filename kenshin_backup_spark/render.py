@@ -1482,11 +1482,15 @@ def render(
             # graphite: prefix = '.'.join(parts[:nodeNum+1]) — python
             # slice semantics: positive clamps at the name length,
             # negative drops components from the end (r13; F.slice
-            # rejects a negative length, so derive it from size)
+            # rejects a negative length, so derive it from size).
+            # The branch is on nodeNum+1's SIGN, not nodeNum's: -1 means
+            # parts[:0] = the EMPTY prefix (constant length 0), not a
+            # size-derived full-name slice (ADVICE r13 — the old
+            # `node_num >= 0` gate templated the whole name for -1).
             _parts = _F.split(_F.col("metric"), r"\.")
             _plen = (
                 _F.lit(node_num + 1)
-                if node_num >= 0
+                if node_num + 1 >= 0
                 else _F.greatest(
                     _F.lit(0), _F.size(_parts) + _F.lit(node_num + 1)
                 )
@@ -1610,9 +1614,13 @@ def render(
         return _hinted(name, scalars, dfs, reg[name](dfs, scalars))
 
     out = ev(_Parser(_tokenize(target)).parse())
-    # graphite's renderView gates on `if maxDataPoints:` — 0 (and any
-    # non-positive request value) is falsy, meaning NO consolidation,
-    # not an error (r13 parity; the kernel itself stays loud on < 1)
+    # graphite's renderView gates on `if maxDataPoints:` — 0 is falsy,
+    # meaning NO consolidation, not an error (r13 parity). Treating
+    # NEGATIVE values as absent too is a DELIBERATE DEVIATION: in
+    # python -5 is truthy, so graphite would pass it into its
+    # consolidation arithmetic and produce nonsense/crash; the engine
+    # no-ops instead (pinned: test_max_data_points_zero_is_no_op; the
+    # kernel itself stays loud on < 1).
     if max_data_points is not None and int(max_data_points) < 1:
         max_data_points = None
     if max_data_points is not None:

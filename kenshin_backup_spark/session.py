@@ -28,6 +28,13 @@ from pyspark.sql import SparkSession
 #: Runtime-settable confs applied to ANY session the engine touches.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # Correctness-critical on pyspark 3.5.x (ADVICE r13): the engine's
+    # out-of-range-node contract — aliasByNode(x, 9) on a 3-part name
+    # raises (python IndexError ↔ Spark INVALID_ARRAY_INDEX) — holds
+    # only under ANSI mode. Spark 4 defaults ANSI ON; 3.5 defaults OFF,
+    # where element_at silently yields NULL names instead. Pinning it
+    # here makes the supported floor behave like the verified 4.x.
+    "spark.sql.ansi.enabled": "true",
     # Runtime-settable (unlike most sizing knobs): an externally owned
     # session keeps Spark's default 200, which over-parallelizes local
     # data into 200-task shuffles; match the core count like get_spark

@@ -2369,3 +2369,130 @@ def test_bare_number_target_is_a_path(spark):
     assert _Parser(_tokenize("scale(a.b, 4.0)")).parse() == (
         "call", "scale", [("leaf", "a.b"), ("num", 4.0)]
     )
+
+
+def test_negative_prefix_nodes_apply_reduce(spark):
+    """ADVICE r13, both mediums, pinned:
+
+    1. applyByNode(x, -1, ...): graphite's prefix is
+       ``'.'.join(parts[:nodeNum+1])`` = ``parts[:0]`` = the EMPTY
+       string — ONE re-evaluation with '%' substituted by ''. The old
+       ``node_num >= 0`` branch sent -1 to the size-derived slice and
+       templated the WHOLE name (three evaluations here).
+    2. reduceSeries(x, fn, -1, ...): graphite's group key is
+       ``'.'.join(nodes[0:reduceNode])`` — a negative reduceNode drops
+       components from the end. The old code passed the negative value
+       as F.slice's LENGTH, a runtime error.
+    """
+    from kenshin_backup_spark.functions.deterministic import glob_to_regex
+
+    rows = [
+        ("srv.s1.disk.used", 0, 30.0), ("srv.s1.disk.total", 0, 100.0),
+        ("srv.s2.disk.used", 0, 10.0), ("srv.s2.disk.total", 0, 40.0),
+        ("srv.s1.disk.used", 60, 50.0), ("srv.s1.disk.total", 60, 100.0),
+        ("srv.s3.disk.used", 0, 7.0),  # no total → group drops (graphite)
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+    fetch = lambda g: df.where(  # noqa: E731
+        F.col("metric").rlike(glob_to_regex(g)))
+
+    # -1 → the -1 leg of reduceSeries matches node 3's answer exactly
+    # (4-part names: nodes[0:-1] == nodes[0:3])
+    red = render(
+        "reduceSeries(mapSeries(srv.*.disk.*, 1), 'asPercent', -1, "
+        "'used', 'total')",
+        fetch,
+    )
+    got = sorted((r.metric, r.bucket_ts, r.value) for r in red.collect())
+    assert got == [
+        ("srv.s1.disk", 0, 30.0), ("srv.s1.disk", 60, 50.0),
+        ("srv.s2.disk", 0, 25.0),
+    ]
+    # deeper-negative group key: nodes[0:-2] == nodes[0:2]
+    d2 = render(
+        "reduceSeries(srv.*.{used,total}.*, 'divideSeries', -2, "
+        "'used', 'total')",
+        lambda g: spark.createDataFrame(
+            [("srv.s1.used.disk", 0, 30.0),
+             ("srv.s1.total.disk", 0, 100.0)],
+            "metric string, bucket_ts long, value double",
+        ).where(F.col("metric").rlike(glob_to_regex(g))),
+    ).collect()
+    assert [(r.metric, r.bucket_ts, r.value) for r in d2] == [
+        ("srv.s1", 0, 0.3)
+    ]
+
+    # applyByNode -1 → EMPTY prefix → exactly ONE re-evaluation
+    ab = render(
+        "applyByNode(srv.*.disk.used, -1, 'sumSeries(%srv.*.disk.used)', "
+        "'%all.used')",
+        fetch,
+    )
+    agot = sorted((r.metric, r.bucket_ts, r.value) for r in ab.collect())
+    assert agot == [("all.used", 0, 47.0), ("all.used", 60, 50.0)]
+
+
+def test_loud_parity_reduce_apply_degenerate_names(spark):
+    """r14 fuzz finds, pinned as GRAPHITE-PARITY LOUD (not bugs):
+
+    1. reduceSeries with an out-of-range reduceNode — a dotless
+       graphite-1.1 tagged name splits to ONE part, so graphite's
+       ``nodes[1]`` / ``nodes[-2]`` raise IndexError; the engine's ANSI
+       element_at raises INVALID_ARRAY_INDEX on the same input (the
+       aliasByNode(x, 9) contract). ``nodes[-1]`` does NOT raise in
+       python — and must not here: it yields the whole name, matches
+       neither matcher, and the result is EMPTY.
+    2. applyByNode over function-generated names containing parens
+       (sumSeriesLists' 'sumSeries(a,b)'): the prefix substitution
+       yields an unbalanced template and graphite's evaluateTarget
+       re-parse raises the same way.
+    """
+    from kenshin_backup_spark.functions.deterministic import glob_to_regex
+
+    tagged = spark.createDataFrame(
+        [("req;dc=east;app=a", 0, 1.0), ("req;dc=east;app=b", 0, 2.0)],
+        "metric string, bucket_ts long, value double",
+    )
+
+    def fetch(glob):
+        if glob is None:
+            return tagged
+        if not any(ch in glob for ch in "*?{["):
+            return tagged.where(F.col("metric") == glob)
+        return tagged.where(F.col("metric").rlike(glob_to_regex(glob)))
+
+    # out-of-range node → loud, like python's IndexError
+    with pytest.raises(Exception, match="INVALID_ARRAY_INDEX"):
+        render(
+            "reduceSeries(seriesByTag('dc=east'), 'diffSeries', 1, "
+            "'used', 'total')", fetch,
+        ).collect()
+    with pytest.raises(Exception, match="INVALID_ARRAY_INDEX"):
+        render(
+            "reduceSeries(seriesByTag('dc=east'), 'asPercent', -2, "
+            "'used', 'total')", fetch,
+        ).collect()
+    # -1 is IN range for a 1-part name (python nodes[-1]) → empty, quiet
+    assert render(
+        "reduceSeries(seriesByTag('dc=east'), 'asPercent', -1, "
+        "'used', 'total')", fetch,
+    ).collect() == []
+
+    # paren-bearing generated name → template re-parse fails loudly,
+    # matching graphite's evaluateTarget ParseError class
+    plain = spark.createDataFrame(
+        [("mem.used", 0, 5.0)], "metric string, bucket_ts long, value double"
+    )
+
+    def fetch2(glob):
+        if not any(ch in glob for ch in "*?{["):
+            return plain.where(F.col("metric") == glob)
+        return plain.where(F.col("metric").rlike(glob_to_regex(glob)))
+
+    with pytest.raises(ValueError, match="expected rparen"):
+        render(
+            "applyByNode(sumSeriesLists(mem.used, mem.used), 0, "
+            "'sumSeries(%)', 'total.%')", fetch2,
+        ).collect()

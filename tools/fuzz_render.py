@@ -120,6 +120,19 @@ EXPECTED_ERRORS = [
     # on both
     (r"aliasQuery", r"aliasQuery: no series found with query"),
     (r"aliasQuery", r"aliasQuery: cannot get last value of series"),
+    # reduceSeries with an out-of-range reduceNode (e.g. node 1 or -2
+    # over a DOTLESS graphite-1.1 tagged name — one split part):
+    # graphite's ``nodes[reduceNode]`` raises IndexError on the same
+    # input; ANSI element_at's INVALID_ARRAY_INDEX is the engine's loud
+    # parity (same contract as aliasByNode(x, 9); r14 grid find —
+    # note nodes[-1] does NOT raise and those grid cases pass green).
+    (r"reduceSeries", r"INVALID_ARRAY_INDEX"),
+    # applyByNode over function-GENERATED series names that contain
+    # parens (e.g. sumSeriesLists' 'sumSeries(a,b)'): the prefix
+    # substitution yields an unbalanced template ('sumSeries(sumSeries(mem)')
+    # and graphite's evaluateTarget re-parse raises the same way (r14
+    # random-dimension find; real dashboards apply it to fetched names).
+    (r"applyByNode", r"expected rparen"),
 ]
 
 
@@ -230,6 +243,13 @@ NAME_SENSITIVE = [
     "applyByNode({X}, -2, 'sumSeries(%.*)')",
     "asPercent({X}, None, -1)",
     "timeStack({X}, '1d', 0, 0)",
+    # r14 (ADVICE r13): applyByNode(-1) = the EMPTY prefix (parts[:0]),
+    # and reduceSeries' group key with a negative reduceNode — both
+    # were absent from the r13 grid and both had real bugs.
+    "applyByNode({X}, -1, 'sumSeries(%cpu.*)')",
+    "reduceSeries(mapSeries({X}, 0), 'sumSeries', -1, 'load', 'idle')",
+    "reduceSeries({X}, 'diffSeries', 1, 'load', 'idle')",
+    "reduceSeries({X}, 'asPercent', -2, 'used', 'total')",
 ]
 
 # Name-degenerate bases: tagged graphite-1.1 names (what seriesByTag
@@ -243,22 +263,39 @@ NAME_DEGENERATE = (
 )
 
 
-def degenerate_grid() -> list[str]:
+#: REQUEST-dimension values crossed with the name-degenerate grid
+#: (VERDICT r13 #3): graphite's maxDataPoints pixel consolidation and
+#: the request-level xFilesFactor default, over tagged and empty-set
+#: targets — by construction, not luck. 0 is the falsy no-op value.
+_GRID_REQUEST = (
+    (None, None), (0, None), (7, None), (None, 0.5), (31, 0.0),
+)
+
+
+def degenerate_grid() -> list[tuple[str, int | None, float | None]]:
     """Every degenerate wrapper × every sensitive family, once, over a
     rotating base selection. (r12 harness fix: the first cut left the
     ``{X}`` placeholder unsubstituted, so grid cases fetched an empty
     series set instead of degenerate DATA — caught because the grid then
-    failed to reproduce the one overflow the random composer found.)"""
-    out = []
+    failed to reproduce the one overflow the random composer found.)
+    Each case carries its request params: plain wrappers run bare; the
+    name-degenerate axes rotate through ``_GRID_REQUEST`` (r14)."""
+    out: list[tuple[str, int | None, float | None]] = []
     for i, deg in enumerate(DEGENERATE):
         for j, fam in enumerate(SENSITIVE):
             base = BASE_TARGETS[(i + j) % len(BASE_TARGETS)]
-            out.append(fam.replace("{X}", deg).replace("{X}", base))
+            out.append(
+                (fam.replace("{X}", deg).replace("{X}", base), None, None)
+            )
     # name-degenerate axes (r13): every name-sensitive family over
-    # every tagged / empty-set base, once — by construction, not luck
+    # every tagged / empty-set base, once — by construction, not luck;
+    # r14 adds the rotating request dimension on top
+    k = 0
     for fam in NAME_SENSITIVE:
         for base in NAME_DEGENERATE:
-            out.append(fam.replace("{X}", base))
+            mdp, xff = _GRID_REQUEST[k % len(_GRID_REQUEST)]
+            out.append((fam.replace("{X}", base), mdp, xff))
+            k += 1
     return out
 
 
@@ -333,15 +370,19 @@ def main() -> int:
 
     templates = general_templates()
     rng = random.Random(seed)
-    grid = [] if args.skip_grid else degenerate_grid()
-    # (target, max_data_points, request xFilesFactor): the grid runs
-    # with plain request params; random compositions also draw the
-    # request-parameter dimension (graphite's maxDataPoints pixel
-    # consolidation and the request-level xFilesFactor default) with
+    # (kind, targets, max_data_points, request xFilesFactor): the grid
+    # carries its own request params (the r14 name-grid × request
+    # cross); random compositions draw the request dimension with
     # p≈0.25 each, so consolidate_points sees every composition shape.
-    cases: list[tuple[str, int | None, float | None]] = [
-        (t, None, None) for t in grid
+    # kind ∈ {render, many, pie, pie_many}: the multi-target render and
+    # PIE endpoints (VERDICT r13 #3 — surfaces the grid didn't draw)
+    # each get ~6% of the random budget, reusing the last compositions
+    # so the unioned plans are as adversarial as the single-target ones.
+    cases: list[tuple[str, tuple[str, ...], int | None, float | None]] = [
+        ("render", (t,), mdp, xff)
+        for (t, mdp, xff) in ([] if args.skip_grid else degenerate_grid())
     ]
+    recent: list[str] = []
     for _ in range(args.count):
         target = rng.choice(BASE_TARGETS)
         for _ in range(rng.randint(1, args.depth)):
@@ -351,19 +392,54 @@ def main() -> int:
         # 0 is graphite's falsy no-consolidation request value (r13)
         mdp = rng.choice((0, 5, 17, 64)) if rng.random() < 0.25 else None
         xff = rng.choice((0.0, 0.25, 0.9)) if rng.random() < 0.25 else None
-        cases.append((target, mdp, xff))
+        recent.append(target)
+        draw = rng.random()
+        if draw < 0.06 and len(recent) >= 2:
+            cases.append(
+                ("many", tuple(rng.sample(recent, rng.choice((2, 3))))
+                 if len(recent) >= 3 else tuple(recent[-2:]), mdp, xff)
+            )
+        elif draw < 0.12:
+            kind = "pie" if rng.random() < 0.5 else "pie_many"
+            ts = (target,) if kind == "pie" else (
+                target, rng.choice(("lit:3.5", "mem.used")))
+            cases.append((kind, ts, None, xff))
+        else:
+            cases.append(("render", (target,), mdp, xff))
 
     failures = 0
     expected = 0
     t0 = time.time()
-    for i, (target, mdp, xff) in enumerate(cases):
+    for i, (kind, targets, mdp, xff) in enumerate(cases):
+        target = "; ".join(targets)
         try:
-            df = eng.render(
-                target, from_ts, until_ts, now_ts=now,
-                max_data_points=mdp, x_files_factor=xff,
-            )
+            if kind == "render":
+                df = eng.render(
+                    targets[0], from_ts, until_ts, now_ts=now,
+                    max_data_points=mdp, x_files_factor=xff,
+                )
+                want = {"metric", "bucket_ts", "value"}
+            elif kind == "many":
+                df = eng.render_many(
+                    list(targets), from_ts, until_ts, now_ts=now,
+                    max_data_points=mdp, x_files_factor=xff,
+                )
+                want = {"target", "metric", "bucket_ts", "value"}
+            elif kind == "pie":
+                df = eng.render_pie(
+                    targets[0], from_ts, until_ts, now_ts=now,
+                    pie_mode=rng.choice(("average", "maximum", "minimum")),
+                    x_files_factor=xff,
+                )
+                want = {"metric", "value"}
+            else:  # pie_many — mixes an expression with a literal slice
+                df = eng.render_pie_many(
+                    list(targets), from_ts, until_ts, now_ts=now,
+                    x_files_factor=xff, include_empty=False,
+                )
+                want = {"metric", "value"}
             cols = set(df.columns)
-            assert cols == {"metric", "bucket_ts", "value"}, cols
+            assert cols == want, cols
             df.collect()
         except KeyboardInterrupt:
             raise
@@ -373,7 +449,7 @@ def main() -> int:
                 continue
             failures += 1
             req = f" (maxDataPoints={mdp}, xff={xff})" if (mdp or xff) else ""
-            print(f"FAIL [{i}]: {target}{req}")
+            print(f"FAIL [{i}] {kind}: {target}{req}")
             print("  " + traceback.format_exception_only(type(e), e)[-1].strip())
         if (i + 1) % 50 == 0:
             print(f"  ... {i + 1}/{len(cases)} "
