@@ -95,8 +95,12 @@ def graphite_negnode_summarize_units(
     lo = bd.lo - bd.lo % 86400
     # now placed so that now - 1mon == lo exactly: the '-1mon' at-time
     # string must resolve through the r13 unit table to land the grid
-    # on the day-aligned origin (the fixture spans < 30 days, so the
-    # until bound stays unclamped)
+    # on the day-aligned origin. INVARIANT: the events fixture spans
+    # <= 30 days from its first midnight (true for every driver
+    # testdata generation, rounds 1-14: Jan 1 - Jan 30), so
+    # until = hi+1 <= now and the fetch clamp never bites; a longer
+    # future fixture would clamp the window at now and fail this hash
+    # loudly rather than silently.
     now = lo + _MON
     out = eng.render(
         _T_NEGNODE, "-1mon", bd.hi + 1, now_ts=now, max_data_points=0

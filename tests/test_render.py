@@ -2496,3 +2496,22 @@ def test_loud_parity_reduce_apply_degenerate_names(spark):
             "applyByNode(sumSeriesLists(mem.used, mem.used), 0, "
             "'sumSeries(%)', 'total.%')", fetch2,
         ).collect()
+    # ... same re-query-rail class for SPACE-bearing display aliases
+    # (aliasQuery re-parses 'a b' — graphite's evaluateTarget resolves
+    # only the leading token and its aliasQuery raises 'No series
+    # found'; loud on both engines) and for timeStack's generated
+    # 'timeShift(x, -1d, 0)' names (unquoted interval — not a valid
+    # target on either parser). r14 fuzz seed 880014.
+    with pytest.raises(ValueError, match="trailing input"):
+        render(
+            "aliasQuery(alias(mem.used, 'a b'), 'a', 'a', 'n %d')",
+            fetch2,
+        ).collect()
+    # (the Engine refetch rail's '-1d' names hit 'bad token'; the bare
+    # render fallback's re-parse trips 'expected rparen' — same class)
+    with pytest.raises(ValueError, match="bad token|expected rparen"):
+        render(
+            "applyByNode(timeStack(mem.used, '1d', 0, 2), 0, "
+            "'sumSeries(%)', 'total.%')", fetch2,
+            from_ts=0, until_ts=3600,
+        ).collect()

@@ -127,12 +127,18 @@ EXPECTED_ERRORS = [
     # parity (same contract as aliasByNode(x, 9); r14 grid find —
     # note nodes[-1] does NOT raise and those grid cases pass green).
     (r"reduceSeries", r"INVALID_ARRAY_INDEX"),
-    # applyByNode over function-GENERATED series names that contain
-    # parens (e.g. sumSeriesLists' 'sumSeries(a,b)'): the prefix
-    # substitution yields an unbalanced template ('sumSeries(sumSeries(mem)')
-    # and graphite's evaluateTarget re-parse raises the same way (r14
-    # random-dimension find; real dashboards apply it to fetched names).
-    (r"applyByNode", r"expected rparen"),
+    # The RE-QUERY RAIL (aliasQuery / applyByNode) re-parses target
+    # strings BUILT FROM SERIES NAMES. Function-generated or
+    # display-aliased names — 'sumSeries(a,b)' (parens), 'a b'
+    # (spaces), timeStack's 'timeShift(x, -1d, 0)' (unquoted
+    # intervals) — are not valid targets, and graphite's
+    # evaluateTarget re-parse fails loudly on the same inputs (r14
+    # random-dimension finds; real dashboards apply these functions to
+    # FETCHED names, where the rebuilt target is valid). Anchored to
+    # the parser's three specific loud messages.
+    (r"applyByNode|aliasQuery", r"expected rparen"),
+    (r"applyByNode|aliasQuery", r"bad token"),
+    (r"applyByNode|aliasQuery", r"trailing input"),
 ]
 
 
