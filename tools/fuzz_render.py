@@ -384,8 +384,19 @@ def main() -> int:
     # PIE endpoints (VERDICT r13 #3 — surfaces the grid didn't draw)
     # each get ~6% of the random budget, reusing the last compositions
     # so the unioned plans are as adversarial as the single-target ones.
-    cases: list[tuple[str, tuple[str, ...], int | None, float | None]] = [
-        ("render", (t,), mdp, xff)
+    # at-time STRING request windows (r14 axis): graphite consumers
+    # send '-1d'/'now'/'midnight' style bounds, resolved against the
+    # injected now — drawn with p≈0.15 in the random dimension so the
+    # attime rail crosses the composition grammar (previously the fuzz
+    # only ever passed epoch ints).
+    WINDOWS = (
+        ("-1d", "now"), ("-2hours", "now"), ("-1d2h", "-1h"),
+        ("midnight", "now"), ("-90min", "-30min"), ("-1w", "now"),
+    )
+    cases: list[
+        tuple[str, tuple[str, ...], int | None, float | None, object, object]
+    ] = [
+        ("render", (t,), mdp, xff, None, None)
         for (t, mdp, xff) in ([] if args.skip_grid else degenerate_grid())
     ]
     recent: list[str] = []
@@ -399,29 +410,34 @@ def main() -> int:
         mdp = rng.choice((0, 5, 17, 64)) if rng.random() < 0.25 else None
         xff = rng.choice((0.0, 0.25, 0.9)) if rng.random() < 0.25 else None
         recent.append(target)
+        fw, uw = (rng.choice(WINDOWS) if rng.random() < 0.15
+                  else (None, None))
         draw = rng.random()
         if draw < 0.06 and len(recent) >= 2:
             cases.append(
                 ("many", tuple(rng.sample(recent, rng.choice((2, 3))))
-                 if len(recent) >= 3 else tuple(recent[-2:]), mdp, xff)
+                 if len(recent) >= 3 else tuple(recent[-2:]),
+                 mdp, xff, None, None)
             )
         elif draw < 0.12:
             kind = "pie" if rng.random() < 0.5 else "pie_many"
             ts = (target,) if kind == "pie" else (
                 target, rng.choice(("lit:3.5", "mem.used")))
-            cases.append((kind, ts, None, xff))
+            cases.append((kind, ts, None, xff, fw, uw))
         else:
-            cases.append(("render", (target,), mdp, xff))
+            cases.append(("render", (target,), mdp, xff, fw, uw))
 
     failures = 0
     expected = 0
     t0 = time.time()
-    for i, (kind, targets, mdp, xff) in enumerate(cases):
+    for i, (kind, targets, mdp, xff, fw, uw) in enumerate(cases):
         target = "; ".join(targets)
+        f_req = fw if fw is not None else from_ts
+        u_req = uw if uw is not None else until_ts
         try:
             if kind == "render":
                 df = eng.render(
-                    targets[0], from_ts, until_ts, now_ts=now,
+                    targets[0], f_req, u_req, now_ts=now,
                     max_data_points=mdp, x_files_factor=xff,
                 )
                 want = {"metric", "bucket_ts", "value"}
@@ -433,14 +449,14 @@ def main() -> int:
                 want = {"target", "metric", "bucket_ts", "value"}
             elif kind == "pie":
                 df = eng.render_pie(
-                    targets[0], from_ts, until_ts, now_ts=now,
+                    targets[0], f_req, u_req, now_ts=now,
                     pie_mode=rng.choice(("average", "maximum", "minimum")),
                     x_files_factor=xff,
                 )
                 want = {"metric", "value"}
             else:  # pie_many — mixes an expression with a literal slice
                 df = eng.render_pie_many(
-                    list(targets), from_ts, until_ts, now_ts=now,
+                    list(targets), f_req, u_req, now_ts=now,
                     x_files_factor=xff, include_empty=False,
                 )
                 want = {"metric", "value"}

@@ -234,6 +234,16 @@ SHOWCASE = [
         "collapses it ~50x before the orders join, and customer joins "
         "as BroadcastHashJoin.",
     ),
+    (
+        "graphite_negnode_summarize_units",
+        "Round-14 parity-wave cert: summarize(aliasByNode(groupByNode("
+        "*.*.*, -2, 'sum'), -1), '6hours', 'max') stacks TWO shrinking "
+        "hash aggregates on the archive fetch — groupByNode merges "
+        "series onto the coarser (group, bucket) key, summarize "
+        "re-buckets onto (group, 6h); shuffle volume strictly decreases "
+        "through both, and negative name-node indexing is pure "
+        "expression mapping (no extra exchange).",
+    ),
 ]
 
 FOOTER = """
