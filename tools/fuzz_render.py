@@ -409,6 +409,15 @@ def main() -> int:
         # 0 is graphite's falsy no-consolidation request value (r13)
         mdp = rng.choice((0, 5, 17, 64)) if rng.random() < 0.25 else None
         xff = rng.choice((0.0, 0.25, 0.9)) if rng.random() < 0.25 else None
+        # Known-cost gate (r14 deep run, seed 770123 case 474): the
+        # holtWinters family's fold carries the full seasonal history
+        # (documented O(n²) append-only arrays — seriesfns), and
+        # events()' graphite-parity PER-SECOND grid makes n the window's
+        # second count (86,400/day) — correct but ~40 min for one case.
+        # At real archive steps (≥60 s) the fold is cheap; skip only
+        # this composition so the budget fuzzes everything else.
+        if "events(" in target and "holtWinters" in target:
+            continue
         recent.append(target)
         fw, uw = (rng.choice(WINDOWS) if rng.random() < 0.15
                   else (None, None))
@@ -462,7 +471,17 @@ def main() -> int:
                 want = {"metric", "value"}
             cols = set(df.columns)
             assert cols == want, cols
+            _t_case = time.time()
             df.collect()
+            # Pathological-but-correct compositions exist (r14 deep run:
+            # a '-1w' request window puts events()' per-second grid at
+            # 600k slots, and a '2h' moving window over THAT is O(n·w)
+            # — graphite computes the same shape even slower in python).
+            # Surface them so a stalled-looking run is diagnosable and
+            # future grids can pin the worst offenders.
+            if time.time() - _t_case > 60:
+                print(f"SLOW [{i}] {time.time() - _t_case:.0f}s: "
+                      f"{target}")
         except KeyboardInterrupt:
             raise
         except BaseException as e:  # noqa: BLE001 — report and continue
