@@ -1385,3 +1385,83 @@ def test_as_percent_nodes_matches_graphite_reference(spark):
         got_t[(m, t)] is None
         for (m, t) in got_t if key(m) == "k2"
     )
+
+
+def test_name_node_slices_match_python_indexing(spark):
+    """r14 property pin: every name-node surface implements graphite's
+    PYTHON indexing/slicing exactly — for random dotted names and every
+    in-range node (positive and negative):
+
+    - ``_node(n)`` == ``parts[n]`` (aliasByNode/groupByNode's selector);
+    - applyByNode's prefix == ``'.'.join(parts[:n+1])`` (its slice
+      derivation is mirrored here expression-for-expression);
+    - reduceSeries' group key == ``'.'.join(parts[:n])``;
+    - substr(start, stop) == ``'.'.join(parts[start:stop])``.
+
+    A deterministic exhaustive sweep (not @given — one Spark job per
+    case is the cost driver, so the grid is fixed and complete over
+    depths 1..4 × all in-range nodes)."""
+    from kenshin_backup_spark.operators.seriesfns import (
+        _node,
+        substr_series,
+    )
+
+    names = ["a", "a.b", "a.b.c", "svc.cpu.load.p99"]
+    rows = [(m, 0, 1.0) for m in names]
+    df = spark.createDataFrame(
+        rows, "metric string, bucket_ts long, value double"
+    )
+
+    # _node(n) == parts[n] for every in-range n of every name
+    for m in names:
+        parts = m.split(".")
+        for n in range(-len(parts), len(parts)):
+            got = (
+                df.where(F.col("metric") == m)
+                .select(_node(n).alias("x"))
+                .collect()[0]["x"]
+            )
+            assert got == parts[n], (m, n, got)
+
+    # applyByNode prefix arithmetic (the render layer's _plen), mirrored
+    for m in names:
+        parts = F.split(F.lit(m), r"\.")
+        py = m.split(".")
+        for n in range(-len(py) - 1, len(py)):
+            plen = (
+                F.lit(n + 1)
+                if n + 1 >= 0
+                else F.greatest(F.lit(0), F.size(parts) + F.lit(n + 1))
+            )
+            got = spark.range(1).select(
+                F.array_join(F.slice(parts, 1, plen), ".").alias("p")
+            ).collect()[0]["p"]
+            assert got == ".".join(py[: n + 1]), (m, n, got)
+
+    # reduceSeries group key == parts[:n] (positive literal arm +
+    # negative size-derived arm, as in reduce_series)
+    for m in names:
+        parts = F.split(F.lit(m), r"\.")
+        py = m.split(".")
+        for n in range(-len(py), len(py) + 1):
+            plen = (
+                F.lit(n)
+                if n >= 0
+                else F.greatest(F.lit(0), F.size(parts) + F.lit(n))
+            )
+            got = spark.range(1).select(
+                F.array_join(F.slice(parts, 1, plen), ".").alias("p")
+            ).collect()[0]["p"]
+            assert got == ".".join(py[:n]), (m, n, got)
+
+    # substr == python slice for every (start, stop) pair incl. stop=0
+    m = "svc.cpu.load.p99"
+    py = m.split(".")
+    sub = df.where(F.col("metric") == m)
+    for start in range(-4, 4):
+        for stop in range(-4, 5):
+            got = substr_series(sub, start, stop).select(
+                "metric"
+            ).collect()[0]["metric"]
+            want = ".".join(py[start:] if stop == 0 else py[start:stop])
+            assert got == want, (start, stop, got, want)
