@@ -3331,6 +3331,12 @@ def threshold_series(
 
 # --- round-8 wave 4c: Holt-Winters forecasting ------------------------------
 
+#: Loud per-series point bound for the holtWinters fold (VERDICT r14 #2).
+#: 20k points ≈ 2 minutes of single-task O(n²) work at the measured rate
+#: (86,400 points ≈ 40 min) — the largest window the engine will fold
+#: rather than refuse. Every real archive step keeps windows far below it.
+HW_MAX_POINTS = 20_000
+
 
 def holt_winters_analysis(
     df: DataFrame, season_seconds: int = 86400
@@ -3358,7 +3364,21 @@ def holt_winters_analysis(
     four append-only arrays are the documented cost — the season-lag
     lookback makes the EMA chunking trick inapplicable). The per-series
     step is inferred from the sorted grid (min adjacent gap), exactly
-    like graphite's ``series.step``."""
+    like graphite's ``series.step``.
+
+    DOCUMENTED DEVIATION (loud bound, r15 — VERDICT r14 #2): a series
+    with more than :data:`HW_MAX_POINTS` window points raises instead of
+    folding. graphite computes any length (slowly, in python); here the
+    O(n²) array copies make one SINGLE TASK own the whole fold — at a
+    per-second grid (events(), n ≈ 86,400/day) one depth-6 fuzz case ran
+    ~40 minutes with no feedback. At every real archive step (≥ 60 s)
+    the window stays far below the bound (30 d @ 60 s = 43,200 is above
+    it, but retention ladders route a 30-day fetch to a coarser archive
+    — SURVEY §2 S5). The guard is evaluated on ``size(__pts)`` BEFORE
+    the fold, so degenerate inputs fail in milliseconds with an
+    actionable message (coarsen first: summarize/consolidate to ≥ 60 s).
+    Pinned: tests/test_render.py::test_holt_winters_point_bound_is_loud;
+    ledger row in COVERAGE.md."""
     alpha = gamma = 0.1
     beta = 0.0035
     arr = F.array_sort(
@@ -3366,6 +3386,26 @@ def holt_winters_analysis(
                                 F.col("value").alias("v")))
     )
     per = df.groupBy("metric").agg(arr.alias("__pts"))
+    # Loud point bound (see docstring). raise_error is NullType; the cast
+    # keeps when/otherwise branch types equal. Checked per series, pre-fold.
+    _pts_t = "array<struct<t:bigint,v:double>>"
+    per = per.withColumn(
+        "__pts",
+        F.when(F.size("__pts") <= F.lit(HW_MAX_POINTS), F.col("__pts"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("holtWinters: series '"), F.col("metric"),
+                    F.lit("' has "), F.size("__pts").cast("string"),
+                    F.lit(
+                        f" points > {HW_MAX_POINTS} — the seasonal fold "
+                        "is O(n^2) per series; consolidate to a coarser "
+                        "step (>= 60 s) before holtWinters*"
+                    ),
+                )
+            ).cast(_pts_t)
+        ),
+    )
     n = F.size("__pts")
     diffs = F.when(
         n >= 2,
