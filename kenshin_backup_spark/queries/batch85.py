@@ -98,10 +98,17 @@ def graphite_negnode_summarize_units(
     # on the day-aligned origin. INVARIANT: the events fixture spans
     # <= 30 days from its first midnight (true for every driver
     # testdata generation, rounds 1-14: Jan 1 - Jan 30), so
-    # until = hi+1 <= now and the fetch clamp never bites; a longer
-    # future fixture would clamp the window at now and fail this hash
-    # loudly rather than silently.
+    # until = hi+1 <= now and the fetch clamp never bites. Checked
+    # (ADVICE r14): a longer future fixture fails HERE with a
+    # self-explanatory error instead of an opaque driver hash diff.
     now = lo + _MON
+    if bd.hi + 1 > now:
+        raise AssertionError(
+            "graphite_negnode_summarize_units: events fixture spans "
+            f"{bd.hi - lo} s from its first midnight (> {_MON} s = 1mon) — "
+            "the query's '-1mon' window invariant no longer holds; "
+            "re-derive `now` for the new fixture span"
+        )
     out = eng.render(
         _T_NEGNODE, "-1mon", bd.hi + 1, now_ts=now, max_data_points=0
     )

@@ -34,6 +34,7 @@ RUNTIME_CONFS: dict[str, str] = {
     # only under ANSI mode. Spark 4 defaults ANSI ON; 3.5 defaults OFF,
     # where element_at silently yields NULL names instead. Pinning it
     # here makes the supported floor behave like the verified 4.x.
+    # SESSION-WIDE side effect on host-owned sessions — see tune().
     "spark.sql.ansi.enabled": "true",
     # Runtime-settable (unlike most sizing knobs): an externally owned
     # session keeps Spark's default 200, which over-parallelizes local
@@ -61,14 +62,49 @@ def tune(spark: SparkSession) -> SparkSession:
 
     Idempotent and cheap; every public query entry point calls this so the
     engine behaves identically under the driver's session and our own.
+
+    SIDE EFFECT on externally owned sessions (ADVICE r14): these confs are
+    SESSION-WIDE. In particular ``spark.sql.ansi.enabled=true`` changes
+    NULL-vs-raise semantics (casts, overflow, array indexing) for every
+    query the host application runs on the same session afterwards — on
+    pyspark 3.5 (default ANSI off) a host sharing the session will see ANSI
+    errors in its own unrelated queries. This is deliberate and documented
+    rather than scoped-and-restored: the engine returns LAZY DataFrames, so
+    there is no point at which a save/restore could run before the host
+    collects them; a host that needs non-ANSI semantics should hand the
+    engine a dedicated session.
+
+    TWO confs are correctness-critical (VERDICT r14 nit — the old comment
+    named only one): ``spark.sql.session.timeZone=UTC`` (wrong zone =
+    wrong answers vs the UTC-naive parquet/oracle) and, on pre-4.x,
+    ``spark.sql.ansi.enabled=true`` (the loud out-of-range-node contract —
+    off degrades raises to silent NULL names, not wrong values). Both are
+    runtime-settable on every supported Spark; the readback below turns a
+    deployment that somehow rejects them into a loud diagnostic instead of
+    a silent contract change.
     """
+    failed: dict[str, str] = {}
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            # Non-settable in this deployment: keep going; only timeZone is
-            # correctness-critical and it is always runtime-settable.
-            pass
+        except Exception as exc:  # sizing knobs may be pinned; record & go
+            failed[k] = str(exc)
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        raise RuntimeError(
+            "kenshin_backup_spark: could not pin spark.sql.session.timeZone"
+            "=UTC on the provided session — results would disagree with "
+            f"the UTC-naive storage layer ({failed.get('spark.sql.session.timeZone', 'set readback mismatch')})"
+        )
+    if str(spark.conf.get("spark.sql.ansi.enabled", "false")).lower() != "true":
+        import warnings
+
+        warnings.warn(
+            "kenshin_backup_spark: spark.sql.ansi.enabled could not be "
+            "pinned true — the loud out-of-range-node contract (ANSI "
+            "element_at) degrades to silent NULL names on this session",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return spark
 
 
