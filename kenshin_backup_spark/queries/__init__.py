@@ -232,61 +232,62 @@ _MODULES = (
 #: rotates out keeps exact-cell parity coverage in
 #: tests/test_oracle_parity.py.
 _PRIORITY = (
-    # --- 1. round-14 changed-code certs (batch85; VERDICT r13 #1 and
-    # ADVICE r13 mediums #1+#2) --------------------------------------------
+    # --- 1. round-15 changed-code cert (batch85 gained the fixture-span
+    # assert — ADVICE r14 low #4; session.tune() readback rides every row) --
     "graphite_negnode_summarize_units",
-    "graphite_reduce_apply_negnode",
-    # --- 2. the eight remaining r7 rows (the r13 queue) --------------------
-    "tsdb_downsample_minmax_pairs",
-    "tsdb_forecast_backtest",
-    "tsdb_histogram_shard_merge",
-    "tsdb_namespace_levels",
-    "tsdb_vshape_patterns",
-    "unpivot_lineitem_measures",
-    "window_frame_distinct_users",
-    "window_percent_rank_acctbal",
-    # --- 3. the r8 cohort (39 rows, alphabetical) --------------------------
-    "agg_cube_priority_status",
-    "agg_distinct_counts",
-    "agg_grouping_flags",
-    "agg_rollup_flag_status",
-    "dedup_ngram_jaccard",
-    "emb_ann_ivf_seeded",
-    "emb_knn_label_vote",
-    "emb_mmr_rerank",
-    "graph_pagerank_quantized",
-    "graphite_exclude_average",
-    "graphite_groupbynode_sum",
-    "join_anti_customers_no_orders",
-    "join_cross_grid",
-    "join_null_safe_status",
-    "join_outer_customer_orders",
-    "llm_contamination_report",
-    "pivot_status_by_priority",
-    "scalar_bitwise_shift",
-    "scalar_date_family2",
-    "scalar_split_part_family",
-    "scalar_string_family3",
-    "scalar_string_part_names",
-    "text_fingerprints",
-    "text_langid_heuristic",
-    "text_pii_scan",
-    "text_stats_by_lang",
-    "tpch_q10_returned_items",
-    "tpch_q17_small_quantity",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tsdb_derivative",
-    "tsdb_downsample_lttb_exact",
-    "tsdb_fetch_keep_last",
-    "tsdb_holt_linear_forecast",
-    "tsdb_moving_avg",
-    "window_lag_lead_orders",
-    "window_ntile_quartiles",
-    "window_suffix_revenue",
-    # --- 4. window fill: the alphabetically-first r9 row --------------------
-    "agg_grouping_sets",
+    # --- 2. the 38 remaining r9 rows (the r15 queue in COVERAGE.md,
+    # verified == the oldest-evidence cohort from the CORRECTNESS union) ---
+    "agg_median_quantity",
+    "asof_purchase_last_click",
+    "dedup_simhash_md5",
+    "emb_cosine_topk",
+    "events_rolling_wau",
+    "events_transition_matrix",
+    "funnel_signup_click_purchase",
+    "join_semi_discounted_orders",
+    "llm_corpus_curation",
+    "range_join_value_bands",
+    "scalar_array_ops",
+    "scalar_datetime_orders",
+    "scalar_json_event_props",
+    "scalar_math_funcs",
+    "scd2_user_state",
+    "setops_customer_cohorts",
+    "source_bucketed_join",
+    "source_csv_roundtrip",
+    "source_partitioned_pruning",
+    "streaming_session_windows",
+    "text_char_ngram_langid",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_multi_exists",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier",
+    "tpch_q9_profit_by_nation_year",
+    "tsdb_anomaly_mad",
+    "tsdb_glob_fetch",
+    "tsdb_interpolate_linear",
+    "tsdb_ladder_coarse_fetch",
+    "tsdb_ladder_roundtrip",
+    "tsdb_policy_assign",
+    "tsdb_time_weighted_avg",
+    "window_first_last_nth",
+    "window_range_7day_sum",
+    "window_running_revenue",
+    # --- 3. window fill: the 11-row head of the 48-row r10 cohort
+    # (alphabetical; remainder + r11 cohorts queue for r16) -----------
+    "customer_rfm_scores",
+    "dedup_connected_components",
+    "dedup_embedding_cosine_bucketed",
+    "dedup_exact_fingerprint",
+    "dedup_minhash_portable",
+    "dedup_ngram_jaccard_capped",
+    "emb_ann_topk_srp",
+    "events_bot_detection",
+    "events_seasonal_residual_anomalies",
+    "graphite_render_alias_consolidate",
+    "graphite_render_bandmath",
 )
 
 
