@@ -1480,22 +1480,19 @@ def render(
             from pyspark.sql import functions as _F
 
             # graphite: prefix = '.'.join(parts[:nodeNum+1]) — python
-            # slice semantics: positive clamps at the name length,
-            # negative drops components from the end (r13; F.slice
-            # rejects a negative length, so derive it from size).
-            # The branch is on nodeNum+1's SIGN, not nodeNum's: -1 means
+            # slice semantics via the shared sf.python_slice_len helper
+            # (r13 fix; de-mirrored r15 so the property sweep asserts
+            # THIS code path). The stop is nodeNum+1, so -1 means
             # parts[:0] = the EMPTY prefix (constant length 0), not a
             # size-derived full-name slice (ADVICE r13 — the old
             # `node_num >= 0` gate templated the whole name for -1).
             _parts = _F.split(_F.col("metric"), r"\.")
-            _plen = (
-                _F.lit(node_num + 1)
-                if node_num + 1 >= 0
-                else _F.greatest(
-                    _F.lit(0), _F.size(_parts) + _F.lit(node_num + 1)
-                )
+            prefix_col = _F.array_join(
+                _F.slice(
+                    _parts, 1, sf.python_slice_len(_parts, node_num + 1)
+                ),
+                ".",
             )
-            prefix_col = _F.array_join(_F.slice(_parts, 1, _plen), ".")
             prefixes = sorted(
                 r["p"]
                 for r in dfs[0].select(prefix_col.alias("p"))

