@@ -2560,6 +2560,62 @@ def test_loud_parity_numeric_generated_names(spark):
         ).collect()
 
 
+def test_loud_parity_events_generated_names(spark):
+    """r15 builder probe find (the generator-base wave), pinned as
+    GRAPHITE-PARITY LOUD: the re-query rail over an
+    ``events(tag)``-generated name. The series is named
+    "events(deploy)" — dotless, so the node-0 prefix is the whole name
+    and the rail rebuilds ``sumSeries(events(deploy))`` (applyByNode)
+    or re-queries ``events(deploy)`` (aliasQuery re-subs EVERY name,
+    matching or not, like graphite). The re-parse reads the bare word
+    ``deploy`` as a PATH expression, fetches it, and the engine's
+    events() raises 'events takes only tag strings' on the series
+    argument. graphite is loud on the same input: its evaluateTarget
+    resolves ``deploy`` to a (possibly empty) seriesList and events'
+    ``", ".join(tags)`` raises TypeError — render 500 (functions.py
+    transcription recorded in COVERAGE.md). Whitelisted as
+    ``(applyByNode|aliasQuery) × 'events takes only tag strings'``
+    anchored to a function-generated first argument. ``events()`` with
+    NO tags re-parses cleanly (name "events()") and stays QUIET — the
+    same split as threshold's numeric name vs a parenless plain name."""
+    from kenshin_backup_spark.functions.deterministic import glob_to_regex
+
+    plain = spark.createDataFrame(
+        [("mem.used", 0, 5.0), ("mem.used", 60, 7.0)],
+        "metric string, bucket_ts long, value double",
+    )
+
+    def fetch(glob):
+        if glob is None:
+            return plain
+        if not any(ch in glob for ch in "*?{["):
+            return plain.where(F.col("metric") == glob)
+        return plain.where(F.col("metric").rlike(glob_to_regex(glob)))
+
+    def events_fn(tags):
+        return spark.createDataFrame([(30,), (90,)], "when long")
+
+    with pytest.raises(ValueError, match="events takes only tag strings"):
+        render(
+            "applyByNode(events('deploy'), 0, 'sumSeries(%)')",
+            fetch, from_ts=0, until_ts=120, events_fn=events_fn,
+        ).collect()
+    with pytest.raises(ValueError, match="events takes only tag strings"):
+        render(
+            "aliasQuery(events('deploy'), 'x', 'x', 'n %d')",
+            fetch, from_ts=0, until_ts=120, events_fn=events_fn,
+        ).collect()
+    # the tagless name "events()" round-trips through the rail's
+    # re-parse — quiet, full window back
+    assert (
+        render(
+            "applyByNode(events(), 0, 'sumSeries(%)')",
+            fetch, from_ts=0, until_ts=120, events_fn=events_fn,
+        ).count()
+        == 120
+    )
+
+
 def test_holt_winters_point_bound_is_loud(spark):
     """r15 engine guard (VERDICT r14 #2), DOCUMENTED DEVIATION: the
     holtWinters fold refuses series with more than

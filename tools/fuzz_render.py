@@ -167,6 +167,17 @@ EXPECTED_ERRORS = [
     # Pinned: tests/test_render.py::test_loud_parity_numeric_generated_names.
     (r"applyByNode|aliasQuery", r"needs a series argument",
      _GENERATED_FIRST_ARG),
+    # r15 builder probe find (the generator-base wave): the rail over an
+    # events(tag)-generated name. "events(deploy)" is dotless, so the
+    # rebuilt/re-queried target is 'events(deploy)' — the re-parse reads
+    # the bare word as a PATH expression, fetches it, and events()
+    # raises on the series argument. graphite is loud on the same input:
+    # evaluateTarget resolves 'deploy' to a seriesList and events'
+    # ``", ".join(tags)`` raises TypeError (transcription in
+    # COVERAGE.md). events() with NO tags re-parses cleanly and stays
+    # quiet. Pinned: test_render.py::test_loud_parity_events_generated_names.
+    (r"applyByNode|aliasQuery", r"events takes only tag strings",
+     _GENERATED_FIRST_ARG),
     # r15 (VERDICT r14 #2): the engine's DOCUMENTED loud bound on the
     # holtWinters fold — >HW_MAX_POINTS window points per series raises
     # instead of running a single-task O(n²) fold for ~minutes.
@@ -317,6 +328,8 @@ NAME_DEGENERATE = (
     "identity('id.x')",                       # caller-named, dotted
     "sin('s', 2)",                            # caller-named, dotless
     "timeFunction('t')",                      # caller-named, dotless
+    "events('deploy')",                       # paren name, rail-loud
+    "events()",                               # paren name, re-parses OK
 )
 
 
