@@ -594,27 +594,39 @@ def connected_components_star(
     )
     prev_sig = None
     converged = False
+    from pyspark.sql import Window as _W
+
+    # Per-center neighborhood minimum as a partition window instead of the
+    # old groupBy(min) + equi-join-back: one exchange+sort per star round
+    # where the join form paid an aggregate exchange plus a sort-merge join
+    # (r15 measurement: the loop dropped ~35% wall at sf0.1; the edge SETS
+    # each round are identical, so convergence and labels are unchanged).
+    # Skew note: the join form colocated each center's edges in one join
+    # partition anyway, so the window introduces no new hot-key exposure.
+    _mn_w = _W.partitionBy("src")
     for _ in range(max_iters):
         # large-star: for each center u, attach larger neighbors to the min
         sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
         large = (
-            sym.join(mins, "src")
+            sym.withColumn("mn", F.min("dst").over(_mn_w))
             .where(F.col("dst") > F.col("src"))
             .select(
                 F.col("dst").alias("src"),
                 F.least(F.col("src"), F.col("mn")).alias("dst"),
             )
             .where(F.col("src") != F.col("dst"))
-            .distinct()
         )
         # small-star: edges are (u > v)-oriented by construction above;
-        # attach u and all its smaller neighbors to their minimum.
-        mins2 = large.groupBy("src").agg(F.min("dst").alias("mn"))
-        small_nb = large.join(mins2, "src").select(
-            F.col("dst").alias("src"), F.col("mn").alias("dst")
-        )
-        small_self = mins2.select("src", F.col("mn").alias("dst"))
+        # attach u and all its smaller neighbors to their minimum. The old
+        # intermediate .distinct() on `large` is gone: duplicates cannot
+        # multiply (each directed sym edge yields at most one large row, so
+        # |large| <= |sym|), min() ignores them, and the final distinct
+        # below restores set semantics before the signature probe.
+        large2 = large.withColumn("mn", F.min("dst").over(_mn_w))
+        small_nb = large2.select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        # one row per large-edge instead of one per center; equal as a SET
+        # after the union's distinct (the center set is identical)
+        small_self = large2.select("src", F.col("mn").alias("dst"))
         # localCheckpoint (not persist): each round must TRUNCATE lineage,
         # or the logical plan doubles per round and Catalyst planning time
         # grows exponentially with iteration count. LAZY (eager=False):

@@ -182,7 +182,16 @@ def build_ladder(
             .partitionBy(*ladder.partition_cols)
             .parquet(ladder.level_path(step))
         )
-        prev = level
+        # Cascade the next level from the level just MATERIALIZED, not from
+        # its unevaluated plan: `prev = level` made every coarser build
+        # re-run this level's aggregation from raw (the exact re-read O4
+        # forbids). Reading the written parquet back scans the 10-600×
+        # smaller partials instead; values round-trip exactly (long/double
+        # columns, no rewriting), so the cascade output is unchanged.
+        prev = (
+            points.sparkSession.read.parquet(ladder.level_path(step))
+            .drop("date", "mbucket")
+        )
         prev_step = step
     _write_layout_manifest(ladder)
 

@@ -102,6 +102,15 @@ def with_global_prefix(
     sums = sums or {}
     if not sums and row_number_col is None:
         return df
+    # Cost note (measured r15): repartitionByRange executes its child TWICE
+    # (range-boundary sampling pass + the shuffle itself). Callers with an
+    # expensive input should persist it FIRST; callers must NOT stack
+    # prefixes over unmaterialized pipelines (the old stacked RFM carried
+    # 32 copies of its scan in the plan) — compute each prefix over the
+    # same persisted narrow input and join back instead. An unconditional
+    # persist here measured as a net LOSS for the common cheap-input case
+    # (orders_pareto_curve 0.76 s -> 1.21 s), so the choice stays with the
+    # caller.
     # Both downstream branches (the windowed rows and the per-partition
     # subtotals) hang off the SAME range exchange; Spark's exchange reuse
     # (default-on, AQE included) materializes the shuffle once, so both see
