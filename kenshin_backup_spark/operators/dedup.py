@@ -164,13 +164,21 @@ def ngram_jaccard_pairs(
         .transform(persist_tracked)
     )
     if max_df is not None:
-        keep = (
+        # Drop hot shingles with a broadcast ANTI-join on the df > max_df
+        # HEAD, not an inner join on the df <= max_df tail: the kept set is
+        # nearly the whole vocabulary (broadcast grows with corpus size —
+        # scale-hostile), while the stop-phrase head is small and bounded
+        # (|hot| <= |posting| / max_df by pigeonhole). Identical result:
+        # g not-in hot  <=>  df(g) <= max_df.
+        hot = (
             posting.groupBy("g")
             .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_df)
+            .where(F.col("df") > max_df)
             .select("g")
         )
-        posting = posting.join(F.broadcast(keep), "g").transform(persist_tracked)
+        posting = posting.join(F.broadcast(hot), "g", "left_anti").transform(
+            persist_tracked
+        )
         sizes = posting.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     else:
         sizes = shingled.select("id", F.size("sh").alias("sz"))
