@@ -188,6 +188,10 @@ def cosine_near_pairs_bucketed(
         .withColumn("n2", qdot(F.col("v"), F.col("v")))
         # zero-norm guard: see cosine_near_pairs
         .where(F.col("n2") > 0)
+        # persist: base feeds the signature build AND both verify-join
+        # sides (va/vb) — without it the 64-dim quantize+norm pass runs
+        # three times from the parquet scan
+        .transform(persist_tracked)
     )
     # persist: both sides of the band self-join read the signatures; without
     # it the num_planes 64-dim projections run twice
@@ -316,6 +320,11 @@ def srp_topk(
         candidates.select(F.col(id_col).alias("id"), quantize_vec(vec_col).alias("v"))
         .withColumn("n2", qdot(F.col("v"), F.col("v")))
         .where(F.col("n2") > 0)
+        # persist: the corpus side feeds the signature build AND the exact
+        # verify join (cv) — one quantize+norm pass instead of two. The
+        # query side stays unpersisted (bounded rows; a cache build would
+        # cost more than the recompute).
+        .transform(persist_tracked)
     )
 
     kwargs = dict(num_planes=num_planes, bands=bands, dim=dim, seed=seed)

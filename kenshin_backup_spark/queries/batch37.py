@@ -42,7 +42,6 @@ from kenshin_backup_spark.functions.deterministic import (
     QSUM_SQL,
 )
 from kenshin_backup_spark.operators.dedup import md5_hash60, normalize_text
-from kenshin_backup_spark.operators.scalepat import with_global_scalars
 from kenshin_backup_spark.sources import load_table
 
 _NORM = "trim(regexp_replace(lower({x}), '\\s+', ' ', 'g'))"
@@ -75,46 +74,55 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     words = F.filter(F.split(normalize_text("text"), " "), lambda x: x != "")
+    # dl (per-doc length = Σtf) is size(words) computed scan-side BEFORE the
+    # explode and carried through the tf aggregate as max() (constant per
+    # doc) — this deletes the old groupBy(doc_id) length pass AND the
+    # doc-count-sized lengths join below (which Spark planned as a
+    # BROADCAST of the whole doc-length table: scale-hostile).
+    # NAME the words array in its own projection before referencing it
+    # twice: with the regex pipeline inlined, Catalyst places the post-
+    # Generate Project under the explode and re-runs the whole normalize+
+    # split per exploded WORD (measured 3×: 2.2 → 6.5 s); on a named column
+    # the per-row size() is O(1).
     tf = (
-        docs.select(F.col("doc_id"), F.explode(words).alias("term"))
+        docs.select(F.col("doc_id"), words.alias("__w"))
+        .select(F.col("doc_id"), F.size("__w").alias("dl"), F.explode("__w").alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
         .transform(persist_tracked)
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    # global corpus stats as a broadcast 1-row cross join (house pattern)
-    stats = with_global_scalars(
-        dl,
-        n_docs=F.count(F.lit(1)).cast("long"),
-        total_words=F.sum("dl").cast("long"),
-    )
-    lengths = stats.select(
-        "doc_id",
-        "dl",
-        "n_docs",
-        (F.col("total_words").cast("double") / F.col("n_docs").cast("double")).alias(
-            "avgdl"
-        ),
-    )
 
     qterms = tf.where(F.col("doc_id") < _N_QUERIES).select(
         F.col("doc_id").alias("qid"), "term"
     )
     w_rare = W.partitionBy("qid").orderBy(F.asc("df"), F.asc("term"))
+    # broadcast the BOUNDED query-term side, not dfreq — the old build side
+    # was the full vocabulary df table (grows with the corpus).
     qsel = (
-        qterms.join(dfreq, "term")
+        dfreq.join(F.broadcast(qterms), "term")
         .withColumn("rn", F.row_number().over(w_rare))
         .where(F.col("rn") <= _BM25_QUERY_TERMS)
         .select("qid", "term", "df")
     )
 
+    # global corpus stats as a broadcast 1-row cross join (house pattern):
+    # n_docs = docs with ≥1 word = distinct doc_ids in tf; total_words =
+    # Σ dl over docs = Σ tf over tf rows — one aggregate over the persisted
+    # tf replaces the old dl-then-stats double pass.
+    stats = tf.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("tf").cast("long").alias("total_words"),
+    )
     cand = (
         F.broadcast(qsel)
         .join(tf, "term")
         .where(F.col("doc_id") != F.col("qid"))
-        .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "avgdl",
+            F.col("total_words").cast("double") / F.col("n_docs").cast("double"),
+        )
     )
     idf = (
         (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)

@@ -135,10 +135,17 @@ def winnowing_pairs(
     # expensive part — unpersisted it computes 3× (measured −23% warm,
     # −45% cold at sf0.1 from persisting fps + posting; see SCALE.md).
     fps = winnowing_fingerprints(docs).transform(persist_tracked)
-    keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
-        F.col("df") <= df_cap
+    # Broadcast ANTI-join on the df > cap HEAD (bounded by |fps|/df_cap by
+    # pigeonhole), not an inner join on the keep tail (~the whole
+    # fingerprint vocabulary — a corpus-sized broadcast/shuffle at scale).
+    # Identical predicate: fp ∉ hot ⟺ df(fp) ≤ df_cap. Same lever as
+    # ngram_jaccard_pairs.
+    hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") > df_cap
     )
-    posting = fps.join(keep.select("fp"), "fp").transform(persist_tracked)
+    posting = fps.join(
+        F.broadcast(hot.select("fp")), "fp", "left_anti"
+    ).transform(persist_tracked)
     a = posting.alias("a")
     b = posting.alias("b")
     return (
