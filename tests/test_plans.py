@@ -348,3 +348,38 @@ def test_winnowing_fingerprints_no_shuffle_before_rows(spark):
     plan = explain_str(winnowing_fingerprints(docs), "formatted")
     assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_df_caps_are_broadcast_anti_joins(spark):
+    """Round-15 regression lock: the df-cap in BOTH posting-list dedup
+    paths must be a broadcast ANTI join on the bounded hot head
+    (|posting|/max_df keys by pigeonhole), never an inner join on the
+    keep tail (~the whole vocabulary — a corpus-sized broadcast)."""
+    from kenshin_backup_spark.plans import explain_str
+    from kenshin_backup_spark.queries.batch53 import dedup_winnowing_pairs
+    from kenshin_backup_spark.queries.llm import dedup_ngram_jaccard_capped
+
+    for fn in (dedup_ngram_jaccard_capped, dedup_winnowing_pairs):
+        plan = explain_str(fn(spark, SF_SMOKE), "formatted")
+        assert "LeftAnti" in plan, plan
+        assert "BroadcastHashJoin LeftAnti" in plan, plan
+
+
+def test_bm25_doc_length_is_scan_side(spark):
+    """Round-15 regression lock for retrieval_bm25_topk: per-doc length
+    rides the tf aggregate (scan-side size() on a NAMED array column), so
+    (a) the only nested-loop join is the 1-row corpus-stats broadcast —
+    the old doc-count-sized lengths broadcast join must not come back;
+    (b) the text-normalize regex pipeline evaluates per DOCUMENT, never
+    per exploded word (the named-array projection guard — inlining the
+    expression into size() re-ran the regex per word, measured 3x)."""
+    from kenshin_backup_spark.plans import explain_str
+    from kenshin_backup_spark.queries.batch37 import retrieval_bm25_topk
+
+    plan = explain_str(retrieval_bm25_topk(spark, SF_SMOKE), "formatted")
+    # tree lines only — formatted explain repeats each node in the details
+    assert plan.count("BroadcastNestedLoopJoin Cross") == 1, plan
+    # the explode must consume the NAMED array column, not an inlined
+    # normalize+split pipeline (which Catalyst would also duplicate into
+    # the sibling size() projection under the Generate)
+    assert "explode(__w" in plan, plan
