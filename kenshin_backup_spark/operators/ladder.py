@@ -299,6 +299,22 @@ def compact_level(
         )
 
     before = _count_files(path)
+    # Short-circuit when there is nothing to merge: every partition dir
+    # already holds at most one file (the state build_ladder leaves a
+    # freshly built level in — its write lands one file per date at local
+    # SFs, and the metric sort-order compaction would re-establish is
+    # already the build's sort order). Rewriting anyway would read and
+    # rewrite the whole level for zero layout change; real compactors
+    # (e.g. Iceberg's rewrite_data_files) skip-up-to-date the same way.
+    # Fragmented levels (streaming upsert debris — >1 file in any leaf)
+    # take the rewrite below unchanged.
+    per_leaf: dict[str, int] = {}
+    for root, _, files in os.walk(path):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if n:
+            per_leaf[root] = n
+    if per_leaf and max(per_leaf.values()) <= 1:
+        return before, before
     df = spark.read.parquet(path)
     sort_key = ladder.key_cols[0]
     tmp = f"{path}__compacting_{uuid.uuid4().hex[:8]}"
