@@ -254,14 +254,36 @@ class Engine:
         ``until_ts`` also accept graphite at-time strings (``'-24h'``,
         ``'now'``, ``'midnight'`` …) resolved against ``now_ts`` — the
         full request-parameter surface a graphite consumer sends."""
+        from kenshin_backup_spark.cache import persist_tracked
         from kenshin_backup_spark.render import render as _render
 
         from_ts, until_ts = self._resolve_window(from_ts, until_ts, now_ts)
 
+        # Memoize + persist each distinct (glob, window) leaf fetch for the
+        # duration of this render call. Two reasons, both measured (r15):
+        # (a) render functions that rank/join a series frame back onto
+        # itself duplicate the leaf SUBTREE in the final plan — a deep
+        # target re-ran the archive scan+grid >100× per action; the persist
+        # point makes Spark's cache manager substitute one InMemoryRelation
+        # for every duplicate at execution. (b) each fetch_from_ladder plan
+        # build costs driver-side file listing + py4j round-trips; the memo
+        # pays it once per distinct glob instead of once per leaf
+        # reference. Scope is ONE render request (series-count × window
+        # buckets rows — dashboard-bounded); the registry wrapper clears
+        # tracked persists between queries, so a long session never
+        # accumulates render caches.
+        memo: dict[tuple, DataFrame] = {}
+
+        def _fetch_cached(glob: str | None, f: int, u: int, now: int | None) -> DataFrame:
+            key = (glob, f, u)
+            if key not in memo:
+                memo[key] = self.fetch(glob, f, u, now_ts=now).select(
+                    "metric", "bucket_ts", "value"
+                ).transform(persist_tracked)
+            return memo[key]
+
         def fetch_fn(glob: str | None) -> DataFrame:
-            return self.fetch(glob, from_ts, until_ts, now_ts=now_ts).select(
-                "metric", "bucket_ts", "value"
-            )
+            return _fetch_cached(glob, from_ts, until_ts, now_ts)
 
         # the request's effective "now": adjusted-window re-fetches must
         # clamp and route archives against the REAL request now, not the
@@ -274,10 +296,9 @@ class Engine:
             # adjusted-window re-fetch for hitcount(alignToInterval),
             # linearRegression source windows, smartSummarize alignTo,
             # timeShift/timeStack and the holtWinters bootstrap — same
-            # rail as fetch_fn, different bounds (r10)
-            return self.fetch(glob, f, u, now_ts=eff_now).select(
-                "metric", "bucket_ts", "value"
-            )
+            # rail as fetch_fn, different bounds (r10); shares the memo
+            # keyed on the adjusted window
+            return _fetch_cached(glob, f, u, eff_now)
 
         # the request window also feeds the generator functions
         # (time/sin/randomWalk/constantLine/threshold) and events()
