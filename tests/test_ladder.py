@@ -131,6 +131,39 @@ def test_compact_level_preserves_fetch(spark, tmp_path):
     assert got == want
 
 
+def test_compact_level_skips_already_compact(spark, tmp_path):
+    """Round-15 regression lock: a level whose every partition dir already
+    holds <= 1 file (the state build_ladder leaves it in) must NOT be
+    rewritten — compact_level returns (n, n) and the files on disk are
+    the same inodes (no read/rewrite/swap job)."""
+    import os
+
+    from kenshin_backup_spark.operators.ladder import compact_level
+
+    ladder = Ladder(
+        root=str(tmp_path / "ladder_skip"),
+        archives=(Archive(60, 5000),),
+    )
+    build_ladder(_points(spark), ladder)
+    path = ladder.level_path(60)
+
+    def _parquet_files(p):
+        return sorted(
+            os.path.join(r, f)
+            for r, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    files = _parquet_files(path)
+    assert files, "fixture must materialize at least one file"
+    inodes = [os.stat(f).st_ino for f in files]
+    before, after = compact_level(spark, ladder, 60)
+    assert before == after == len(files)
+    assert _parquet_files(path) == files
+    assert [os.stat(f).st_ino for f in files] == inodes
+
+
 def test_fetch_prunes_date_partitions(spark, tmp_path):
     """The routed fetch must carry a date predicate so the partitioned
     level scan prunes partitions (100 TB gate — SCALE.md)."""
