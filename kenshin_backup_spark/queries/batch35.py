@@ -45,23 +45,31 @@ def tsdb_ladder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The ladder is (re)built from scratch under a fingerprint-keyed staging
     dir on every call (idempotent; stale testdata generations are reaped by
-    ``staged_path``). ``now`` is the max event time — a 1-row scalar
-    aggregate the driver needs to CONFIGURE the maintenance actions
-    (retention horizons are engine-API inputs, exactly like the reference's
-    wall clock; this is not a data-path collect).
+    ``staged_path``). ``now`` is the max event time floored to the fine
+    step, recovered from the just-built fine level (``max(bucket_ts)``, a
+    series×buckets-row scan) instead of a SECOND full pass over raw events
+    (r15, guide §1.1 "how many full passes are unavoidable" — this query
+    now reads the raw table exactly once, in the level-0 build). Flooring
+    is output-invariant: the fetch span (2 d) and both retention horizons
+    are multiples of the fine step, so every bound the fetch derives —
+    ``floor(now - span, step)``, ``floor(now, step)``, archive selection,
+    clamping — is identical under ``now`` and ``floor(now, step)`` (the
+    oracle's grid is byte-identical), and the expire cutoff can only move
+    ≤ step-1 s EARLIER, i.e. retain a boundary partition the exact ``now``
+    might drop — never drop one the fetch window (deep inside retention)
+    could see.
     """
     ev = load_table(spark, sf_dir, "events")
     pts = ev.select(
         F.col("event_type").alias("metric"), "ts", "value"
-    )
-    now_ts = int(
-        pts.agg(F.max(F.unix_timestamp("ts").cast("long")).alias("m")).first()["m"]
     )
 
     root = staged_path(sf_dir, "ladder_rt", tables=("events",))
     shutil.rmtree(root, ignore_errors=True)
     ladder = Ladder(root=root, archives=(_FINE, _COARSE), key_cols=("metric",))
     build_ladder(pts, ladder)
+    fine = spark.read.parquet(ladder.level_path(_FINE.step_seconds))
+    now_ts = int(fine.agg(F.max("bucket_ts").alias("m")).first()["m"])
     expire_retention(ladder, now_ts=now_ts)
     compact_level(spark, ladder, _FINE.step_seconds)
 
@@ -135,16 +143,23 @@ def tsdb_ladder_coarse_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     finest-adequate-archive routing driven end-to-end (the single-level
     ``tsdb_fetch_gapfill`` never exercises the fallback). The ladder is
     built fresh under its own staging tag so this query is independent of
-    ``tsdb_ladder_roundtrip``'s expire/compact mutations."""
+    ``tsdb_ladder_roundtrip``'s expire/compact mutations.
+
+    ``now`` is recovered from the built fine level (max bucket_ts =
+    ``floor(max event ts, 600)``) instead of a second full raw scan —
+    output-invariant exactly as in :func:`tsdb_ladder_roundtrip`: the
+    12 d/20 d offsets are multiples of the coarse step and
+    ``floor(floor(x, 600), 3600) == floor(x, 3600)`` (600 | 3600), so
+    the coarse fetch bounds, archive selection, and clamping are all
+    unchanged."""
     ev = load_table(spark, sf_dir, "events")
     pts = ev.select(F.col("event_type").alias("metric"), "ts", "value")
-    now_ts = int(
-        pts.agg(F.max(F.unix_timestamp("ts").cast("long")).alias("m")).first()["m"]
-    )
     root = staged_path(sf_dir, "ladder_coarse", tables=("events",))
     shutil.rmtree(root, ignore_errors=True)
     ladder = Ladder(root=root, archives=(_FINE, _COARSE), key_cols=("metric",))
     build_ladder(pts, ladder)
+    fine = spark.read.parquet(ladder.level_path(_FINE.step_seconds))
+    now_ts = int(fine.agg(F.max("bucket_ts").alias("m")).first()["m"])
 
     fetched = fetch_from_ladder(
         spark,

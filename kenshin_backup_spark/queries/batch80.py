@@ -56,28 +56,44 @@ def _store_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cap.<etype>.total`` (3× floored value — the per-key divisor), plus
     ``cap.refund.total`` (click-derived, a key NO input series has)."""
     ev = load_table(spark, sf_dir, "events")
+    # One scan + per-row explode instead of a 4-branch UNION (which scanned
+    # events 4× — r15, guide §2.4/§6): each event row fans out to its three
+    # derived series (plus cap.refund.total for clicks) array-side. Row set
+    # is identical to the old union (same metrics, same values, order
+    # irrelevant to the rollup that consumes this), so every store-backed
+    # oracle is unchanged; the UNION ALL oracle mirror stays valid.
     fa = F.floor("value").cast("double")
     fb = F.floor(F.col("value") / F.lit(2.0)).cast("double")
     ft = (F.floor("value") * F.lit(3)).cast("double")
-    a = ev.select(
-        F.concat(F.lit("svc."), "event_type", F.lit(".a")).alias("metric"),
-        "ts", fa.alias("value"),
-    )
-    b = ev.select(
-        F.concat(F.lit("svc."), "event_type", F.lit(".b")).alias("metric"),
-        "ts", fb.alias("value"),
-    )
-    t = ev.select(
-        F.concat(F.lit("cap."), "event_type", F.lit(".total")).alias(
-            "metric"
+    base = F.array(
+        F.struct(
+            F.concat(F.lit("svc."), "event_type", F.lit(".a")).alias("metric"),
+            fa.alias("value"),
         ),
-        "ts", ft.alias("value"),
+        F.struct(
+            F.concat(F.lit("svc."), "event_type", F.lit(".b")).alias("metric"),
+            fb.alias("value"),
+        ),
+        F.struct(
+            F.concat(F.lit("cap."), "event_type", F.lit(".total")).alias("metric"),
+            ft.alias("value"),
+        ),
     )
-    extra = ev.where(F.col("event_type") == "click").select(
-        F.lit("cap.refund.total").alias("metric"), "ts",
-        (F.floor("value") + F.lit(7)).cast("double").alias("value"),
+    fam = F.when(
+        F.col("event_type") == "click",
+        F.concat(
+            base,
+            F.array(
+                F.struct(
+                    F.lit("cap.refund.total").alias("metric"),
+                    (F.floor("value") + F.lit(7)).cast("double").alias("value"),
+                )
+            ),
+        ),
+    ).otherwise(base)
+    return ev.select(F.explode(fam).alias("__fx"), "ts").select(
+        F.col("__fx.metric").alias("metric"), "ts", F.col("__fx.value").alias("value")
     )
-    return a.unionByName(b).unionByName(t).unionByName(extra)
 
 
 def graphite_render_aspercent_nodes(
