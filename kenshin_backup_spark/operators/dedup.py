@@ -569,6 +569,7 @@ def connected_components_star(
     nodes: DataFrame | None = None,
     node_col: str = "id",
     max_iters: int = 25,
+    small_graph_max_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond") →
@@ -588,6 +589,23 @@ def connected_components_star(
     Convergence = the canonical edge set reproduces itself, detected with a
     free (count, hash-sum) signature — no driver collect of labels. Raises
     if ``max_iters`` rounds don't converge (never silent wrong labels).
+
+    Small-graph fast path (r15, guide §1.2 "the distributed algorithm"):
+    when the deduped edge set holds at most ``small_graph_max_edges`` rows
+    — a BOUNDED collect, ≤ ~1.6 MB of long pairs at the default — the
+    component labels are computed with a driver-side union-find instead of
+    running 2–4 star rounds of cluster-wide window stages over a frame
+    that fits in one cache line's worth of tasks. Same decision shape as
+    Spark's own broadcast-join threshold: a size-gated plan choice, exact
+    same labels (min-id semantics; equivalence property-tested against
+    the star rounds). The near-dup graph of a real corpus is SPARSE
+    (df-capped posting joins bound edges ≈ Σdf²), but at 100 TB it far
+    exceeds the threshold and takes the star path unchanged — this gate
+    removes the fixed per-round scheduling floor precisely when the data
+    is too small for the cluster algorithm to amortize it, and the count
+    that decides is a metadata read of the already-materialized
+    checkpoint. ``small_graph_max_edges=0`` disables the fast path (used
+    by tests to pin the star rounds themselves).
     """
     e0 = edges.select(
         F.col(src_col).cast("long").alias("src"),
@@ -600,6 +618,42 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if small_graph_max_edges > 0 and e.count() <= small_graph_max_edges:
+        spark = edges.sparkSession
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in e.collect():
+            a, b = row["src"], row["dst"]
+            for v in (a, b):
+                if v not in parent:
+                    parent[v] = v
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by id: smaller root wins → component = min node id
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        labels = spark.createDataFrame(
+            [(v, find(v)) for v in parent], "id long, component long"
+        )
+        if nodes is not None:
+            iso = (
+                nodes.select(F.col(node_col).cast("long").alias("id"))
+                .distinct()
+                .join(labels.select("id"), "id", "left_anti")
+                .select("id", F.col("id").alias("component"))
+            )
+            labels = labels.unionByName(iso)
+        return labels
     prev_sig = None
     converged = False
     from pyspark.sql import Window as _W

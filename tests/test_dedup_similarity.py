@@ -135,9 +135,16 @@ def test_star_cc_agrees_with_propagation_random_graphs(spark):
         )
         a = {r["id"]: r["component"]
              for r in connected_components(e, nodes=nodes).collect()}
+        # small_graph_max_edges=0 pins the STAR ROUNDS themselves (the
+        # r15 small-graph fast path would otherwise absorb these sizes)
         b = {r["id"]: r["component"]
-             for r in connected_components_star(e, nodes=nodes).collect()}
+             for r in connected_components_star(
+                 e, nodes=nodes, small_graph_max_edges=0).collect()}
         assert a == b, f"trial {trial}: star CC disagrees with propagation"
+        # and the fast path (default threshold) must agree with both
+        c = {r["id"]: r["component"]
+             for r in connected_components_star(e, nodes=nodes).collect()}
+        assert a == c, f"trial {trial}: union-find fast path disagrees"
 
 
 def test_star_cc_long_chain_converges_fast(spark):
@@ -148,7 +155,7 @@ def test_star_cc_long_chain_converges_fast(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(60)], "id_a long, id_b long"
     )
-    out = connected_components_star(edges, max_iters=10)
+    out = connected_components_star(edges, max_iters=10, small_graph_max_edges=0)
     got = {r["id"]: r["component"] for r in out.collect()}
     assert got == {i: 0 for i in range(61)}
 
