@@ -101,24 +101,81 @@ class Engine:
         metric_col: str = "metric",
         ts_col: str = "ts",
         value_col: str = "value",
-    ) -> None:
+        observe_bounds: bool = False,
+    ) -> tuple[int, int] | None:
         """Materialize the retention ladder(s) for a long points frame.
 
         Points route to their metric's policy; each policy's ladder is
         built fine→coarse with cascaded aggregates (never re-reading
         raw). Re-writing a policy's ladder replaces it (the batch
-        equivalent of the streaming update sink)."""
+        equivalent of the streaming update sink).
+
+        ``observe_bounds=True`` additionally returns the EXACT
+        ``(min, max)`` epoch seconds of the written points' timestamps,
+        captured with ``DataFrame.observe`` on the ladder-build pass
+        itself — the store-backed render queries need the raw bounds to
+        frame their request window, and a separate ``agg(min, max)``
+        would be a second full pass over the raw input for two scalars
+        the build already reads (guide §1.1). Returns ``None`` when
+        nothing was written (empty input)."""
+        from pyspark.sql import Observation
+
         pts = points.select(
             F.col(metric_col).alias("metric"),
             F.col(ts_col).alias("ts"),
             F.col(value_col).alias("value"),
         )
-        tagged = assign_policy(pts, self.policies)
-        for p in self.policies:
-            sub = tagged.where(F.col("policy") == p.name).drop("policy")
+        lo: int | None = None
+        hi: int | None = None
+
+        def _build(sub: DataFrame, p: Policy) -> None:
+            nonlocal lo, hi
+            ob = None
+            if observe_bounds:
+                # The metrics come from the FIRST action on this plan —
+                # build_ladder's fine-level write, a full pass. The
+                # emptiness probes below run on the un-observed lineage,
+                # so their LIMIT-1 scans can never satisfy the
+                # observation with partial data.
+                ob = Observation()
+                es = F.unix_timestamp(F.col("ts")).cast("long")
+                sub = sub.observe(
+                    ob, F.min(es).alias("lo"), F.max(es).alias("hi")
+                )
+            build_ladder(sub, self._ladder(p))
+            self._written.add(p.name)
+            if ob is not None:
+                got = ob.get
+                if got["lo"] is not None:
+                    lo = got["lo"] if lo is None else min(lo, got["lo"])
+                    hi = got["hi"] if hi is None else max(hi, got["hi"])
+
+        if len(self.policies) == 1:
+            # Single-policy engine (every store-backed render query):
+            # first-match-or-default routing degenerates to one predicate,
+            # so skip the when-chain tag column + per-policy filter. Row
+            # membership is EXACTLY the old chain's: a policy named
+            # "default" absorbs the fallback (all rows); otherwise
+            # membership is the null-rejecting rlike — spelled
+            # metric IS NOT NULL for the match-everything '.*' pattern.
+            p = self.policies[0]
+            if p.name == DEFAULT_POLICY.name:
+                sub = pts
+            elif p.pattern == ".*":
+                sub = pts.where(F.col("metric").isNotNull())
+            else:
+                sub = pts.where(F.col("metric").rlike(p.pattern))
             if sub.take(1):
-                build_ladder(sub, self._ladder(p))
-                self._written.add(p.name)
+                _build(sub, p)
+        else:
+            tagged = assign_policy(pts, self.policies)
+            for p in self.policies:
+                sub = tagged.where(F.col("policy") == p.name).drop("policy")
+                if sub.take(1):
+                    _build(sub, p)
+        if observe_bounds:
+            return (int(lo), int(hi)) if lo is not None else None
+        return None
 
     def write_events(
         self,
@@ -275,7 +332,13 @@ class Engine:
         memo: dict[tuple, DataFrame] = {}
 
         def _fetch_cached(glob: str | None, f: int, u: int, now: int | None) -> DataFrame:
-            key = (glob, f, u)
+            # ADVICE r15: the key includes the fetch's effective now.
+            # Today every fetch in one render resolves to the same
+            # eff_now (fetch() normalizes now_ts=None to until_ts ==
+            # eff_now), so this entry is constant within a call — but a
+            # future refetch rail passing a per-shift now must never
+            # silently reuse a frame fetched under a different clock.
+            key = (glob, f, u, now if now is not None else u)
             if key not in memo:
                 memo[key] = self.fetch(glob, f, u, now_ts=now).select(
                     "metric", "bucket_ts", "value"

@@ -169,7 +169,11 @@ def ngram_jaccard_pairs(
         # nearly the whole vocabulary (broadcast grows with corpus size —
         # scale-hostile), while the stop-phrase head is small and bounded
         # (|hot| <= |posting| / max_df by pigeonhole). Identical result:
-        # g not-in hot  <=>  df(g) <= max_df.
+        # g not-in hot  <=>  df(g) <= max_df. The inner<->anti equivalence
+        # additionally needs non-null keys (an inner join drops null g, a
+        # left_anti keeps it): g = xxhash64(exploded shingle) is provably
+        # non-null — explode skips nulls and xxhash64 of a string is
+        # never null (ADVICE r15).
         hot = (
             posting.groupBy("g")
             .agg(F.count(F.lit(1)).alias("df"))

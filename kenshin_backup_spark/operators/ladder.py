@@ -308,6 +308,16 @@ def compact_level(
     # (e.g. Iceberg's rewrite_data_files) skip-up-to-date the same way.
     # Fragmented levels (streaming upsert debris — >1 file in any leaf)
     # take the rewrite below unchanged.
+    # ASSUMPTIONS (ADVICE r15): (a) a single-file leaf is build-ordered —
+    # true for every writer in this package (build_ladder and the
+    # delete/compact rewrites all sortWithinPartitions on the series key;
+    # the streaming upsert sink only ever ADDS files, making the leaf
+    # multi-file and ineligible for the skip). A future single-file
+    # replace writer must keep that sort order or drop a marker to force
+    # the rewrite. (b) The count below is a driver-side local-FS walk —
+    # O(files) and local-only, fine for this project's store; a 100 TB
+    # deployment gets file counts from the table format's manifest
+    # (Iceberg/Delta) instead of listing.
     per_leaf: dict[str, int] = {}
     for root, _, files in os.walk(path):
         n = sum(1 for f in files if f.endswith(".parquet"))

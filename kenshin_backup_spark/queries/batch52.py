@@ -38,11 +38,11 @@ def graphite_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged_path(sf_dir, "render_store", tables=("events",)),
         policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
     )
-    eng.write(pts)
-    es = F.unix_timestamp("ts").cast("long")
-    bounds = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = bounds.lo - bounds.lo % 86400  # day-aligned slot grid
-    out = eng.render(_TARGET, lo, bounds.hi + 1)
+    # exact raw bounds captured on the store-build pass itself (observe) —
+    # no second full scan of the input for two scalars (r16, guide §1.1)
+    lo_s, hi_s = eng.write(pts, observe_bounds=True)
+    lo = lo_s - lo_s % 86400  # day-aligned slot grid
+    out = eng.render(_TARGET, lo, hi_s + 1)
     return out.select(
         "metric",
         F.col("bucket_ts").cast("long").alias("bucket_ts"),

@@ -139,7 +139,10 @@ def winnowing_pairs(
     # pigeonhole), not an inner join on the keep tail (~the whole
     # fingerprint vocabulary — a corpus-sized broadcast/shuffle at scale).
     # Identical predicate: fp ∉ hot ⟺ df(fp) ≤ df_cap. Same lever as
-    # ngram_jaccard_pairs.
+    # ngram_jaccard_pairs. Inner<->anti equivalence also needs non-null
+    # keys (anti keeps nulls, inner drops them): fp is a least() over
+    # xxhash64 values of non-null substrings — provably non-null
+    # (ADVICE r15).
     hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") > df_cap
     )

@@ -50,11 +50,11 @@ def graphite_render_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged_path(sf_dir, "render_ratio_store", tables=("events",)),
         policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
     )
-    eng.write(pts)
-    es = F.unix_timestamp("ts").cast("long")
-    bounds = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = bounds.lo - bounds.lo % 86400  # day-aligned slot grid
-    out = eng.render(_TARGET, lo, bounds.hi + 1)
+    # exact raw bounds from the store-build pass (observe) — kills the
+    # second full raw scan the bounds agg used to run (r16, guide §1.1)
+    lo_s, hi_s = eng.write(pts, observe_bounds=True)
+    lo = lo_s - lo_s % 86400  # day-aligned slot grid
+    out = eng.render(_TARGET, lo, hi_s + 1)
     return out.select(
         "metric",
         F.col("bucket_ts").cast("long").alias("bucket_ts"),
@@ -155,11 +155,9 @@ def graphite_render_seriesbytag(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged_path(sf_dir, "sbt_store", tables=("events",)),
         policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
     )
-    eng.write(pts)
-    es = F.unix_timestamp("ts").cast("long")
-    bounds = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = bounds.lo - bounds.lo % 86400  # day-aligned slot grid
-    out = eng.render(_SBT_TARGET, lo, bounds.hi + 1)
+    lo_s, hi_s = eng.write(pts, observe_bounds=True)
+    lo = lo_s - lo_s % 86400  # day-aligned slot grid
+    out = eng.render(_SBT_TARGET, lo, hi_s + 1)
     return out.select(
         "metric",
         F.col("bucket_ts").cast("long").alias("bucket_ts"),
@@ -222,12 +220,10 @@ def graphite_render_bandmath(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged_path(sf_dir, "bandmath_store", tables=("events",)),
         policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
     )
-    eng.write(pts)
-    es = F.unix_timestamp("ts").cast("long")
-    bounds = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = bounds.lo - bounds.lo % 86400
-    out = eng.render(_BAND_T1, lo, bounds.hi + 1).unionByName(
-        eng.render(_BAND_T2, lo, bounds.hi + 1)
+    lo_s, hi_s = eng.write(pts, observe_bounds=True)
+    lo = lo_s - lo_s % 86400
+    out = eng.render(_BAND_T1, lo, hi_s + 1).unionByName(
+        eng.render(_BAND_T2, lo, hi_s + 1)
     )
     return out.select(
         "metric",

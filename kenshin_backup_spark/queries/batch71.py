@@ -56,12 +56,12 @@ def graphite_render_rollstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged_path(sf_dir, "rollstats_store", tables=("events",)),
         policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
     )
-    eng.write(pts)
-    es = F.unix_timestamp("ts").cast("long")
-    bounds = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = bounds.lo - bounds.lo % 86400  # day-aligned slot grid
-    out = eng.render(_T1, lo, bounds.hi + 1).unionByName(
-        eng.render(_T2, lo, bounds.hi + 1)
+    # exact raw bounds from the store-build pass (observe) — kills the
+    # second full raw scan the bounds agg used to run (r16, guide §1.1)
+    lo_s, hi_s = eng.write(pts, observe_bounds=True)
+    lo = lo_s - lo_s % 86400  # day-aligned slot grid
+    out = eng.render(_T1, lo, hi_s + 1).unionByName(
+        eng.render(_T2, lo, hi_s + 1)
     )
     return out.select(
         "metric",

@@ -57,13 +57,17 @@ _TYPES = ("click", "error", "purchase", "signup", "view")
 
 
 def _hourly_engine(spark, sf_dir, name, pts):
+    """Build the hourly store and return ``(eng, (lo, hi))`` — the exact
+    raw epoch bounds captured on the store-build pass itself (observe),
+    so no caller pays a second full scan of the input for two scalars
+    (r16, guide §1.1)."""
     eng = Engine(
         spark,
         staged_path(sf_dir, name, tables=("events",)),
         policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
     )
-    eng.write(pts)
-    return eng
+    bounds = eng.write(pts, observe_bounds=True)
+    return eng, bounds
 
 
 _T_HIGHEST = (
@@ -81,12 +85,10 @@ def graphite_render_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the daily-average panel (see module docstring)."""
     ev = load_table(spark, sf_dir, "events")
     pts = ev.select(F.col("event_type").alias("metric"), "ts", "value")
-    eng = _hourly_engine(spark, sf_dir, "generic_store", pts)
-    es = F.unix_timestamp("ts").cast("long")
-    b = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = b.lo - b.lo % 86400
-    out = eng.render(_T_HIGHEST, lo, b.hi + 1).unionByName(
-        eng.render(_T_MEDIAN, lo, b.hi + 1)
+    eng, (lo_s, hi_s) = _hourly_engine(spark, sf_dir, "generic_store", pts)
+    lo = lo_s - lo_s % 86400
+    out = eng.render(_T_HIGHEST, lo, hi_s + 1).unionByName(
+        eng.render(_T_MEDIAN, lo, hi_s + 1)
     )
     return out.select(
         "metric",
@@ -175,14 +177,14 @@ def graphite_render_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         (F.col("value") * F.lit(2.0)).alias("value"),
     )
-    eng = _hourly_engine(
+    # both union branches carry ev's ts verbatim, so the written points'
+    # observed min/max equals the old bounds agg over ev exactly
+    eng, (lo_s, hi_s) = _hourly_engine(
         spark, sf_dir, "mapreduce_store", used.unionByName(total)
     )
-    es = F.unix_timestamp("ts").cast("long")
-    b = ev.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = b.lo - b.lo % 86400
-    out = eng.render(_T_REDUCE, lo, b.hi + 1).unionByName(
-        eng.render(_T_APPLY, lo, b.hi + 1)
+    lo = lo_s - lo_s % 86400
+    out = eng.render(_T_REDUCE, lo, hi_s + 1).unionByName(
+        eng.render(_T_APPLY, lo, hi_s + 1)
     )
     return out.select(
         "metric",
@@ -254,11 +256,9 @@ def graphite_render_timegen(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring)."""
     ev = load_table(spark, sf_dir, "events")
     pts = ev.select(F.col("event_type").alias("metric"), "ts", "value")
-    eng = _hourly_engine(spark, sf_dir, "timegen_store", pts)
-    es = F.unix_timestamp("ts").cast("long")
-    b = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = b.lo - b.lo % 86400
-    out = eng.render(_T_TIMEGEN, lo, b.hi + 1)
+    eng, (lo_s, hi_s) = _hourly_engine(spark, sf_dir, "timegen_store", pts)
+    lo = lo_s - lo_s % 86400
+    out = eng.render(_T_TIMEGEN, lo, hi_s + 1)
     return out.select(
         "metric",
         F.col("bucket_ts").cast("long").alias("bucket_ts"),

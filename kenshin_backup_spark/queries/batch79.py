@@ -58,13 +58,13 @@ def graphite_render_linreg_source(
         policies=[Policy(name="hourly", pattern=".*", steps=(3600,),
                          agg="max")],
     )
-    eng.write(pts)
-    es = F.unix_timestamp("ts").cast("long")
-    b = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = b.lo - b.lo % 86400
+    # exact raw bounds from the store-build pass (observe) — kills the
+    # second full raw scan the bounds agg used to run (r16, guide §1.1)
+    lo_s, hi_s = eng.write(pts, observe_bounds=True)
+    lo = lo_s - lo_s % 86400
     mid = lo + 14 * 86400
     out = eng.render(
-        f"linearRegression({_METS}, {lo}, {mid})", mid, b.hi + 1
+        f"linearRegression({_METS}, {lo}, {mid})", mid, hi_s + 1
     )
     return out.select(
         "metric",
@@ -166,12 +166,10 @@ def graphite_render_timeshift_weekly(
         policies=[Policy(name="hourly", pattern=".*", steps=(3600,),
                          agg="max")],
     )
-    eng.write(pts)
-    es = F.unix_timestamp("ts").cast("long")
-    b = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = b.lo - b.lo % 86400
+    lo_s, hi_s = eng.write(pts, observe_bounds=True)
+    lo = lo_s - lo_s % 86400
     mid = lo + 14 * 86400
-    out = eng.render(f"timeShift({_METS}, '7d')", mid, b.hi + 1)
+    out = eng.render(f"timeShift({_METS}, '7d')", mid, hi_s + 1)
     return out.select(
         "metric",
         F.col("bucket_ts").cast("long").alias("bucket_ts"),

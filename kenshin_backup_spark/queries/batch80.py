@@ -109,12 +109,14 @@ def graphite_render_aspercent_nodes(
         policies=[Policy(name="hourly", pattern=".*", steps=(3600,),
                          agg="max")],
     )
-    eng.write(pts)
-    es = F.unix_timestamp("ts").cast("long")
-    bd = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = bd.lo - bd.lo % 86400
+    # exact raw bounds from the store-build pass (observe) — kills the
+    # second full raw scan the bounds agg used to run (r16, guide §1.1);
+    # every event row fans out to ≥1 store row with its ts verbatim, so
+    # the written points' min/max equals the old bounds agg over pts
+    lo_s, hi_s = eng.write(pts, observe_bounds=True)
+    lo = lo_s - lo_s % 86400
     out = eng.render(
-        "asPercent(svc.*.*, cap.*.total, nodes=1)", lo, bd.hi + 1
+        "asPercent(svc.*.*, cap.*.total, nodes=1)", lo, hi_s + 1
     )
     return out.select(
         "metric",
@@ -193,14 +195,12 @@ def graphite_render_timestack_neg(
         policies=[Policy(name="hourly", pattern=".*", steps=(3600,),
                          agg="max")],
     )
-    eng.write(pts)
-    es = F.unix_timestamp("ts").cast("long")
-    bd = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = bd.lo - bd.lo % 86400
+    lo_s, hi_s = eng.write(pts, observe_bounds=True)
+    lo = lo_s - lo_s % 86400
     mid = lo + 14 * 86400
     out = eng.render(
         "timeStack({click,error,purchase,signup,view}, '-1d', 0, 3)",
-        mid, bd.hi + 1,
+        mid, hi_s + 1,
     )
     return out.select(
         "metric",

@@ -67,13 +67,15 @@ def graphite_render_aliasquery(
         policies=[Policy(name="hourly", pattern=".*", steps=(3600,),
                          agg="max")],
     )
-    eng.write(power.unionByName(freq))
-    es = F.unix_timestamp("ts").cast("long")
-    bd = power.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = bd.lo - bd.lo % 86400
+    # exact raw bounds from the store-build pass (observe) — no second
+    # full raw scan (r16, guide §1.1); both union branches carry ev's ts
+    # verbatim, so the written points' min/max equals the old bounds agg
+    # over the power branch alone
+    lo_s, hi_s = eng.write(power.unionByName(freq), observe_bounds=True)
+    lo = lo_s - lo_s % 86400
     out = eng.render(
         "aliasQuery(chan.*.power, 'power', 'freq', 'Channel %d MHz')",
-        lo, bd.hi + 1,
+        lo, hi_s + 1,
     )
     return out.select(
         "metric",

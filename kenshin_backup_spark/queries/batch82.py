@@ -54,17 +54,17 @@ def graphite_render_pie(spark: SparkSession, sf_dir: str) -> DataFrame:
         policies=[Policy(name="hourly", pattern=".*", steps=(3600,),
                          agg="max")],
     )
-    eng.write(power)
-    es = F.unix_timestamp("ts").cast("long")
-    bd = power.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = bd.lo - bd.lo % 86400
+    # exact raw bounds from the store-build pass (observe) — kills the
+    # second full raw scan the bounds agg used to run (r16, guide §1.1)
+    lo_s, hi_s = eng.write(power, observe_bounds=True)
+    lo = lo_s - lo_s % 86400
     out: DataFrame | None = None
     for mode in ("average", "maximum", "minimum"):
         part = eng.render_pie(
-            "chan.*.power", lo, bd.hi + 1, pie_mode=mode
+            "chan.*.power", lo, hi_s + 1, pie_mode=mode
         ).select(F.lit(mode).alias("mode"), "metric", "value")
         out = part if out is None else out.unionByName(part)
-    lit = eng.render_pie("other:42.5", lo, bd.hi + 1).select(
+    lit = eng.render_pie("other:42.5", lo, hi_s + 1).select(
         F.lit("literal").alias("mode"), "metric", "value"
     )
     return out.unionByName(lit)

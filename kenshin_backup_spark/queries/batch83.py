@@ -61,11 +61,13 @@ def graphite_render_group_order(
         policies=[Policy(name="hourly", pattern=".*", steps=(3600,),
                          agg="max")],
     )
-    eng.write(pts)
-    es = F.unix_timestamp("ts").cast("long")
-    bd = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = bd.lo - bd.lo % 86400
-    out = eng.render_many([_T_SORTED, _T_BRANCH], lo, bd.hi + 1)
+    # exact raw bounds from the store-build pass (observe) — kills the
+    # second full raw scan the bounds agg used to run (r16, guide §1.1);
+    # every event row fans out to ≥1 store row with its ts verbatim, so
+    # the written points' min/max equals the old bounds agg over pts
+    lo_s, hi_s = eng.write(pts, observe_bounds=True)
+    lo = lo_s - lo_s % 86400
+    out = eng.render_many([_T_SORTED, _T_BRANCH], lo, hi_s + 1)
     return out.select(
         F.when(F.col("target") == _T_SORTED, F.lit("sorted"))
         .otherwise(F.lit("branch"))

@@ -56,11 +56,11 @@ def graphite_groupbynode_median(
         policies=[Policy(name="hourly", pattern=".*", steps=(3600,),
                          agg="max")],
     )
-    eng.write(pts)
-    es = F.unix_timestamp("ts").cast("long")
-    bd = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = bd.lo - bd.lo % 86400
-    out = eng.render("groupByNode(*.*.*, 0, 'median')", lo, bd.hi + 1)
+    # exact raw bounds from the store-build pass (observe) — kills the
+    # second full raw scan the bounds agg used to run (r16, guide §1.1)
+    lo_s, hi_s = eng.write(pts, observe_bounds=True)
+    lo = lo_s - lo_s % 86400
+    out = eng.render("groupByNode(*.*.*, 0, 'median')", lo, hi_s + 1)
     return out.select(
         "metric",
         F.col("bucket_ts").cast("long").alias("bucket_ts"),

@@ -89,10 +89,12 @@ def graphite_negnode_summarize_units(
         policies=[Policy(name="hourly", pattern=".*", steps=(3600,),
                          agg="max")],
     )
-    eng.write(pts)
-    es = F.unix_timestamp("ts").cast("long")
-    bd = pts.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = bd.lo - bd.lo % 86400
+    # exact raw bounds from the store-build pass (observe) — kills the
+    # second full raw scan the bounds agg used to run (r16, guide §1.1);
+    # every event row fans out to ≥1 store row with its ts verbatim, so
+    # the written points' min/max equals the old bounds agg over pts
+    lo_s, hi_s = eng.write(pts, observe_bounds=True)
+    lo = lo_s - lo_s % 86400
     # now placed so that now - 1mon == lo exactly: the '-1mon' at-time
     # string must resolve through the r13 unit table to land the grid
     # on the day-aligned origin. INVARIANT: the events fixture spans
@@ -102,15 +104,15 @@ def graphite_negnode_summarize_units(
     # (ADVICE r14): a longer future fixture fails HERE with a
     # self-explanatory error instead of an opaque driver hash diff.
     now = lo + _MON
-    if bd.hi + 1 > now:
+    if hi_s + 1 > now:
         raise AssertionError(
             "graphite_negnode_summarize_units: events fixture spans "
-            f"{bd.hi - lo} s from its first midnight (> {_MON} s = 1mon) — "
+            f"{hi_s - lo} s from its first midnight (> {_MON} s = 1mon) — "
             "the query's '-1mon' window invariant no longer holds; "
             "re-derive `now` for the new fixture span"
         )
     out = eng.render(
-        _T_NEGNODE, "-1mon", bd.hi + 1, now_ts=now, max_data_points=0
+        _T_NEGNODE, "-1mon", hi_s + 1, now_ts=now, max_data_points=0
     )
     return out.select(
         "metric",
@@ -212,12 +214,12 @@ def graphite_reduce_apply_negnode(
         staged_path(sf_dir, "negprefix_store", tables=("events",)),
         policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
     )
-    eng.write(used.unionByName(total))
-    es = F.unix_timestamp("ts").cast("long")
-    b = ev.agg(F.min(es).alias("lo"), F.max(es).alias("hi")).collect()[0]
-    lo = b.lo - b.lo % 86400
-    out = eng.render(_T_REDUCE_NEG, lo, b.hi + 1).unionByName(
-        eng.render(_T_APPLY_NEG, lo, b.hi + 1)
+    # both union branches carry ev's ts verbatim, so the written points'
+    # observed min/max equals the old bounds agg over ev (r16, guide §1.1)
+    lo_s, hi_s = eng.write(used.unionByName(total), observe_bounds=True)
+    lo = lo_s - lo_s % 86400
+    out = eng.render(_T_REDUCE_NEG, lo, hi_s + 1).unionByName(
+        eng.render(_T_APPLY_NEG, lo, hi_s + 1)
     )
     return out.select(
         "metric",

@@ -32,7 +32,8 @@ def main() -> None:
     names = sys.argv[2:] or HEADLINE
     spark = get_spark("kenshin-plans")
     qs = registry.queries()
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    rdir = os.environ.get("PLANS_ROUND", "r16")
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rdir)
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         try:
