@@ -105,14 +105,29 @@ def run_stream_to_memory(
     """
     tune(spark)
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # COMPLETE mode re-emits the entire aggregation state on every
+    # micro-batch, so the trailing no-data batch (whose only job is to
+    # advance the watermark for append-mode finalization / state
+    # eviction) cannot change the final table — skip it and save one
+    # full stateful batch of fixed overhead (probed r16:
+    # tools/streaming_decompose.py). APPEND-mode sinks NEED it to close
+    # windows, so the conf is scoped to this query and restored.
+    ndb = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prior = spark.conf.get(ndb, "true")
+    if output_mode == "complete":
+        spark.conf.set(ndb, "false")
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if output_mode == "complete":
+            spark.conf.set(ndb, prior)
     return spark.table(name)
 
 
