@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from kenshin_backup_spark.functions.deterministic import EPOCH_S_SQL, QSUM_SQL
@@ -46,10 +46,11 @@ def tsdb_ladder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ladder is (re)built from scratch under a fingerprint-keyed staging
     dir on every call (idempotent; stale testdata generations are reaped by
     ``staged_path``). ``now`` is the max event time floored to the fine
-    step, recovered from the just-built fine level (``max(bucket_ts)``, a
-    series×buckets-row scan) instead of a SECOND full pass over raw events
-    (r15, guide §1.1 "how many full passes are unavoidable" — this query
-    now reads the raw table exactly once, in the level-0 build). Flooring
+    step, captured with ``df.observe`` ON the level-0 build pass itself
+    (r16; the r15 form re-scanned the just-built fine level — a
+    series×buckets-row pass — for the same scalar). The query reads the
+    raw table exactly once and derives ``now`` with zero extra jobs
+    (guide §1.1 "how many full passes are unavoidable"). Flooring
     is output-invariant: the fetch span (2 d) and both retention horizons
     are multiples of the fine step, so every bound the fetch derives —
     ``floor(now - span, step)``, ``floor(now, step)``, archive selection,
@@ -67,9 +68,17 @@ def tsdb_ladder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = staged_path(sf_dir, "ladder_rt", tables=("events",))
     shutil.rmtree(root, ignore_errors=True)
     ladder = Ladder(root=root, archives=(_FINE, _COARSE), key_cols=("metric",))
-    build_ladder(pts, ladder)
-    fine = spark.read.parquet(ladder.level_path(_FINE.step_seconds))
-    now_ts = int(fine.agg(F.max("bucket_ts").alias("m")).first()["m"])
+    # r16: capture max raw ts on the level-0 build pass itself (observe);
+    # floor is monotone, so floor(max es, step) == max(floor(es, step)) ==
+    # the fine level's max(bucket_ts) — the same now as the r15 fine-level
+    # scan, with ZERO extra jobs (that scan is series×buckets rows, a real
+    # pass at 100 TB). build_ladder's first action over pts is the fine
+    # write — a full pass — so the observation can never see partial data.
+    ob = Observation()
+    es = F.unix_timestamp("ts").cast("long")
+    build_ladder(pts.observe(ob, F.max(es).alias("hi")), ladder)
+    now_ts = int(ob.get["hi"])
+    now_ts -= now_ts % _FINE.step_seconds
     expire_retention(ladder, now_ts=now_ts)
     compact_level(spark, ladder, _FINE.step_seconds)
 
@@ -145,9 +154,10 @@ def tsdb_ladder_coarse_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     built fresh under its own staging tag so this query is independent of
     ``tsdb_ladder_roundtrip``'s expire/compact mutations.
 
-    ``now`` is recovered from the built fine level (max bucket_ts =
-    ``floor(max event ts, 600)``) instead of a second full raw scan —
-    output-invariant exactly as in :func:`tsdb_ladder_roundtrip`: the
+    ``now`` = ``floor(max event ts, 600)`` is captured with ``df.observe``
+    on the level-0 build pass (r16; equals the fine level's max bucket_ts
+    the r15 form re-scanned for) — output-invariant exactly as in
+    :func:`tsdb_ladder_roundtrip`: the
     12 d/20 d offsets are multiples of the coarse step and
     ``floor(floor(x, 600), 3600) == floor(x, 3600)`` (600 | 3600), so
     the coarse fetch bounds, archive selection, and clamping are all
@@ -157,9 +167,13 @@ def tsdb_ladder_coarse_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = staged_path(sf_dir, "ladder_coarse", tables=("events",))
     shutil.rmtree(root, ignore_errors=True)
     ladder = Ladder(root=root, archives=(_FINE, _COARSE), key_cols=("metric",))
-    build_ladder(pts, ladder)
-    fine = spark.read.parquet(ladder.level_path(_FINE.step_seconds))
-    now_ts = int(fine.agg(F.max("bucket_ts").alias("m")).first()["m"])
+    # same observe-on-build now recovery as tsdb_ladder_roundtrip (r16):
+    # floor(max es, 600) == the fine level's max(bucket_ts), zero extra jobs
+    ob = Observation()
+    es = F.unix_timestamp("ts").cast("long")
+    build_ladder(pts.observe(ob, F.max(es).alias("hi")), ladder)
+    now_ts = int(ob.get["hi"])
+    now_ts -= now_ts % _FINE.step_seconds
 
     fetched = fetch_from_ladder(
         spark,
