@@ -296,6 +296,7 @@ class Engine:
         now_ts: int | None = None,
         max_data_points: int | None = None,
         x_files_factor: float | None = None,
+        memo: dict | None = None,
     ) -> DataFrame:
         """Evaluate a graphite render-target expression (the reference
         consumers' query language) over this store — e.g.
@@ -328,8 +329,16 @@ class Engine:
         # reference. Scope is ONE render request (series-count × window
         # buckets rows — dashboard-bounded); the registry wrapper clears
         # tracked persists between queries, so a long session never
-        # accumulates render caches.
-        memo: dict[tuple, DataFrame] = {}
+        # accumulates render caches. A multi-target request (render_many,
+        # or a caller unioning several renders of one dashboard panel)
+        # passes ONE ``memo`` dict through every render so targets that
+        # reference the same (glob, window, now) leaf share a single
+        # fetch plan + persist instead of rebuilding it per target (r16;
+        # graphite_render_group_order's two targets fetch the same two
+        # globs). Same request-scoped lifetime — nothing outlives the
+        # caller's request.
+        if memo is None:
+            memo = {}
 
         def _fetch_cached(glob: str | None, f: int, u: int, now: int | None) -> DataFrame:
             # ADVICE r15: the key includes the fetch's effective now.
@@ -395,17 +404,20 @@ class Engine:
 
         Scale: each target is an independent lazy plan; the union is
         plan-level, so Spark schedules all panels' scans/aggregations in
-        one job with shared staging — no per-target driver round-trips."""
+        one job with shared staging — no per-target driver round-trips;
+        targets referencing the same (glob, window) leaf share ONE fetch
+        plan + persist through the request-scoped memo (r16)."""
         if not targets:
             raise ValueError("render_many: need at least one target")
         from pyspark.sql import functions as F
 
+        memo: dict = {}
         out: DataFrame | None = None
         for t in targets:
             part = self.render(
                 t, from_ts, until_ts,
                 now_ts=now_ts, max_data_points=max_data_points,
-                x_files_factor=x_files_factor,
+                x_files_factor=x_files_factor, memo=memo,
             ).select(
                 F.lit(t).alias("target"), "metric", "bucket_ts", "value"
             )
@@ -422,6 +434,7 @@ class Engine:
         now_ts: int | None = None,
         x_files_factor: float | None = None,
         include_empty: bool = True,
+        memo: dict | None = None,
     ) -> DataFrame:
         """graphite's PIE render — ``&graphType=pie&pieMode=...``
         collapses each series of the evaluated target to ONE number,
@@ -478,7 +491,7 @@ class Engine:
             )
         frame = self.render(
             target, from_ts, until_ts,
-            now_ts=now_ts, x_files_factor=x_files_factor,
+            now_ts=now_ts, x_files_factor=x_files_factor, memo=memo,
         )
         kernel = {"average": F.avg, "maximum": F.max, "minimum": F.min}[
             pie_mode
@@ -517,6 +530,7 @@ class Engine:
         before totaling (ADVICE r11)."""
         if not targets:
             raise ValueError("render_pie_many: need at least one target")
+        memo: dict = {}
         out: DataFrame | None = None
         for t in targets:
             part = self.render_pie(
@@ -524,6 +538,7 @@ class Engine:
                 pie_mode=pie_mode, now_ts=now_ts,
                 x_files_factor=x_files_factor,
                 include_empty=include_empty,
+                memo=memo,
             )
             out = part if out is None else out.unionByName(part)
         return out

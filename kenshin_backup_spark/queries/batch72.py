@@ -87,8 +87,11 @@ def graphite_render_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = ev.select(F.col("event_type").alias("metric"), "ts", "value")
     eng, (lo_s, hi_s) = _hourly_engine(spark, sf_dir, "generic_store", pts)
     lo = lo_s - lo_s % 86400
-    out = eng.render(_T_HIGHEST, lo, hi_s + 1).unionByName(
-        eng.render(_T_MEDIAN, lo, hi_s + 1)
+    # both targets fetch the same glob: share one leaf fetch/persist
+    # across the two renders (request-scoped memo, r16)
+    memo: dict = {}
+    out = eng.render(_T_HIGHEST, lo, hi_s + 1, memo=memo).unionByName(
+        eng.render(_T_MEDIAN, lo, hi_s + 1, memo=memo)
     )
     return out.select(
         "metric",
@@ -183,8 +186,10 @@ def graphite_render_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "mapreduce_store", used.unionByName(total)
     )
     lo = lo_s - lo_s % 86400
-    out = eng.render(_T_REDUCE, lo, hi_s + 1).unionByName(
-        eng.render(_T_APPLY, lo, hi_s + 1)
+    # one request-scoped memo across both targets (overlapping app.* leaves)
+    memo: dict = {}
+    out = eng.render(_T_REDUCE, lo, hi_s + 1, memo=memo).unionByName(
+        eng.render(_T_APPLY, lo, hi_s + 1, memo=memo)
     )
     return out.select(
         "metric",

@@ -73,10 +73,13 @@ def graphite_render_maxdatapoints(
     # second full raw scan the bounds agg used to run (r16, guide §1.1)
     lo_s, hi_s = eng.write(pts, observe_bounds=True)
     lo = lo_s - lo_s % 86400
+    # both targets fetch the same glob: share one leaf fetch/persist
+    # across the two renders (request-scoped memo, r16)
+    memo: dict = {}
     out = eng.render(
-        _T_AVG, lo, hi_s + 1, max_data_points=_MDP
+        _T_AVG, lo, hi_s + 1, max_data_points=_MDP, memo=memo
     ).unionByName(
-        eng.render(_T_MAX, lo, hi_s + 1, max_data_points=_MDP)
+        eng.render(_T_MAX, lo, hi_s + 1, max_data_points=_MDP, memo=memo)
     )
     return out.select(
         "metric",

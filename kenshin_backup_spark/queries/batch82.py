@@ -59,9 +59,12 @@ def graphite_render_pie(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_s, hi_s = eng.write(power, observe_bounds=True)
     lo = lo_s - lo_s % 86400
     out: DataFrame | None = None
+    # all three pie modes reduce the SAME fetched frame: share one leaf
+    # fetch/persist across the modes (request-scoped memo, r16)
+    memo: dict = {}
     for mode in ("average", "maximum", "minimum"):
         part = eng.render_pie(
-            "chan.*.power", lo, hi_s + 1, pie_mode=mode
+            "chan.*.power", lo, hi_s + 1, pie_mode=mode, memo=memo
         ).select(F.lit(mode).alias("mode"), "metric", "value")
         out = part if out is None else out.unionByName(part)
     lit = eng.render_pie("other:42.5", lo, hi_s + 1).select(

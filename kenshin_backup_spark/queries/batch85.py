@@ -218,8 +218,10 @@ def graphite_reduce_apply_negnode(
     # observed min/max equals the old bounds agg over ev (r16, guide §1.1)
     lo_s, hi_s = eng.write(used.unionByName(total), observe_bounds=True)
     lo = lo_s - lo_s % 86400
-    out = eng.render(_T_REDUCE_NEG, lo, hi_s + 1).unionByName(
-        eng.render(_T_APPLY_NEG, lo, hi_s + 1)
+    # one request-scoped memo across both targets (overlapping app.* leaves)
+    memo: dict = {}
+    out = eng.render(_T_REDUCE_NEG, lo, hi_s + 1, memo=memo).unionByName(
+        eng.render(_T_APPLY_NEG, lo, hi_s + 1, memo=memo)
     )
     return out.select(
         "metric",
