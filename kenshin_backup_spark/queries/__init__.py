@@ -202,92 +202,84 @@ _MODULES = (
 )
 
 #: The driver's per-round CORRECTNESS window covers the FIRST 50 registry
-#: entries, so this ordering is evidence policy. Round-14 re-curation
+#: entries, so this ordering is evidence policy. Round-16 re-curation
 #: (COVERAGE.md's standing rule — the burn-down stays closed, windows
-#: hold in priority order):
-#: 1. changed-code certs — the two batch85 adds (both VERDICT/ADVICE
-#:    traceable): graphite_negnode_summarize_units (VERDICT r13 #1 —
-#:    the r13 parity-wave composite: negative name nodes + the
-#:    'mon'/'hours' prefix-unit table + falsy maxDataPoints, one hash)
-#:    and graphite_reduce_apply_negnode (ADVICE r13 mediums #1+#2 —
-#:    applyByNode(-1)'s empty prefix and reduceSeries' negative
-#:    reduceNode group key, both FIXED this round and certified
-#:    through Engine.render). The other r14 changes need no re-cert:
-#:    the ANSI conf pin (session.RUNTIME_CONFS) is a no-op on the 4.x
-#:    engine every cert runs on, and positive-node applyByNode/
-#:    reduceSeries expressions are byte-identical by construction
-#:    (branch-on-sign only adds the negative arm).
-#: 2. the remaining EIGHT r7 rows (queued by the r13 comment, verified
-#:    against the CORRECTNESS_r01–r13 union);
-#: 3. the full r8 cohort (39 rows, alphabetical, latest-green == r8);
-#: 4. one r9 row (agg_grouping_sets, alphabetically first) to fill the
-#:    window to 50. The rest of the r9 cohort (38 rows) heads the r15
-#:    queue.
-#: The 9 rows-only-by-design queries (approx_distinct_parts,
-#: approx_event_percentiles, emb_intrinsic_dimension,
-#: emb_kmeans_clusters, emb_mmr_rerank*, events_rolling_wau_hll,
-#: graph_pagerank_docs, tsdb_downsample_lttb,
-#: tsdb_holt_linear_forecast*) never hold window slots (*certified via
-#: their exact twins/upgrades in r8 — no re-cert due). Every row that
-#: rotates out keeps exact-cell parity coverage in
+#: hold in priority order; this is exactly the r16 queue COVERAGE.md
+#: wrote in r15, extended by the touched-path-first rule):
+#: 1. changed-code certs — the 22 queries whose execution path changed
+#:    in this optimization round: the 20 store-backed render queries
+#:    (Engine.write now captures the raw bounds with df.observe on the
+#:    ladder-build pass and takes a single-policy fast path — r16
+#:    OPTIMIZATION log §1) and the two COMPLETE-mode streaming queries
+#:    (run_stream_to_memory now skips the trailing no-data micro-batch
+#:    for complete output — §4). All 22 passed exact-cell parity at
+#:    sf0.01 when the change landed; the window makes the driver
+#:    re-certify exactly the touched paths (the rule VERDICT r15 kept).
+#: 2. the r10-cohort remainder (37 rows minus the 11 already seated in
+#:    priority 1), alphabetical — the oldest-evidence burn-down;
+#: 3. fill to 50 from the r11 cohort head (alphabetical); the r11
+#:    remainder queues for r17.
+#: The 9 rows-only-by-design queries never hold window slots. Every row
+#: that rotates out keeps exact-cell parity coverage in
 #: tests/test_oracle_parity.py.
 _PRIORITY = (
-    # --- 1. round-15 changed-code cert (batch85 gained the fixture-span
-    # assert — ADVICE r14 low #4; session.tune() readback rides every row) --
+    # --- 1. r16 changed-code certs: the 20 store-render queries (observe
+    # bounds + single-policy write fast path) + the 2 complete-mode
+    # streaming queries (no-data micro-batch skip) ----------------------
+    "graphite_groupbynode_median",
     "graphite_negnode_summarize_units",
-    # --- 2. the 38 remaining r9 rows (the r15 queue in COVERAGE.md,
-    # verified == the oldest-evidence cohort from the CORRECTNESS union) ---
-    "agg_median_quantity",
-    "asof_purchase_last_click",
-    "dedup_simhash_md5",
-    "emb_cosine_topk",
-    "events_rolling_wau",
-    "events_transition_matrix",
-    "funnel_signup_click_purchase",
-    "join_semi_discounted_orders",
-    "llm_corpus_curation",
-    "range_join_value_bands",
-    "scalar_array_ops",
-    "scalar_datetime_orders",
-    "scalar_json_event_props",
-    "scalar_math_funcs",
-    "scd2_user_state",
-    "setops_customer_cohorts",
-    "source_bucketed_join",
-    "source_csv_roundtrip",
-    "source_partitioned_pruning",
-    "streaming_session_windows",
-    "text_char_ngram_langid",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_multi_exists",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q5_local_supplier",
-    "tpch_q9_profit_by_nation_year",
-    "tsdb_anomaly_mad",
-    "tsdb_glob_fetch",
-    "tsdb_interpolate_linear",
-    "tsdb_ladder_coarse_fetch",
-    "tsdb_ladder_roundtrip",
-    "tsdb_policy_assign",
-    "tsdb_time_weighted_avg",
-    "window_first_last_nth",
-    "window_range_7day_sum",
-    "window_running_revenue",
-    # --- 3. window fill: the 11-row head of the 48-row r10 cohort
-    # (alphabetical; remainder + r11 cohorts queue for r16) -----------
-    "customer_rfm_scores",
-    "dedup_connected_components",
-    "dedup_embedding_cosine_bucketed",
-    "dedup_exact_fingerprint",
-    "dedup_minhash_portable",
-    "dedup_ngram_jaccard_capped",
-    "emb_ann_topk_srp",
-    "events_bot_detection",
-    "events_seasonal_residual_anomalies",
+    "graphite_reduce_apply_negnode",
     "graphite_render_alias_consolidate",
+    "graphite_render_aliasquery",
+    "graphite_render_aspercent_nodes",
     "graphite_render_bandmath",
+    "graphite_render_generic",
+    "graphite_render_group_order",
+    "graphite_render_linreg_source",
+    "graphite_render_mapreduce",
+    "graphite_render_maxdatapoints",
+    "graphite_render_pie",
+    "graphite_render_pipeline",
+    "graphite_render_ratio",
+    "graphite_render_rollstats",
+    "graphite_render_seriesbytag",
+    "graphite_render_timegen",
+    "graphite_render_timeshift_weekly",
+    "graphite_render_timestack_neg",
+    "streaming_rollup_1h",
+    "streaming_session_windows",
+    # --- 2. the r10-cohort remainder not already seated above
+    # (alphabetical; 26 rows) -------------------------------------------
+    "graphite_summarize_top",
+    "incremental_rollup_merge",
+    "join_interval_overlap",
+    "llm_curation_funnel_v2",
+    "llm_decontamination",
+    "llm_document_chunking",
+    "llm_train_test_split",
+    "multimodal_decode_features",
+    "orders_pareto_curve",
+    "retrieval_ann_recall_report",
+    "retrieval_bm25_topk",
+    "source_pickle_batches",
+    "source_whisper_roundtrip",
+    "streaming_drawdown",
+    "streaming_ewma_final",
+    "streaming_purchase_click_join",
+    "text_quality_scores",
+    "text_zipf_topwords",
+    "tpch_q15_top_supplier",
+    "tpch_q1_pricing_summary",
+    "tsdb_anomaly_ensemble",
+    "tsdb_autocorrelation",
+    "tsdb_cross_correlation",
+    "tsdb_fetch_gapfill",
+    "tsdb_histogram_percentile",
+    "tsdb_policy_driven_rollup",
+    # --- 3. window fill: the 2-row head of the 50-row r11 cohort
+    # (alphabetical; remainder queues for r17) --------------------------
+    "agg_boolean_bitwise",
+    "agg_covar_corr_quantized",
 )
 
 
