@@ -521,3 +521,74 @@ def test_engine_render_pie(spark, tmp_path):
 
     with pytest.raises(ValueError, match="at least one"):
         eng.render_pie_many([], lo, hi)
+
+
+def test_engine_write_observe_bounds(spark, tmp_path):
+    """r16: observe_bounds returns the EXACT raw min/max epoch seconds,
+    on single-policy (fast path) and multi-policy (per-policy
+    observations combined) engines, without a separate bounds scan; an
+    empty write returns None."""
+    pts = _points(spark)
+    es = F.unix_timestamp("ts").cast("long")
+    expect = pts.agg(F.min(es), F.max(es)).first()
+
+    single = Engine(
+        spark,
+        str(tmp_path / "single"),
+        policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
+    )
+    assert single.write(pts, observe_bounds=True) == (expect[0], expect[1])
+
+    multi = Engine(
+        spark,
+        str(tmp_path / "multi"),
+        policies=[
+            Policy(name="clicks", pattern=r"^click$", steps=(3600,)),
+            Policy(name="default", pattern=".*", steps=(3600,)),
+        ],
+    )
+    assert multi.write(pts, observe_bounds=True) == (expect[0], expect[1])
+
+    empty = Engine(
+        spark,
+        str(tmp_path / "empty"),
+        policies=[Policy(name="hourly", pattern=".*", steps=(3600,))],
+    )
+    assert empty.write(pts.where(F.lit(False)), observe_bounds=True) is None
+    assert "hourly" not in empty._written
+
+
+def test_engine_write_single_policy_pattern_filter(spark, tmp_path):
+    """r16 fast path: a single NON-'.*' policy writes exactly the
+    rlike-matching rows (the old when-chain membership), and a policy
+    named 'default' absorbs everything regardless of pattern."""
+    pts = _points(spark)
+    sel = Engine(
+        spark,
+        str(tmp_path / "sel"),
+        policies=[Policy(name="clicks", pattern=r"^click$", steps=(3600,))],
+    )
+    sel.write(pts)
+    got = sorted(
+        r.metric
+        for r in spark.read.parquet(
+            str(tmp_path / "sel") + "/policy=clicks/step=3600"
+        ).select("metric").distinct().collect()
+    )
+    assert got == ["click"]
+
+    dflt = Engine(
+        spark,
+        str(tmp_path / "dflt"),
+        policies=[Policy(name="default", pattern=r"^click$", steps=(3600,))],
+    )
+    dflt.write(pts)
+    got = sorted(
+        r.metric
+        for r in spark.read.parquet(
+            str(tmp_path / "dflt") + "/policy=default/step=3600"
+        ).select("metric").distinct().collect()
+    )
+    assert got == sorted(
+        r.metric for r in pts.select("metric").distinct().collect()
+    )

@@ -255,3 +255,29 @@ def test_bounded_file_stream_backpressure(spark, tmp_path):
     q.awaitTermination()
     assert len(seen) >= 3, seen
     assert sum(n for _, n in seen) == total
+
+
+def test_complete_mode_skips_nodata_batch_and_restores_conf(spark):
+    """r16: run_stream_to_memory disables the trailing no-data micro-batch
+    for COMPLETE output (it only advances the watermark, which complete
+    mode ignores for emission) and restores the conf afterwards; the
+    result still equals the batch rollup."""
+    from kenshin_backup_spark.queries.streaming_q import _events_stream
+    from kenshin_backup_spark.sources import load_table
+
+    ndb = "spark.sql.streaming.noDataMicroBatches.enabled"
+    before = spark.conf.get(ndb, "true")
+    sf_dir = "/root/testdata/sf0.001"
+    stream = _events_stream(spark, sf_dir)
+    rolled = streaming_rollup(
+        stream, key_col="event_type", step_seconds=3600, watermark="1 hour"
+    )
+    got = run_stream_to_memory(spark, rolled, output_mode="complete")
+    assert spark.conf.get(ndb, "true") == before
+    ev = load_table(spark, sf_dir, "events")
+    want = rollup_partials(ev, key_cols=["event_type"], step_seconds=3600)
+    assert got.count() == want.count()
+    assert (
+        got.exceptAll(want.select(*got.columns)).count() == 0
+        and want.select(*got.columns).exceptAll(got).count() == 0
+    )
